@@ -1,0 +1,20 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the reference medallion ETL
+(jacobjoe/airflow-etl-minio-to-postgres), rebuilt Spark-first.
+
+Layout:
+    session      - SparkSession factory tuned for local[32] and cluster scale
+    schemas      - explicit StructType registry for every table the engine touches
+    naming       - column-name standardization (camel/mixed -> snake_case)
+    operators/   - cleaning, key-generation, normalization, dedup, similarity,
+                   text-analysis, multimodal operators
+    sources/     - object-store (s3a/MinIO), CSV/parquet/Excel readers, JDBC
+    plans/       - the medallion pipeline (bronze -> silver -> gold) as a
+                   declarative driver program
+    streaming/   - Structured Streaming incremental medallion over event streams
+"""
+
+from airflow_etl_minio_to_postgres_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

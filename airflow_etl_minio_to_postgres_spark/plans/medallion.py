@@ -1,0 +1,121 @@
+"""The medallion pipeline (bronze -> silver -> gold) as one lazy Spark plan.
+
+Reference orchestration (``dags/dag_etl_minio_to_postgres.py``):
+
+* ``bronze`` (``:253-265``): format-normalize raw CSV/XLSX from MinIO to
+  bronze CSV.  In the engine this is a read + optional materialization — the
+  double-read of bronze by silver (``:277,287``) collapses into one lineage.
+* ``silver`` (``:268-362``): standardize column names, trim/lower strings,
+  ``''->null``, typed null fill; persist wide table + field config.
+* ``gold`` (``:365-597``): add natural/hash keys, split by field config,
+  dedup dims, assign property surrogate ids, resolve satellite keys to ids.
+
+Everything below is DataFrame-lazy: calling ``build_gold`` constructs six
+projections of ONE cleaned-and-keyed plan; Catalyst computes the keys once
+per output action and prunes each table's scan to its own columns.  Stage
+materialization (parquet/JDBC) is the caller's choice via ``sinks``.
+
+Rerun safety: the engine writes with ``mode("overwrite")`` everywhere —
+unlike the reference, whose gold ``CREATE TABLE`` without ``IF NOT EXISTS``
+(``:414,423,431``) + append-only inserts is not idempotent (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from airflow_etl_minio_to_postgres_spark.naming import standardize_columns
+from airflow_etl_minio_to_postgres_spark.operators.cleaning import clean
+from airflow_etl_minio_to_postgres_spark.operators.keys import (
+    add_hash_key,
+    add_natural_key,
+    assign_surrogate_ids,
+    dedup_rows,
+    resolve_key_to_id,
+)
+from airflow_etl_minio_to_postgres_spark.operators.normalize import split_by_field_config
+from airflow_etl_minio_to_postgres_spark.schemas import (
+    GOLD_RENAMES,
+    HASH_KEY_DEFS,
+    NATURAL_KEY_COLS,
+)
+
+
+@dataclass
+class MedallionResult:
+    silver: DataFrame
+    field_config: DataFrame
+    gold: dict[str, DataFrame] = field(default_factory=dict)
+    property_ids: DataFrame | None = None
+
+
+def build_silver(raw: DataFrame) -> DataFrame:
+    """Standardize names + full cleaning pass (reference ``:268-362``)."""
+    return clean(standardize_columns(raw))
+
+
+def build_gold(
+    silver: DataFrame,
+    field_config: DataFrame,
+    main_table: str = "property",
+    natural_key_cols: list[str] | None = None,
+    hash_key_defs: dict[str, list[str]] | None = None,
+    renames: dict[str, dict[str, str]] | None = None,
+) -> MedallionResult:
+    """Normalize the wide silver table into the star schema
+    (reference gold task ``:365-597``)."""
+    natural_key_cols = natural_key_cols or NATURAL_KEY_COLS
+    hash_key_defs = hash_key_defs or HASH_KEY_DEFS
+    renames = GOLD_RENAMES if renames is None else renames
+
+    keyed = add_natural_key(silver, natural_key_cols)
+    for key_name, cols in hash_key_defs.items():
+        keyed = add_hash_key(keyed, cols, key_name)
+
+    splits = split_by_field_config(keyed, field_config, include_keys=True,
+                                   main_table=main_table)
+
+    gold: dict[str, DataFrame] = {}
+    dim_key = {"hoa": "hoa_key", "taxes": "taxes_key"}
+    main_key = f"{main_table}_key"
+    id_col = f"{main_table}_id"
+
+    # Dimensions: dedup by content-hash key (reference :410-411).
+    for dim, key in dim_key.items():
+        if dim in splits:
+            gold[dim] = dedup_rows(splits[dim])
+
+    # Main table: one row per source row, keys attached (reference :447).
+    main_df = splits[main_table]
+    # Deterministic surrogate ids per distinct main key (reference SERIAL
+    # + RETURNING id, :134-136; engine policy SURVEY.md §7 hard-part 1).
+    property_ids = assign_surrogate_ids(main_df, main_key, id_col)
+    gold[main_table] = main_df
+
+    # Satellites: key -> id broadcast join, id first (reference :490-496).
+    for target, df in splits.items():
+        if target == main_table or target in dim_key:
+            continue
+        resolved = resolve_key_to_id(df, property_ids, main_key, id_col)
+        for old, new in renames.get(target, {}).items():
+            resolved = resolved.withColumnRenamed(old, new)
+        gold[target] = resolved
+
+    return MedallionResult(
+        silver=silver, field_config=field_config, gold=gold, property_ids=property_ids
+    )
+
+
+def run_medallion(raw: DataFrame, field_config_raw: DataFrame) -> MedallionResult:
+    """bronze->silver->gold over in-memory/lake DataFrames.
+
+    ``field_config_raw`` arrives with raw headers/values (the workbook); its
+    ``column_name`` values are standardized inside
+    :func:`split_by_field_config` so metadata matches data
+    (reference ``:291-292``).
+    """
+    silver = build_silver(raw)
+    fc = standardize_columns(field_config_raw)
+    return build_gold(silver, fc)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline engine queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is materialized via a count-collect of the full result (the
+driver-facing action that forces every operator in the plan) and timed
+wall-clock.  A warmup query amortizes JVM/session startup out of the
+per-query numbers; total session+warmup time is reported separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_etl_minio_to_postgres_spark import queries as registry
+from airflow_etl_minio_to_postgres_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    t_start = time.perf_counter()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> None:
+        # Full computation, no driver-side row transfer — the cluster-honest
+        # way to time a query (collect() measures the driver pipe instead).
+        df.write.format("noop").mode("overwrite").save()
+
+    all_queries = registry.queries()
+    # Warmup: force session + parquet footer reads.
+    materialize(all_queries["q1_pricing_summary"](spark, SF_DIR))
+    warmup_sec = time.perf_counter() - t_start
+
+    timings: dict[str, float] = {}
+    for name in sorted(all_queries):
+        fn = all_queries[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+                "warmup_sec": round(warmup_sec, 4),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,25 +6,30 @@ Reference semantics (``dags/dag_etl_minio_to_postgres.py``):
 * natural key (``:203-205``): ``'|'``-joined stringified columns.
 * hash key (``:209-212``): ``sha256(concat(str(v) for v in cols))`` hex,
   truncated to 16 chars — applied per-row via ``df.apply`` there; here a
-  single codegen'd ``substring(sha2(concat(...)))`` expression.
+  single codegen'd ``substring(sha2(concat_ws(...)))`` expression.
 * dedup (``:216-219``): full-row ``drop_duplicates`` on the hash-keyed dims.
 * surrogate ids (``SERIAL`` DDL ``:415`` + ``RETURNING id`` capture
   ``:134-136``): Postgres insert-order ids, last-id-wins for duplicate keys.
   Distributed engines have no insert order, so the engine's policy
-  (SURVEY.md §7 hard-part 1) is ``row_number() over (order by key)`` on the
-  *distinct* keys — dense, deterministic, oracle-reproducible.
-* key->id resolution (``:223-228``): driver-side dict ``.map`` — here a
-  broadcast equi-join, the scale-safe equivalent.
+  (SURVEY.md §7 hard-part 1) is "global rank of the key among distinct keys"
+  — dense, deterministic, oracle-reproducible as
+  ``row_number() over (order by key)``.
+* key->id resolution (``:223-228``): driver-side dict ``.map`` — here an
+  equi-join whose physical strategy is AQE-decided by default (broadcast can
+  be forced for dimension-sized maps).
 
-Scale notes: the surrogate-id window is a global sort over *distinct* keys
-only (dimension cardinality, not fact cardinality).  For fact-scale id
-assignment use ``zipWithIndex``-free ``row_number`` per partition plus offset
-— not needed for the reference surface.  ``resolve_key_to_id`` broadcasts the
-id map, mirroring the reference's in-memory dict while staying executor-side.
+Scale design: ``assign_surrogate_ids`` never funnels all keys through one
+task.  It range-repartitions the distinct keys, numbers each partition
+locally, and adds per-partition exclusive-prefix-sum offsets — the id of a
+key is its global rank regardless of where the sampled range boundaries
+land, so the output is deterministic and equals the single-window
+``row_number() over (order by key)`` plan while every partition is sized
+``|distinct keys| / shuffle.partitions``.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,13 +55,14 @@ def add_natural_key(
 
 
 def hash_key_expr(cols: list[str], hash_len: int = 16):
-    """``substring(sha2(concat(cast(c as string)...), 256), 1, hash_len)``.
+    """``substring(sha2(concat_ws('', cast(c as string)...), 256), 1, hash_len)``.
 
-    ``concat`` (not ``concat_ws``) matches the reference's ``''.join``
-    (``:210-212``); with any NULL input ``concat`` yields NULL, which the
-    cleaned pipeline never feeds it.
+    ``concat_ws('')`` (NULL-skipping concatenation) matches both the
+    reference's ``''.join`` over stringified values (``:210-212``) and
+    DuckDB's ``concat`` semantics, so engine and oracle agree even if a NULL
+    reaches a key column (the cleaned pipeline never feeds one).
     """
-    return F.substring(F.sha2(F.concat(*_as_strings(cols)), 256), 1, hash_len)
+    return F.substring(F.sha2(F.concat_ws("", *_as_strings(cols)), 256), 1, hash_len)
 
 
 def add_hash_key(
@@ -75,18 +81,52 @@ def dedup_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 def assign_surrogate_ids(
     df: DataFrame, key_col: str, id_col: str = "id"
 ) -> DataFrame:
-    """One dense id per *distinct* key: ``row_number() over (order by key)``.
+    """One dense ``long`` id per *distinct* key = the key's global rank.
 
-    Returns ``(key_col, id_col)``.  Deliberately NOT
-    ``monotonically_increasing_id`` (non-dense, partition-dependent).  The
-    global sort runs over distinct keys only — dimension-sized, fine at scale;
-    the reference's equivalent is Postgres ``SERIAL`` + ``RETURNING id``
-    (``:134-136``) with last-wins duplicate handling, which distinct-then-
-    number makes deterministic instead.
+    Scale-safe equivalent of ``row_number() over (order by key)`` (which
+    would sort every distinct key in ONE task): range-repartition the
+    distinct keys, ``row_number`` *within* each partition, then add each
+    partition's exclusive prefix-sum offset.  Offsets come from a small
+    per-partition count job, so the result is the global rank no matter
+    where the sampled range boundaries fall.
+
+    The distinct-key frame is persisted (MEMORY_AND_DISK) because range
+    boundary sampling is not deterministic across jobs — the count job and
+    the final plan must observe the same partitioning, exactly the contract
+    RDD ``zipWithIndex`` relies on internally.
+
+    Deliberately NOT ``monotonically_increasing_id`` (non-dense,
+    partition-dependent).  The reference's equivalent is Postgres ``SERIAL``
+    + ``RETURNING id`` (``:134-136``) with last-wins duplicate handling,
+    which distinct-then-rank makes deterministic instead.
     """
-    distinct_keys = df.select(key_col).distinct()
-    w = Window.orderBy(F.col(key_col))
-    return distinct_keys.withColumn(id_col, F.row_number().over(w))
+    keys = (
+        df.select(key_col)
+        .distinct()
+        .repartitionByRange(F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    part_rows = (
+        keys.groupBy(F.spark_partition_id().alias("_pid")).count().collect()
+    )
+    if not part_rows:
+        return keys.withColumn(id_col, F.lit(None).cast("long"))
+    offsets: list = []
+    running = 0
+    for r in sorted(part_rows, key=lambda r: r["_pid"]):
+        offsets.extend([F.lit(r["_pid"]), F.lit(running)])
+        running += r["count"]
+    offset_map = F.create_map(*offsets)
+    w = Window.partitionBy("_pid").orderBy(F.col(key_col))
+    return (
+        keys.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            id_col,
+            (F.row_number().over(w).cast("long") + offset_map[F.col("_pid")]),
+        )
+        .drop("_pid")
+    )
 
 
 def resolve_key_to_id(
@@ -95,18 +135,27 @@ def resolve_key_to_id(
     key_col: str,
     id_col: str,
     id_first: bool = True,
+    drop_key: bool = True,
+    broadcast: bool = False,
 ) -> DataFrame:
-    """Replace ``key_col`` with ``id_col`` via broadcast join
+    """Replace ``key_col`` with ``id_col`` via equi-join
     (reference ``replace_key_with_id`` ``:223-228`` + ``re_order_df``
     ``:232-240``).
 
     ``id_map`` must be one row per key (the contract of
-    :func:`assign_surrogate_ids`); it is dimension-sized, so broadcast is
-    always the right physical join — no shuffle of the child.
+    :func:`assign_surrogate_ids`).  The join strategy is AQE-decided by
+    default; pass ``broadcast=True`` only when the map is known
+    dimension-sized — the medallion's ``property_ids`` map is fact-sized at
+    100 TB, where a forced broadcast would OOM every executor and sort-merge
+    is the right plan.  LEFT join mirrors the reference dict ``.map``
+    (missing key -> null id).
     """
-    joined = child.join(
-        F.broadcast(id_map.select(key_col, id_col)), on=key_col, how="left"
-    ).drop(key_col)
+    right = id_map.select(key_col, id_col)
+    if broadcast:
+        right = F.broadcast(right)
+    joined = child.join(right, on=key_col, how="left")
+    if drop_key:
+        joined = joined.drop(key_col)
     if id_first:
         rest = [c for c in joined.columns if c != id_col]
         joined = joined.select(id_col, *rest)

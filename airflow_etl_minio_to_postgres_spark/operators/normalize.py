@@ -71,14 +71,34 @@ def split_by_field_config(
     field_config: DataFrame,
     include_keys: bool = True,
     main_table: str = "property",
+    dim_keys: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Vertical split of ``wide`` into one lazy projection per target table
-    (reference ``get_individual_dfs_in_dict`` ``:193-199``)."""
+    (reference ``get_individual_dfs_in_dict`` ``:193-199``).
+
+    With ``dim_keys`` given, the main table's prepended key list is derived
+    as ``[natural_key, <main>_key, *dim key columns]`` (reference
+    ``:166-170``); otherwise the reference's property defaults apply.
+    """
     col_lists = columns_by_target(field_config)
+    main_key = f"{main_table}_key"
+    satellite_key = main_key
+    main_keys = None
+    if dim_keys is not None:
+        main_keys = ["natural_key", main_key, *dim_keys.values()]
     out: dict[str, DataFrame] = {}
     for target, cols in col_lists.items():
         selected = (
-            key_columns_for(target, main_table) + cols if include_keys else list(cols)
+            key_columns_for(
+                target,
+                main_table,
+                main_keys=main_keys,
+                dim_keys=dim_keys,
+                satellite_key=satellite_key,
+            )
+            + cols
+            if include_keys
+            else list(cols)
         )
         out[target] = wide.select(*selected)
     return out

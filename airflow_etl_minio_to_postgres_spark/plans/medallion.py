@@ -63,27 +63,38 @@ def build_gold(
     natural_key_cols: list[str] | None = None,
     hash_key_defs: dict[str, list[str]] | None = None,
     renames: dict[str, dict[str, str]] | None = None,
+    dim_keys: dict[str, str] | None = None,
 ) -> MedallionResult:
     """Normalize the wide silver table into the star schema
-    (reference gold task ``:365-597``)."""
+    (reference gold task ``:365-597``).
+
+    Dimension classification defaults to deriving from ``hash_key_defs``:
+    every hash key other than the main table's is assumed to be owned by the
+    target named ``<key>`` minus the ``_key`` suffix (``hoa_key`` -> ``hoa``),
+    matching the reference's key-owning dims (``:172-177``); pass ``dim_keys``
+    explicitly to override.
+    """
     natural_key_cols = natural_key_cols or NATURAL_KEY_COLS
     hash_key_defs = hash_key_defs or HASH_KEY_DEFS
     renames = GOLD_RENAMES if renames is None else renames
+    main_key = f"{main_table}_key"
+    id_col = f"{main_table}_id"
+    if dim_keys is None:
+        dim_keys = {
+            k.removesuffix("_key"): k for k in hash_key_defs if k != main_key
+        }
 
     keyed = add_natural_key(silver, natural_key_cols)
     for key_name, cols in hash_key_defs.items():
         keyed = add_hash_key(keyed, cols, key_name)
 
     splits = split_by_field_config(keyed, field_config, include_keys=True,
-                                   main_table=main_table)
+                                   main_table=main_table, dim_keys=dim_keys)
 
     gold: dict[str, DataFrame] = {}
-    dim_key = {"hoa": "hoa_key", "taxes": "taxes_key"}
-    main_key = f"{main_table}_key"
-    id_col = f"{main_table}_id"
 
     # Dimensions: dedup by content-hash key (reference :410-411).
-    for dim, key in dim_key.items():
+    for dim in dim_keys:
         if dim in splits:
             gold[dim] = dedup_rows(splits[dim])
 
@@ -92,11 +103,18 @@ def build_gold(
     # Deterministic surrogate ids per distinct main key (reference SERIAL
     # + RETURNING id, :134-136; engine policy SURVEY.md §7 hard-part 1).
     property_ids = assign_surrogate_ids(main_df, main_key, id_col)
-    gold[main_table] = main_df
+    # The main table carries its id (reference `id SERIAL PRIMARY KEY`,
+    # :432) AND keeps its key columns (:166-170) — satellites' property_id
+    # foreign keys must resolve into this table.
+    gold[main_table] = resolve_key_to_id(
+        main_df, property_ids, main_key, id_col, drop_key=False
+    )
 
-    # Satellites: key -> id broadcast join, id first (reference :490-496).
+    # Satellites: key -> id join (AQE-decided strategy — the id map is
+    # fact-sized at scale, so no forced broadcast), id first
+    # (reference :490-496).
     for target, df in splits.items():
-        if target == main_table or target in dim_key:
+        if target == main_table or target in dim_keys:
             continue
         resolved = resolve_key_to_id(df, property_ids, main_key, id_col)
         for old, new in renames.get(target, {}).items():

@@ -209,11 +209,12 @@ def surrogate_ids_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT c_mktsegment FROM customer)
     )
     SELECT ids.segment_id, c.c_custkey, c.c_name
-    FROM customer c JOIN ids USING (c_mktsegment)
+    FROM customer c LEFT JOIN ids USING (c_mktsegment)
     """,
 )
 def key_to_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     ids = assign_surrogate_ids(c, "c_mktsegment", "segment_id")
     child = c.select("c_mktsegment", "c_custkey", "c_name")
-    return resolve_key_to_id(child, ids, "c_mktsegment", "segment_id")
+    # The segment id map is dimension-sized -> broadcast is safe and right.
+    return resolve_key_to_id(child, ids, "c_mktsegment", "segment_id", broadcast=True)

@@ -18,3 +18,4 @@ def spark():
     s = get_spark(app_name="tests", master="local[4]",
                   extra_conf={"spark.sql.shuffle.partitions": "4"})
     yield s
+    s.stop()

@@ -25,6 +25,7 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
     dedup_rows,
     resolve_key_to_id,
 )
+from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -218,3 +219,195 @@ def key_to_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     child = c.select("c_mktsegment", "c_custkey", "c_name")
     # The segment id map is dimension-sized -> broadcast is safe and right.
     return resolve_key_to_id(child, ids, "c_mktsegment", "segment_id", broadcast=True)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end medallion (O1-O4 + T1-T13) over a medallion-shaped wide table
+# derived from orders |X| customer, so the DuckDB oracle can replay the whole
+# bronze->silver->gold pipeline in SQL (reference gold task
+# dags/dag_etl_minio_to_postgres.py:365-597).
+#
+# The raw frame carries the reference's RAW header casing (exercises T1
+# standardize on real data) and the field config carries mixed-case target
+# values (exercises the lower/trim normalization at reference :152-155).
+# ---------------------------------------------------------------------------
+
+# (raw header, target table as it would appear in the workbook)
+MEDALLION_FIELD_CONFIG: list[tuple[str, str]] = [
+    ("Property_Title", "property"),
+    ("Zip", "property"),
+    ("Market", "property"),
+    ("HOA", "HOA"),
+    ("HOA_Flag", "hoa"),
+    ("Taxes", "Taxes"),
+    ("Reviewed_Status", "Leads"),
+    ("Source", "leads"),
+    ("Paint", "Rehab"),
+    ("Underwriting_Rehab", "rehab"),
+    ("Previous_Rent", "Valuation"),
+    ("List_Price", "valuation"),
+    ("Order_Key", "valuation"),
+]
+
+
+def _medallion_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion-shaped raw wide table from orders |X| customer.
+
+    Columns mirror the reference's fake_data.csv shape (FIXTURES.md A1):
+    customer attrs play the property/hoa dims, order attrs the satellites.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_name").alias("Property_Title"),
+        F.col("c_nationkey").cast("string").alias("Zip"),
+        F.col("c_mktsegment").alias("Market"),
+        F.col("c_nationkey").alias("HOA"),
+        F.col("c_mktsegment").alias("HOA_Flag"),
+        (F.col("o_orderkey") % 7).alias("Taxes"),
+        F.col("o_orderstatus").alias("Reviewed_Status"),
+        F.col("o_orderpriority").alias("Source"),
+        F.col("o_orderstatus").alias("Paint"),
+        (F.col("o_orderkey") % 100).alias("Underwriting_Rehab"),
+        F.col("o_custkey").alias("Previous_Rent"),
+        F.col("o_totalprice").alias("List_Price"),
+        F.col("o_orderkey").alias("Order_Key"),
+    )
+
+
+def _run_demo_medallion(spark: SparkSession, sf_dir: str):
+    raw = _medallion_raw(spark, sf_dir)
+    fc = spark.createDataFrame(
+        MEDALLION_FIELD_CONFIG, ["column_name", "target_table"]
+    )
+    return run_medallion(raw, fc)
+
+
+# Shared oracle prefix: replay raw -> silver (T1-T3) -> keys (T9-T10) -> ids
+# (T12) exactly as the engine computes them.
+_MEDALLION_CTE = """
+WITH raw AS (
+    SELECT c.c_name                       AS property_title,
+           CAST(c.c_nationkey AS VARCHAR) AS zip,
+           c.c_mktsegment                 AS market,
+           c.c_nationkey                  AS hoa,
+           c.c_mktsegment                 AS hoa_flag,
+           o.o_orderkey % 7               AS taxes,
+           o.o_orderstatus                AS reviewed_status,
+           o.o_orderpriority              AS source,
+           o.o_orderstatus                AS paint,
+           o.o_orderkey % 100             AS underwriting_rehab,
+           o.o_custkey                    AS previous_rent,
+           o.o_totalprice                 AS list_price,
+           o.o_orderkey                   AS order_key
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+silver AS (
+    SELECT coalesce(nullif(lower(trim(property_title)), ''), 'unknown')  AS property_title,
+           coalesce(nullif(lower(trim(zip)), ''), 'unknown')             AS zip,
+           coalesce(nullif(lower(trim(market)), ''), 'unknown')          AS market,
+           coalesce(hoa, -1)                                             AS hoa,
+           coalesce(nullif(lower(trim(hoa_flag)), ''), 'unknown')        AS hoa_flag,
+           coalesce(taxes, -1)                                           AS taxes,
+           coalesce(nullif(lower(trim(reviewed_status)), ''), 'unknown') AS reviewed_status,
+           coalesce(nullif(lower(trim(source)), ''), 'unknown')          AS source,
+           coalesce(nullif(lower(trim(paint)), ''), 'unknown')           AS paint,
+           coalesce(underwriting_rehab, -1)                              AS underwriting_rehab,
+           coalesce(previous_rent, -1)                                   AS previous_rent,
+           list_price,
+           coalesce(order_key, -1)                                      AS order_key
+    FROM raw
+),
+keyed AS (
+    SELECT *,
+           concat_ws('|', property_title, zip)                            AS natural_key,
+           substr(sha256(concat(property_title, zip)), 1, 16)             AS property_key,
+           substr(sha256(concat(CAST(hoa AS VARCHAR), hoa_flag)), 1, 16)  AS hoa_key,
+           substr(sha256(CAST(taxes AS VARCHAR)), 1, 16)                  AS taxes_key
+    FROM silver
+),
+ids AS (
+    SELECT property_key,
+           row_number() OVER (ORDER BY property_key) AS property_id
+    FROM (SELECT DISTINCT property_key FROM keyed) t
+)
+"""
+
+
+@register(
+    "medallion_silver",
+    _MEDALLION_CTE
+    + """
+    SELECT property_title, zip, market, hoa, hoa_flag, taxes,
+           reviewed_status, source, paint, underwriting_rehab,
+           previous_rent, list_price, order_key
+    FROM silver
+    """,
+)
+def medallion_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).silver
+
+
+@register(
+    "medallion_gold_property",
+    _MEDALLION_CTE
+    + """
+    SELECT i.property_id, k.natural_key, k.property_key, k.hoa_key,
+           k.taxes_key, k.property_title, k.zip, k.market
+    FROM keyed k LEFT JOIN ids i USING (property_key)
+    """,
+)
+def medallion_gold_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["property"]
+
+
+@register(
+    "medallion_gold_hoa",
+    _MEDALLION_CTE + "SELECT DISTINCT hoa_key, hoa, hoa_flag FROM keyed",
+)
+def medallion_gold_hoa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["hoa"]
+
+
+@register(
+    "medallion_gold_taxes",
+    _MEDALLION_CTE + "SELECT DISTINCT taxes_key, taxes FROM keyed",
+)
+def medallion_gold_taxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["taxes"]
+
+
+@register(
+    "medallion_gold_leads",
+    _MEDALLION_CTE
+    + """
+    SELECT i.property_id, k.reviewed_status, k.source AS lead_source
+    FROM keyed k LEFT JOIN ids i USING (property_key)
+    """,
+)
+def medallion_gold_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["leads"]
+
+
+@register(
+    "medallion_gold_rehab",
+    _MEDALLION_CTE
+    + """
+    SELECT i.property_id, k.paint, k.underwriting_rehab
+    FROM keyed k LEFT JOIN ids i USING (property_key)
+    """,
+)
+def medallion_gold_rehab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["rehab"]
+
+
+@register(
+    "medallion_gold_valuation",
+    _MEDALLION_CTE
+    + """
+    SELECT i.property_id, k.previous_rent, k.list_price, k.order_key
+    FROM keyed k LEFT JOIN ids i USING (property_key)
+    """,
+)
+def medallion_gold_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_demo_medallion(spark, sf_dir).gold["valuation"]

@@ -9,6 +9,8 @@ hash-compares values after sorting columns by name.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -26,7 +28,9 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
     resolve_key_to_id,
 )
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
+from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
+from airflow_etl_minio_to_postgres_spark.sources.files import read_csv, write_csv
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -411,3 +415,26 @@ def medallion_gold_rehab(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def medallion_gold_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_demo_medallion(spark, sf_dir).gold["valuation"]
+
+
+# ---------------------------------------------------------------------------
+# Bronze I/O (S1/S4): land a table as CSV under a bronze prefix, read it
+# back with an explicit schema, and prove the roundtrip is lossless against
+# the parquet truth (reference bronze task dags/dag_etl_minio_to_postgres
+# .py:253-265; read/write at :32-68).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bronze_csv_roundtrip_region",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def bronze_csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_bronze",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    path = write_csv(region, os.path.join(base, "region"), mode="overwrite")
+    return read_csv(spark, path, schema=TESTDATA_SCHEMAS["region"])

@@ -1,0 +1,159 @@
+"""File sources/sinks — CSV, Excel, parquet, with extension dispatch.
+
+Reference surface (``dags/dag_etl_minio_to_postgres.py``):
+
+* S1 ``read_files_minio`` CSV branch (``:44-45``): whole-object
+  ``pd.read_csv`` — here a partitioned, schema-declared ``spark.read.csv``
+  that splits large files across executors and never pays an inference scan
+  when a schema is supplied.
+* S2 Excel branch (``:42-43``): ``pd.read_excel``.  Excel is a binary,
+  non-splittable format confined to metadata-sized files (SURVEY.md §7);
+  the shim parses on the driver with pandas and ships the rows out via
+  ``createDataFrame``.  Gated behind an import-try — openpyxl may be absent.
+* S3 extension dispatch (``:35-36,42-47``): route by suffix, raise on
+  unsupported.
+* S4 ``write_files_minio`` (``:53-68``): CSV sink with overwrite semantics
+  and bucket bootstrap.  ``df.write.csv`` handles both the local FS and
+  ``s3a://`` URIs (object stores need no mkdir — keys imply their "folders";
+  MinIO bucket creation itself is a one-time deployment step, not an engine
+  concern).  ``single_file=True`` mirrors the reference's one-object-per-
+  table layout; the default keeps one file per partition, which is the only
+  layout that scales.
+
+Paths may be local, ``file://``, or ``s3a://`` — the s3a endpoint for MinIO
+is configured on the session (``session.ObjectStoreConfig``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from airflow_etl_minio_to_postgres_spark.naming import normalize_filename
+
+CSV_EXTENSIONS = {".csv"}
+EXCEL_EXTENSIONS = {".xlsx", ".xls"}
+PARQUET_EXTENSIONS = {".parquet"}
+
+
+def _extension(path: str) -> str:
+    return os.path.splitext(path)[1].lower()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool | None = None,
+) -> DataFrame:
+    """Partitioned CSV scan (S1).  Prefer an explicit ``schema``; schema
+    inference costs a full extra pass over the data at scale."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        infer = True if infer_schema is None else infer_schema
+        reader = reader.option("inferSchema", str(infer).lower())
+    return reader.csv(path)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Driver-side Excel parse -> DataFrame (S2).  Metadata-sized files only
+    (the field-config workbook is 66 rows); raises a clear error when the
+    optional openpyxl/xlrd engine is unavailable in the environment."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as exc:  # openpyxl/xlrd missing
+        raise ImportError(
+            "Excel ingest needs the optional 'openpyxl' (xlsx) or 'xlrd' "
+            "(xls) package; install one or convert the workbook to CSV."
+        ) from exc
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Extension dispatch (S3): CSV / Excel / parquet, raise on unsupported
+    (reference raises at ``:46-47``)."""
+    ext = _extension(path)
+    if ext in CSV_EXTENSIONS:
+        return read_csv(spark, path, schema=schema, **kwargs)
+    if ext in EXCEL_EXTENSIONS:
+        return read_excel(spark, path, schema=schema, **kwargs)
+    if ext in PARQUET_EXTENSIONS:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
+    raise ValueError(f"unsupported file type {ext!r} for {path!r}")
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    single_file: bool = False,
+) -> str:
+    """CSV sink with overwrite semantics (S4).  ``single_file`` coalesces to
+    one output object (the reference's layout, ``:66``) — only for small
+    tables; the partitioned default is the layout that scales."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return path
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Engine-native columnar sink — the store the 100 TB path lands in
+    (Postgres stays a serving sink only, SURVEY.md §7 hard-part 5)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def bronze_path(base: str, file_name: str, folder: str = "bronze-files") -> str:
+    """Normalized bronze object path (S4/S5: reference lowers + de-spaces the
+    object key at ``:60``)."""
+    return os.path.join(base, folder, normalize_filename(file_name))
+
+
+def ingest_bronze(
+    spark: SparkSession,
+    raw_path: str,
+    bronze_base: str,
+    schema: T.StructType | None = None,
+    **kwargs,
+) -> tuple[DataFrame, str]:
+    """O1 bronze stage: read raw CSV/Excel, land as CSV under the bronze
+    prefix (reference ``:253-265``), return (frame, bronze path).  The
+    returned frame is the *read* lineage — downstream stages compose on it
+    lazily instead of re-reading bronze (collapses the reference's double
+    read, ``:277,287``)."""
+    df = read_file(spark, raw_path, schema=schema, **kwargs)
+    name = os.path.splitext(os.path.basename(raw_path))[0] + ".csv"
+    out = bronze_path(bronze_base, name)
+    write_csv(df, out, mode="overwrite", single_file=False)
+    return df, out

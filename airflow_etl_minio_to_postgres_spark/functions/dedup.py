@@ -1,0 +1,242 @@
+"""Deduplication family — exact, MinHash+LSH near-dup, SimHash.
+
+Scale design (the whole point of these shapes):
+
+* **Exact** dedup is a hash-groupBy: one shuffle on a 16-byte key, never a
+  text comparison.  At 100 TB the shuffle payload is (key, doc_id) pairs,
+  not documents.
+* **MinHash+LSH** never compares all pairs: signatures are narrow per-row
+  expressions; banding explodes each doc into ``n_bands`` (band, key) rows;
+  candidate pairs come from an equi-join on the band key (shuffle on
+  band-key hash, skew-safe under AQE); only candidates pay the exact
+  Jaccard verification.  Complexity O(docs x bands + collisions), not
+  O(docs^2).
+* **SimHash** is one explode + two aggregations — all JVM expressions.
+
+Determinism/oracle note: the per-seed min-hash is the *lexicographic min of
+sha256 hex strings* over the shingle set.  A hex-string min is a valid
+uniform min-hash and — unlike Murmur3 — is reproducible in any engine with
+sha256, which is what makes the DuckDB oracle possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.functions.text import WHITESPACE
+
+HASH_LEN = 16
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (reference T11 at scale: dags/dag_etl_minio_to_postgres.py:216-219)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content hash: (text_hash, n_docs, keep_id).
+
+    ``keep_id`` = min id — the deterministic survivor the pipeline keeps;
+    dropping dups is then a semi-join of ``df`` against this frame.
+    """
+    h = F.substring(F.sha2(F.col(text_col), 256), 1, HASH_LEN)
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the ``keep_id`` representative of every duplicate group."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Word ``k``-shingles of lower/trimmed text; empty array when the doc
+    has fewer than ``k`` words (guards Spark's decreasing-sequence edge)."""
+    words = F.split(F.lower(F.trim(text)), WHITESPACE)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - k)
+
+    def shingle(i: Column) -> Column:
+        parts = [F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        return F.concat_ws(" ", *parts)
+
+    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` min-hashes: for seed s, the lexicographic min
+    of ``sha256(s || ':' || shingle)`` hex prefixes over the shingle set."""
+
+    def one_hash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda sh: F.substring(
+                    F.sha2(F.concat_ws(":", F.lit(str(seed)), sh), 256),
+                    1,
+                    HASH_LEN,
+                ),
+            )
+        )
+
+    return F.array(*[one_hash(s) for s in range(num_hashes)])
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    sh = shingles_expr(F.col(text_col), shingle_k)
+    return df.withColumn("shingles", sh).withColumn(
+        "minhash", minhash_signature_expr(F.col("shingles"), num_hashes)
+    )
+
+
+def band_keys_expr(minhash: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: band b hashes its signature slice into one string key.
+    Docs sharing ANY band key become candidate pairs."""
+    keys = []
+    for b in range(num_bands):
+        parts = [
+            F.element_at(minhash, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat_ws("|", F.lit(str(b)), *parts))
+    return F.array(*keys)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact set Jaccard over shingle arrays (distinct semantics, as both
+    Spark ``array_intersect``/``array_union`` and the oracle's
+    ``list_intersect``/``list_distinct`` dedup)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with ``id_a < id_b`` and
+    ``jaccard >= threshold``.  The only shuffles are the band-key equi-join
+    and the final distinct — never an all-pairs product.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = (
+        add_minhash(df, text_col, num_hashes, shingle_k)
+        # Docs shorter than the shingle width have no signature: without
+        # this filter their all-null band keys degenerate to "b|" and every
+        # short doc collides with every other (and Jaccard divides by zero).
+        .where(F.size("shingles") > 0)
+        .select(F.col(id_col), "shingles", "minhash")
+    )
+    banded = base.select(
+        F.col(id_col),
+        "shingles",
+        F.explode(
+            band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_key",
+    )
+    pairs = (
+        left.join(right, on="band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, expression-only)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars -> fits a signed 64-bit integer
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: per-token sha256-derived integers vote
+    ±1 on each bit position; the sign of each bit's sum sets the bit.
+
+    Shape: explode(tokens) x explode(bit positions) -> two partial
+    aggregations — all codegen'd expressions, shuffle keyed on
+    (doc, bit) then (doc).  Returns (id_col, simhash long).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    tok = (
+        df.select(F.col(id_col), F.explode(words).alias("tok"))
+        .withColumn(
+            "tok_hash",
+            F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    bits = tok.select(
+        id_col,
+        "tok_hash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).withColumn(
+        # shiftright/shiftleft with a *column* shift amount need SQL form —
+        # the Python wrappers only take int literals.
+        "vote",
+        F.expr("CASE WHEN (shiftright(tok_hash, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    return (
+        bit_sums.withColumn(
+            "bit_val",
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").alias("simhash"))
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing — opaque binary payloads with typed metadata,
+decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column travelling with typed metadata; decode/resize/frame-sample
+run as Arrow-batched Python over partition-local batches (``mapInPandas``),
+so bytes never round-trip through the driver and the Python boundary is paid
+once per batch, not per row.
+
+The actual media codecs are NOT available in this environment, so
+:func:`decode_image` is a clearly-marked stub (``NotImplementedError``) and
+the tested path uses :func:`extract_payload_features` — a deterministic
+feature extractor over the payload bytes whose outputs the DuckDB oracle can
+reproduce (byte length, sha256 prefix, modular fake dimensions).  The
+Spark-side plumbing — schema, batch shape, UDF signature, partitioning — is
+real and is what this module exists to pin down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha16", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mime: str = "application/x-fake-image",
+) -> DataFrame:
+    """Build an opaque binary payload column (UTF-8 bytes of ``text_col``
+    standing in for image bytes) + typed metadata — the multimodal table
+    shape."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(mime).alias("mime"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real image decode — NOT IMPLEMENTED in this environment (no PIL/cv2).
+
+    Production body: ``PIL.Image.open(io.BytesIO(payload))`` -> resize /
+    to-tensor inside the same Arrow batch loop as
+    :func:`extract_payload_features`.
+    """
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use extract_payload_features for the deterministic test path"
+    )
+
+
+def _feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow batch loop: deterministic per-payload features.  Runs on
+    executors; one Python crossing per batch."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "payload_sha16": payloads.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+                ),
+                "width": (n_bytes % 640).astype("int64"),
+                "height": ((n_bytes * 7) % 480).astype("int64"),
+            }
+        )
+
+
+def extract_payload_features(df: DataFrame) -> DataFrame:
+    """``mapInPandas`` feature extraction over the payload column.
+
+    Input must have (doc_id, payload); output follows FEATURE_SCHEMA.  The
+    fake width/height stand in for decoded image dims — deterministic, so
+    the DuckDB oracle checks the full plumbing end-to-end.
+    """
+    return df.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
+    )

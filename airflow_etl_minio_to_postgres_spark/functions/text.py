@@ -1,0 +1,121 @@
+"""Text analysis over document tables — tokenization, quality scoring,
+language id, fingerprints.
+
+All operators are single-pass narrow column expressions (no shuffle, no
+Python): at 100 TB each is a map over the ``documents`` scan with the text
+column pruned in.  Every expression is chosen to be bit-reproducible in
+ANSI SQL (DuckDB oracle): splits/regexes shared by both engines, integer
+ratios computed as IEEE double divisions of identical operands, no
+transcendentals.
+
+This module extends the reference surface (its scalar functions stop at
+lower/trim/concat/sha256 — ``dags/dag_etl_minio_to_postgres.py:60-212``)
+with the operations a large-scale LLM training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: runs of alphanumerics OR single non-space symbols —
+# the same regex works in Java (Spark) and RE2 (DuckDB).
+TOKEN_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
+WHITESPACE = "\\s+"
+
+# Tiny stopword inventories for the language-id heuristic.  Deliberately
+# small: the operator's value is its *shape* (vectorized per-language scoring
+# + deterministic argmax), not lexicon quality.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"],
+}
+
+
+def words_expr(text: Column) -> Column:
+    """Whitespace word split of lower/trimmed text."""
+    return F.split(F.lower(F.trim(text)), WHITESPACE)
+
+
+def tokens_expr(text: Column) -> Column:
+    """BPE-ish regex tokenization (alnum runs + individual symbols)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def word_count_expr(text: Column) -> Column:
+    return F.size(words_expr(text))
+
+
+def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
+    """Fraction of words found in the ``lang`` stopword set (double)."""
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    words = words_expr(text)
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stoplist, w)))
+    return hits.cast("double") / F.size(words).cast("double")
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are not ``[a-z0-9 ]`` after lowering."""
+    low = F.lower(text)
+    stripped = F.regexp_replace(low, "[^a-z0-9 ]", "")
+    return (F.length(low) - F.length(stripped)).cast("double") / F.length(
+        low
+    ).cast("double")
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: stopword presence + length,
+    penalized by symbol density.  Linear clamp only — no transcendentals, so
+    the oracle reproduces it exactly."""
+    stop = stopword_ratio_expr(text, "en")
+    length_term = F.least(
+        F.lit(1.0), word_count_expr(text).cast("double") / F.lit(50.0)
+    )
+    penalty = punct_ratio_expr(text)
+    raw = F.lit(0.5) * stop + F.lit(0.5) * length_term - F.lit(0.25) * penalty
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_ratio_expr(text, lang) for lang in STOPWORDS}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Argmax over per-language stopword ratios with a fixed tie-break order
+    (en > de > fr).  Scores are identical-operand double divisions, so both
+    engines agree bit-for-bit."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint_expr(text: Column, hash_len: int = 16) -> Column:
+    """Whitespace-canonical sha256 fingerprint: two documents differing only
+    in whitespace/case share a fingerprint."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), WHITESPACE, " ")
+    return F.substring(F.sha2(normalized, 256), 1, hash_len)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats bundle to a documents frame."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "token_count": token_count_expr(t),
+            "word_count": word_count_expr(t),
+            "char_count": F.length(t),
+            "punct_ratio": punct_ratio_expr(t),
+            "stopword_ratio": stopword_ratio_expr(t),
+            "quality_score": quality_score_expr(t),
+            "lang_pred": lang_id_expr(t),
+            "fingerprint": fingerprint_expr(t),
+        }
+    )

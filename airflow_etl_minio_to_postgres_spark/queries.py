@@ -27,6 +27,28 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
     dedup_rows,
     resolve_key_to_id,
 )
+from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    exact_dedup_groups,
+    near_dup_pairs,
+    simhash,
+)
+from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+    attach_payload,
+    extract_payload_features,
+)
+from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+    ann_topk_sign_lsh,
+    topk_cosine,
+)
+from airflow_etl_minio_to_postgres_spark.functions.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    word_count_expr,
+)
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
@@ -438,3 +460,301 @@ def bronze_csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = write_csv(region, os.path.join(base, "region"), mode="overwrite")
     return read_csv(spark, path, schema=TESTDATA_SCHEMAS["region"])
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators over documents/embeddings (brief mandate; not
+# in the reference, whose scalar surface stops at lower/trim/concat/sha256 —
+# dags/dag_etl_minio_to_postgres.py:60-212).
+# ---------------------------------------------------------------------------
+
+# Shared oracle fragments (DuckDB needs the 'g' flag where Spark's
+# regexp_replace is global by default).
+_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')"
+
+
+def _stop_ratio_sql(lang: str) -> str:
+    from airflow_etl_minio_to_postgres_spark.functions.text import STOPWORDS
+
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_WORDS}, w -> list_contains([{lst}], w)))::DOUBLE"
+        f" / len({_WORDS})::DOUBLE"
+    )
+
+
+_PUNCT_SQL = (
+    "(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE"
+    " / length(lower(text))::DOUBLE"
+)
+
+
+@register(
+    "docs_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS})  AS token_count,
+           len({_WORDS})   AS word_count,
+           length(text)    AS char_count
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_expr(t).alias("token_count"),
+        word_count_expr(t).alias("word_count"),
+        F.length(t).alias("char_count"),
+    )
+
+
+@register(
+    "docs_quality",
+    f"""
+    SELECT doc_id,
+           {_PUNCT_SQL} AS punct_ratio,
+           {_stop_ratio_sql('en')} AS stopword_ratio,
+           least(1.0, greatest(0.0,
+               0.5 * ({_stop_ratio_sql('en')})
+             + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+             - 0.25 * ({_PUNCT_SQL}))) AS quality_score
+    FROM documents
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        punct_ratio_expr(t).alias("punct_ratio"),
+        stopword_ratio_expr(t).alias("stopword_ratio"),
+        quality_score_expr(t).alias("quality_score"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('de')})
+                 AND ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('fr')}) THEN 'en'
+                WHEN ({_stop_ratio_sql('de')}) >= ({_stop_ratio_sql('fr')}) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM documents
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "docs_fingerprint",
+    """
+    SELECT doc_id,
+           substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "docs_exact_dedup",
+    """
+    SELECT substr(sha256(text), 1, 16) AS text_hash,
+           count(*)  AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+# Near-dup corpus: documents UNION a perturbed copy (last word dropped,
+# doc_id + 1000000) so planted near-duplicate pairs exist by construction.
+_NEAR_DUP_BASE_SQL = f"""
+base AS (
+    SELECT doc_id, lower(trim(text)) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(({_WORDS})[1:len({_WORDS}) - 1], ' ')
+    FROM documents
+    WHERE len({_WORDS}) >= 4
+)
+"""
+
+
+def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    perturbed = (
+        d.where(F.size(words) >= 4)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+        )
+    )
+    original = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("text"))
+    return original.unionByName(perturbed)
+
+
+_NEAR_DUP_SQL = (
+    "WITH "
+    + _NEAR_DUP_BASE_SQL
+    + f""",
+words AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM base
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(0, len(w) - 2),
+                                    i -> array_to_string(w[i+1:i+3], ' '))
+                ELSE [] END AS shingles
+    FROM words
+),
+sig AS (
+    SELECT doc_id, shingles,
+           [{", ".join(f"list_min(list_transform(shingles, s -> substr(sha256('{seed}:' || s), 1, 16)))" for seed in range(8))}]
+               AS minhash
+    FROM sh
+    WHERE len(shingles) > 0
+),
+banded AS (
+    SELECT doc_id,
+           unnest([{", ".join(f"concat_ws('|', '{b}', minhash[{2 * b + 1}], minhash[{2 * b + 2}])" for b in range(4))}])
+               AS band_key
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.id_a
+JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5
+"""
+)
+
+
+@register("docs_near_dup_pairs", _NEAR_DUP_SQL)
+def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(_near_dup_input(spark, sf_dir))
+
+
+@register(
+    "docs_simhash",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS tok_hash
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               CAST(sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(0, len(embedding)), i ->"
+    " embedding[i+1]::DOUBLE * qv[i+1]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL} AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine(load_table(spark, "embeddings", sf_dir), query_id=0, k=10)
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+@register(
+    "emb_ann_sign_lsh",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL} AS cosine
+    FROM b, q
+    WHERE b.bucket = q.qb AND vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+)
+def emb_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk_sign_lsh(
+        load_table(spark, "embeddings", sf_dir), query_id=0, k=5, n_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payload + Arrow-batched feature extraction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))             AS n_bytes,
+           substr(sha256(text), 1, 16)            AS payload_sha16,
+           octet_length(encode(text)) % 640       AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height
+    FROM documents
+    """,
+)
+def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_payload_features(attach_payload(docs))

@@ -1,0 +1,116 @@
+"""Unit tests for the LLM-pipeline operator library (functions/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    drop_exact_dups,
+    exact_dedup_groups,
+    near_dup_pairs,
+    simhash,
+)
+from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_payload_features,
+)
+from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+    ann_topk_sign_lsh,
+    topk_cosine,
+)
+from airflow_etl_minio_to_postgres_spark.functions.text import add_text_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    groups = {r["keep_id"]: r["n_docs"] for r in exact_dedup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in drop_exact_dups(df).collect())
+    assert kept == [1, 3]
+
+
+def test_near_dup_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " extra"
+    other = "completely different words about spark partitions and shuffle joins"
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = near_dup_pairs(df).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_near_dup_skips_short_docs(spark):
+    df = _docs(spark, [(1, "too short"), (2, "too short")])
+    assert near_dup_pairs(df).count() == 0
+
+
+def test_simhash_deterministic_and_close_for_near_dups(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally unrelated content here now"),
+        ],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert out[1] == out[2]  # identical text -> identical simhash
+    assert out[1] != out[3]
+    assert 0 <= out[1] < (1 << 60)
+
+
+def test_topk_cosine_self_similar(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical direction -> cosine 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal -> cosine 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite -> cosine -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in topk_cosine(df, 0, k=3).collect()]
+    assert got == [(1, 1.0), (2, 0.0), (3, -1.0)]
+
+
+def test_ann_lsh_prunes_to_bucket(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # same sign bucket
+        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in ann_topk_sign_lsh(df, 0, k=5, n_bits=8).collect()]
+    assert got == [1]  # vec 2 pruned by its bucket
+
+
+def test_text_stats_bundle(spark):
+    df = _docs(spark, [(1, "The quick, brown fox!")])
+    r = add_text_stats(df).collect()[0]
+    assert r["word_count"] == 4
+    assert r["token_count"] == 6  # the/quick/,/brown/fox/!
+    assert r["char_count"] == 21
+    assert 0.0 <= r["quality_score"] <= 1.0
+    assert r["lang_pred"] in {"en", "de", "fr"}
+    assert len(r["fingerprint"]) == 16
+
+
+def test_multimodal_features_deterministic(spark):
+    df = _docs(spark, [(1, "abc"), (2, "héllo")])
+    feats = {
+        r["doc_id"]: r
+        for r in extract_payload_features(attach_payload(df)).collect()
+    }
+    assert feats[1]["n_bytes"] == 3
+    assert feats[2]["n_bytes"] == 6  # é is 2 UTF-8 bytes
+    assert feats[1]["payload_sha16"] == "ba7816bf8f01cfea"  # sha256('abc')[:16]
+    assert feats[1]["width"] == 3 and feats[1]["height"] == 21
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="image codecs"):
+        decode_image(b"\x89PNG")

@@ -50,6 +50,12 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     word_count_expr,
 )
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
+from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+    hourly_agg_stream,
+    run_available_now,
+    run_stateful_user_counts,
+    stream_events,
+)
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
 from airflow_etl_minio_to_postgres_spark.sources.files import read_csv, write_csv
@@ -758,3 +764,128 @@ def emb_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return extract_payload_features(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Events: time-bucket aggregation, sessionization, per-user top-k — the
+# window/agg surface of SURVEY.md §2.4 over the driver's stream table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)   AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle -> new session): lag + running
+    sum — two window passes over one (user, time) shuffle partitioning."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    with_flags = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = with_flags.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_top_per_user",
+    """
+    SELECT user_id, event_id, value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: the same aggregations maintained incrementally by
+# micro-batches (availableNow backfill).  Results equal their batch
+# equivalents, so even the streaming operators are oracle-gated.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_streaming_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)   AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        hourly_agg_stream(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@register(
+    "events_streaming_user_counts",
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def events_streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stateful_user_counts(spark, sf_dir)

@@ -1,0 +1,133 @@
+"""Structured Streaming over the events table — windowed aggregation with
+watermarks and a custom stateful operator.
+
+The reference is strictly batch (``@daily`` schedule,
+``dags/dag_etl_minio_to_postgres.py:248``); this module is the extension
+surface SURVEY.md §7/M5 describes: the same declarative aggregations,
+incrementally maintained by micro-batches.
+
+Design notes for scale:
+
+* File-source streams + ``availableNow`` give exactly-once incremental
+  backfill over a growing directory — the pattern for continuously-landing
+  training data.  State is bounded by the watermark: late events beyond the
+  horizon are dropped instead of growing state forever.
+* ``applyInPandasWithState`` holds one small state blob per group key —
+  the distributed, fault-tolerant replacement for the reference's global
+  mutable ``id_mapping`` dict (``:28``), which only worked single-process.
+* Sinks here are the in-memory table (tests) — production swaps in
+  ``foreachBatch`` -> parquet/JDBC upsert without touching the plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from airflow_etl_minio_to_postgres_spark.sources.catalog import (
+    raw_read_schema,
+    restore_nanos_timestamps,
+)
+
+_sink_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory (schema
+    declared — a streaming scan must never infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source wants a directory; select the events object
+    # with a glob filter so the same sf_dir layout works batch and stream.
+    raw = (
+        spark.readStream.schema(raw_read_schema("events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return restore_nanos_timestamps(raw, "events")
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation: (hour, event_type) ->
+    count + sum(value).  The watermark bounds state; output schema is
+    flattened so batch and stream results are directly comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming frame to completion over all currently-available
+    input (micro-batch backfill) and return the materialized result."""
+    name = f"stream_result_{next(_sink_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+USER_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _count_events(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful per-user running count (custom streaming operator shape:
+    per-key state blob updated per micro-batch, cumulative emission)."""
+    n = state.get[0] if state.exists else 0
+    for pdf in batches:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` running event count per user — emits the
+    cumulative count each micro-batch; the latest emission per user is the
+    final count."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=USER_COUNT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream -> stateful counts -> final value per user (max of cumulative
+    emissions, robust to multi-batch splits of the input)."""
+    out = run_available_now(
+        stateful_user_counts(stream_events(spark, sf_dir)),
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

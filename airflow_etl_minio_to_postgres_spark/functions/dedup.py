@@ -137,6 +137,81 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def _minhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, shingles, minhash) via explode -> aggregate.
+
+    Why not the pure-expression form (:func:`minhash_signature_expr`)?
+    Higher-order array functions run *interpreted* (no codegen, no common-
+    subexpression elimination), and Catalyst's projection collapse inlines
+    the shingle-building expression into every seed lambda — the text gets
+    re-split O(seeds x shingle-width) times per row.  Exploding instead
+    evaluates each expression exactly once per shingle, and the per-seed
+    mins use map-side partial aggregation, so the shuffle carries one
+    (id, seed, min) row per partition — the shape that survives 100 TB.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    based = df.select(F.col(id_col).alias("_id"), words.alias("w")).where(
+        F.size("w") >= shingle_k
+    )
+    shingled = based.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.size("w") - shingle_k)).alias("i"),
+        "w",
+    ).select(
+        "_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("w"), (F.col("i") + j + 1).cast("int"))
+                for j in range(shingle_k)
+            ],
+        ).alias("shingle"),
+    )
+    shingle_sets = shingled.groupBy("_id").agg(
+        F.collect_set("shingle").alias("shingles")
+    )
+    seeded = shingled.select(
+        "_id",
+        "shingle",
+        # int seed: keeps array_sort ordering correct past 10 hashes
+        F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed"),
+    )
+    minh = (
+        seeded.select(
+            "_id",
+            "seed",
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.col("seed").cast("string"), F.col("shingle")
+                    ),
+                    256,
+                ),
+                1,
+                HASH_LEN,
+            ).alias("h"),
+        )
+        .groupBy("_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    sigs = minh.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+            lambda s: s["minh"],
+        ).alias("minhash")
+    )
+    return (
+        shingle_sets.join(sigs, on="_id")
+        .select(F.col("_id").alias(id_col), "shingles", "minhash")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -149,43 +224,46 @@ def near_dup_pairs(
     """Banded-LSH candidate generation + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with ``id_a < id_b`` and
-    ``jaccard >= threshold``.  The only shuffles are the band-key equi-join
-    and the final distinct — never an all-pairs product.
+    ``jaccard >= threshold``.  The only shuffles are the minhash
+    aggregations, the band-key equi-join and the final distinct — never an
+    all-pairs product.  Docs shorter than the shingle width are excluded
+    (they have no signature; degenerate all-null band keys would otherwise
+    collide with each other).
     """
     rows_per_band = num_hashes // num_bands
-    base = (
-        add_minhash(df, text_col, num_hashes, shingle_k)
-        # Docs shorter than the shingle width have no signature: without
-        # this filter their all-null band keys degenerate to "b|" and every
-        # short doc collides with every other (and Jaccard divides by zero).
-        .where(F.size("shingles") > 0)
-        .select(F.col(id_col), "shingles", "minhash")
-    )
+    base = _minhash_table(df, text_col, id_col, num_hashes, shingle_k)
     banded = base.select(
         F.col(id_col),
-        "shingles",
         F.explode(
             band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
         ).alias("band_key"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_key",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_key",
-    )
     pairs = (
-        left.join(right, on="band_key")
+        banded.select(F.col(id_col).alias("id_a"), "band_key")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band_key"), "band_key")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = base.select(id_col, "shingles")
+    with_sets = (
+        pairs.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+    )
     return (
-        pairs.withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        with_sets.withColumn(
+            "jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+        )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

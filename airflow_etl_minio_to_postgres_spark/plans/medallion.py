@@ -64,6 +64,7 @@ def build_gold(
     hash_key_defs: dict[str, list[str]] | None = None,
     renames: dict[str, dict[str, str]] | None = None,
     dim_keys: dict[str, str] | None = None,
+    targets: set[str] | None = None,
 ) -> MedallionResult:
     """Normalize the wide silver table into the star schema
     (reference gold task ``:365-597``).
@@ -73,6 +74,10 @@ def build_gold(
     target named ``<key>`` minus the ``_key`` suffix (``hoa_key`` -> ``hoa``),
     matching the reference's key-owning dims (``:172-177``); pass ``dim_keys``
     explicitly to override.
+
+    ``targets`` restricts which gold tables are built (None = all): a
+    dims-only build skips the surrogate-id assignment entirely — ids carry
+    an eager per-partition count job that dim consumers shouldn't pay.
     """
     natural_key_cols = natural_key_cols or NATURAL_KEY_COLS
     hash_key_defs = hash_key_defs or HASH_KEY_DEFS
@@ -91,32 +96,41 @@ def build_gold(
     splits = split_by_field_config(keyed, field_config, include_keys=True,
                                    main_table=main_table, dim_keys=dim_keys)
 
+    def wanted(t: str) -> bool:
+        return targets is None or t in targets
+
     gold: dict[str, DataFrame] = {}
 
     # Dimensions: dedup by content-hash key (reference :410-411).
     for dim in dim_keys:
-        if dim in splits:
+        if dim in splits and wanted(dim):
             gold[dim] = dedup_rows(splits[dim])
 
-    # Main table: one row per source row, keys attached (reference :447).
-    main_df = splits[main_table]
-    # Deterministic surrogate ids per distinct main key (reference SERIAL
-    # + RETURNING id, :134-136; engine policy SURVEY.md §7 hard-part 1).
-    property_ids = assign_surrogate_ids(main_df, main_key, id_col)
-    # The main table carries its id (reference `id SERIAL PRIMARY KEY`,
-    # :432) AND keeps its key columns (:166-170) — satellites' property_id
-    # foreign keys must resolve into this table.
-    gold[main_table] = resolve_key_to_id(
-        main_df, property_ids, main_key, id_col, drop_key=False
-    )
+    satellites = [
+        t for t in splits if t != main_table and t not in dim_keys and wanted(t)
+    ]
+    property_ids: DataFrame | None = None
+    if wanted(main_table) or satellites:
+        # Deterministic surrogate ids per distinct main key (reference
+        # SERIAL + RETURNING id, :134-136; SURVEY.md §7 hard-part 1).
+        main_df = splits[main_table]
+        property_ids = assign_surrogate_ids(main_df, main_key, id_col)
+
+    if wanted(main_table):
+        # The main table carries its id (reference `id SERIAL PRIMARY KEY`,
+        # :432) AND keeps its key columns (:166-170) — satellites'
+        # property_id foreign keys must resolve into this table.
+        gold[main_table] = resolve_key_to_id(
+            splits[main_table], property_ids, main_key, id_col, drop_key=False
+        )
 
     # Satellites: key -> id join (AQE-decided strategy — the id map is
     # fact-sized at scale, so no forced broadcast), id first
     # (reference :490-496).
-    for target, df in splits.items():
-        if target == main_table or target in dim_keys:
-            continue
-        resolved = resolve_key_to_id(df, property_ids, main_key, id_col)
+    for target in satellites:
+        resolved = resolve_key_to_id(
+            splits[target], property_ids, main_key, id_col
+        )
         for old, new in renames.get(target, {}).items():
             resolved = resolved.withColumnRenamed(old, new)
         gold[target] = resolved
@@ -126,14 +140,21 @@ def build_gold(
     )
 
 
-def run_medallion(raw: DataFrame, field_config_raw: DataFrame) -> MedallionResult:
+def run_medallion(
+    raw: DataFrame,
+    field_config_raw: DataFrame,
+    targets: set[str] | None = None,
+) -> MedallionResult:
     """bronze->silver->gold over in-memory/lake DataFrames.
 
     ``field_config_raw`` arrives with raw headers/values (the workbook); its
     ``column_name`` values are standardized inside
     :func:`split_by_field_config` so metadata matches data
-    (reference ``:291-292``).
+    (reference ``:291-292``).  ``targets`` restricts which gold tables are
+    built (see :func:`build_gold`); an empty set builds silver only.
     """
     silver = build_silver(raw)
     fc = standardize_columns(field_config_raw)
-    return build_gold(silver, fc)
+    if targets is not None and not targets:
+        return MedallionResult(silver=silver, field_config=fc)
+    return build_gold(silver, fc, targets=targets)

@@ -307,12 +307,14 @@ def _medallion_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_demo_medallion(spark: SparkSession, sf_dir: str):
+def _run_demo_medallion(
+    spark: SparkSession, sf_dir: str, targets: set[str] | None = None
+):
     raw = _medallion_raw(spark, sf_dir)
     fc = spark.createDataFrame(
         MEDALLION_FIELD_CONFIG, ["column_name", "target_table"]
     )
-    return run_medallion(raw, fc)
+    return run_medallion(raw, fc, targets=targets)
 
 
 # Shared oracle prefix: replay raw -> silver (T1-T3) -> keys (T9-T10) -> ids
@@ -377,7 +379,7 @@ ids AS (
     """,
 )
 def medallion_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).silver
+    return _run_demo_medallion(spark, sf_dir, targets=set()).silver
 
 
 @register(
@@ -390,7 +392,7 @@ def medallion_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def medallion_gold_property(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["property"]
+    return _run_demo_medallion(spark, sf_dir, targets={"property"}).gold["property"]
 
 
 @register(
@@ -398,7 +400,7 @@ def medallion_gold_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     _MEDALLION_CTE + "SELECT DISTINCT hoa_key, hoa, hoa_flag FROM keyed",
 )
 def medallion_gold_hoa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["hoa"]
+    return _run_demo_medallion(spark, sf_dir, targets={"hoa"}).gold["hoa"]
 
 
 @register(
@@ -406,7 +408,7 @@ def medallion_gold_hoa(spark: SparkSession, sf_dir: str) -> DataFrame:
     _MEDALLION_CTE + "SELECT DISTINCT taxes_key, taxes FROM keyed",
 )
 def medallion_gold_taxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["taxes"]
+    return _run_demo_medallion(spark, sf_dir, targets={"taxes"}).gold["taxes"]
 
 
 @register(
@@ -418,7 +420,7 @@ def medallion_gold_taxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def medallion_gold_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["leads"]
+    return _run_demo_medallion(spark, sf_dir, targets={"leads"}).gold["leads"]
 
 
 @register(
@@ -430,7 +432,7 @@ def medallion_gold_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def medallion_gold_rehab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["rehab"]
+    return _run_demo_medallion(spark, sf_dir, targets={"rehab"}).gold["rehab"]
 
 
 @register(
@@ -442,7 +444,7 @@ def medallion_gold_rehab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def medallion_gold_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_demo_medallion(spark, sf_dir).gold["valuation"]
+    return _run_demo_medallion(spark, sf_dir, targets={"valuation"}).gold["valuation"]
 
 
 # ---------------------------------------------------------------------------

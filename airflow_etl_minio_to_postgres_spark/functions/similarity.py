@@ -84,6 +84,38 @@ def add_sign_bucket(
     return df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), n_bits))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed.
+
+    Candidate pairs come from an equi-join on the sign bucket (cosine-close
+    vectors almost surely share sign patterns on leading components); only
+    candidates pay the exact cosine.  Returns (id_a, id_b, cosine) with
+    ``id_a < id_b`` and ``cosine >= threshold`` — never an all-pairs
+    product: complexity is sum of squared bucket sizes, ~corpus^2 / 2^n_bits
+    for balanced buckets.
+    """
+    b = add_sign_bucket(df, vec_col, n_bits)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        left.join(right, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_topk_sign_lsh(
     df: DataFrame,
     query_id: int,

@@ -66,6 +66,13 @@ def key_columns_for(
     return [satellite_key]
 
 
+def reorder_first(wide: DataFrame, col: str) -> DataFrame:
+    """Move ``col`` to the front (reference ``re_order_df`` ``:232-240``
+    puts the resolved id first).  Pure projection — metadata-only."""
+    rest = [c for c in wide.columns if c != col]
+    return wide.select(col, *rest)
+
+
 def split_by_field_config(
     wide: DataFrame,
     field_config: DataFrame,

@@ -158,3 +158,25 @@ def run_medallion(
     if targets is not None and not targets:
         return MedallionResult(silver=silver, field_config=fc)
     return build_gold(silver, fc, targets=targets)
+
+
+def write_medallion(
+    result: MedallionResult,
+    base_path: str,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Materialize silver + every built gold table as parquet under
+    ``base_path/{silver,gold/<table>}``.
+
+    ``mode='overwrite'`` makes reruns idempotent — the engine's fix for the
+    reference's append-only inserts + CREATE TABLE without IF NOT EXISTS
+    (``:414,423,431``; SURVEY.md §7 hard-part 4).  Swap in
+    ``sources.jdbc.write_table`` per table to serve from Postgres instead.
+    """
+    from airflow_etl_minio_to_postgres_spark.sources.files import write_parquet
+
+    paths: dict[str, str] = {}
+    paths["silver"] = write_parquet(result.silver, f"{base_path}/silver", mode)
+    for name, df in result.gold.items():
+        paths[name] = write_parquet(df, f"{base_path}/gold/{name}", mode)
+    return paths

@@ -38,6 +38,7 @@ from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
+    embedding_near_dup_pairs,
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
@@ -744,6 +745,71 @@ _BUCKET_SQL = "concat(" + ", ".join(
 def emb_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_sign_lsh(
         load_table(spark, "embeddings", sf_dir), query_id=0, k=5, n_bits=8
+    )
+
+
+# Embedding-cosine near-dup: plant perturbed copies (first component +0.05,
+# vec_id + 1000000) so bucketed near-duplicate pairs exist by construction.
+_EMB_PERTURBED_SQL = """
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_concat([embedding[1]::DOUBLE + 0.05],
+                       list_transform(embedding[2:], x -> x::DOUBLE))
+    FROM embeddings
+)
+"""
+
+_BUCKET_D_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+_COS_AB_SQL = (
+    "list_sum(list_transform(range(0, len(v_a)), i -> v_a[i+1] * v_b[i+1]))"
+    " / (sqrt(list_sum(list_transform(v_a, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(v_b, x -> x * x))))"
+)
+
+
+@register(
+    "emb_near_dup_pairs",
+    "WITH "
+    + _EMB_PERTURBED_SQL
+    + f""",
+    b AS (SELECT vec_id, embedding, {_BUCKET_D_SQL} AS bucket FROM corpus),
+    cand AS (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               a.embedding AS v_a, b2.embedding AS v_b
+        FROM b a JOIN b b2 USING (bucket)
+        WHERE a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, {_COS_AB_SQL} AS cosine
+    FROM cand
+    WHERE {_COS_AB_SQL} >= 0.95
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    as_double = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    perturbed = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.05))),
+            F.transform(
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        as_double.unionByName(perturbed), threshold=0.95, n_bits=8
     )
 
 

@@ -141,3 +141,22 @@ def test_split_by_field_config_derived_dim_keys(spark, result):
     ]
     assert splits["taxes"].columns == ["taxes_key", "taxes"]
     assert splits["leads"].columns == ["property_key", "source"]
+
+
+def test_write_medallion_idempotent(spark, tmp_path_factory, result):
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import write_medallion
+
+    base = str(tmp_path_factory.mktemp("medallion"))
+    paths = write_medallion(result, base)
+    assert set(paths) == {"silver", "property", "hoa", "taxes", "leads", "valuation"}
+    first = spark.read.parquet(paths["property"]).count()
+    # Rerun must overwrite, not append (reference is NOT rerun-safe).
+    write_medallion(result, base)
+    assert spark.read.parquet(paths["property"]).count() == first == 4
+
+
+def test_reorder_first(spark):
+    from airflow_etl_minio_to_postgres_spark.operators.normalize import reorder_first
+
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "id"])
+    assert reorder_first(df, "id").columns == ["id", "a", "b"]

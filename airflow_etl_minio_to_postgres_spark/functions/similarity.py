@@ -84,6 +84,74 @@ def add_sign_bucket(
     return df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), n_bits))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its nearest centroid
+    (max cosine, centroid id as the deterministic tie-break).
+
+    Shape at scale: corpus x n_cells narrow map against BROADCAST centroids
+    + a per-vector top-1 window — no corpus shuffle beyond the window's own
+    (vector-id-partitioned, perfectly balanced).  Returns (id, cid).
+    """
+    from pyspark.sql import Window
+
+    sims = df.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(centroid_id, centroid_vec))
+    ).select(
+        id_col,
+        centroid_id,
+        cosine_expr(F.col(vec_col), F.col(centroid_vec)).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells around centroids,
+    search only the query's cell (nprobe=1).
+
+    Centroid "training" is a deterministic stub — the first ``n_cells``
+    corpus vectors by id (production: k-means/k-means||; the serving-path
+    plumbing is identical).  At scale the corpus is written partitioned by
+    cell, making this a partition-pruned scan + tiny top-k.
+    """
+    centroids = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    corpus = df.join(assigned, on=id_col)
+    q = corpus.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_query_vec"), F.col("cid").alias("_qcid")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .where((F.col("cid") == F.col("_qcid")) & (F.col(id_col) != query_id))
+        .select(
+            id_col,
+            cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,46 @@
+"""Join strategy helpers for scale: explicit skew salting.
+
+AQE's skew-join splitting (on by default, ``session.py``) handles most skew
+at runtime; :func:`salted_join` is the explicit tool for pathological hot
+keys (a handful of keys holding a large fraction of a 100 TB fact): the big
+side spreads each hot key across ``salt_buckets`` sub-keys, the small side
+replicates per bucket, so no single task owns a whole hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    The salt is derived from a hash of the big side's full row — any
+    assignment works for correctness (the join result is salt-invariant);
+    a content hash keeps runs deterministic without an RNG.  Cost: the
+    small side's shuffle volume multiplies by ``salt_buckets`` — use only
+    when the small side is genuinely small and the keys genuinely hot.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        raise ValueError(f"column {SALT_COL!r} already present")
+    salted_big = big.withColumn(
+        SALT_COL,
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+    )
+    replicated_small = small.withColumn(
+        SALT_COL,
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_big.join(
+        replicated_small, on=keys + [SALT_COL], how=how
+    ).drop(SALT_COL)

@@ -39,6 +39,7 @@ from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
 from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
     embedding_near_dup_pairs,
+    ivf_topk,
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
@@ -132,6 +133,122 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join / set-op surface (§2.4 engine plan): multi-table star join with
+# broadcast dims, anti-join, semi-join, union.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_unshipped_value",
+    """
+    SELECT o.o_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+    The filtered customer side is small, so AQE broadcasts it; lineitem
+    joins orders on the shuffle-partitioned order key."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    seg = c.agg(F.min("c_mktsegment")).collect()[0][0]
+    return (
+        c.where(F.col("c_mktsegment") == seg)
+        .select("c_custkey")
+        .join(o.where(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
+        .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "parts_never_bulk_ordered",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+    )
+    """,
+)
+def parts_never_bulk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: parts never ordered in bulk (>45 qty).  The quantity
+    filter pushes into the fact scan before the anti-join shuffle."""
+    p = load_table(spark, "part", sf_dir)
+    bulk = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_quantity") > 45)
+        .select("l_partkey")
+    )
+    return p.join(
+        bulk, p.p_partkey == bulk.l_partkey, how="left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "nation_region_rollup",
+    """
+    SELECT r.r_name AS region, count(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-dim join + rollup."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "all_account_balances",
+    """
+    SELECT 'customer' AS kind, c_custkey AS entity_key, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', s_suppkey, s_acctbal FROM supplier
+    """,
+)
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: union of customer/supplier balances under one schema."""
+    c = load_table(spark, "customer", sf_dir).select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +862,56 @@ _BUCKET_SQL = "concat(" + ", ".join(
 def emb_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_sign_lsh(
         load_table(spark, "embeddings", sf_dir), query_id=0, k=5, n_bits=8
+    )
+
+
+_COS_VQ_SQL = (
+    "list_sum(list_transform(range(0, len(v)), i -> v[i+1] * qv[i+1]))"
+    " / (sqrt(list_sum(list_transform(v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(qv, x -> x * x))))"
+)
+
+_COS_VC_SQL = (
+    "list_sum(list_transform(range(0, len(v)), i -> v[i+1] * cvec[i+1]))"
+    " / (sqrt(list_sum(list_transform(v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
+)
+
+
+@register(
+    "emb_ivf_topk",
+    f"""
+    WITH corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qc AS (
+        SELECT a.cid AS qcid, c.v AS qv
+        FROM assigned a JOIN corp c USING (vec_id)
+        WHERE a.vec_id = 0
+    )
+    SELECT corp.vec_id, {_COS_VQ_SQL} AS cosine
+    FROM corp JOIN assigned USING (vec_id), qc
+    WHERE assigned.cid = qc.qcid AND corp.vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        load_table(spark, "embeddings", sf_dir), query_id=0, k=5, n_cells=8
     )
 
 

@@ -123,6 +123,31 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def incremental_silver(
+    raw_stream: DataFrame, out_path: str, checkpoint_path: str
+):
+    """Incremental medallion silver: each micro-batch of raw rows runs the
+    batch cleaning kernel (standardize + trim/lower + nullif + typed fill)
+    and appends to the silver parquet — the streaming counterpart of the
+    reference's daily re-run (``dags/dag_etl_minio_to_postgres.py:248``).
+
+    ``foreachBatch`` reuses the exact batch plan, so stream and batch silver
+    are byte-identical for the same input; the checkpoint makes restarts
+    exactly-once at the batch level.  Returns the started StreamingQuery.
+    """
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import build_silver
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        build_silver(batch_df).write.mode("append").parquet(out_path)
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream -> stateful counts -> final value per user (max of cumulative
     emissions, robust to multi-batch splits of the input)."""

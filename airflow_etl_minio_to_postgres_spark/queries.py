@@ -1095,6 +1095,29 @@ def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON props
+    string and aggregate — `get_json_object` stays JVM-side (codegen), the
+    pattern for sparse metadata columns at scale."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias(
+            "sum_k"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming: the same aggregations maintained incrementally by
 # micro-batches (availableNow backfill).  Results equal their batch

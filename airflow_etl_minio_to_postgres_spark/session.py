@@ -17,6 +17,7 @@ that with one SparkSession whose defaults are chosen for cluster scale:
 from __future__ import annotations
 
 import os
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -64,6 +65,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Catalog tables (bucketed writes) land outside the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

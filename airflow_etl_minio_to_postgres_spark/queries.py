@@ -135,6 +135,52 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q1_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP computes all prefixes in ONE shuffle pass
+    (partial aggregation per grouping set), not one job per level."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.9)  AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  At 100 TB the exact form
+    needs a per-group sort; the scale path swaps in approx_percentile
+    (t-digest sketch, map-side mergeable) — exact here so the oracle can
+    reproduce the value bit-for-bit."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("l_quantity"), F.lit(0.99)).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join / set-op surface (§2.4 engine plan): multi-table star join with
 # broadcast dims, anti-join, semi-join, union.
@@ -733,7 +779,7 @@ def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return original.unionByName(perturbed)
 
 
-_NEAR_DUP_SQL = (
+_NEAR_DUP_CTES = (
     "WITH "
     + _NEAR_DUP_BASE_SQL
     + f""",
@@ -765,22 +811,43 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b USING (band_key)
     WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
 )
-SELECT id_a, id_b,
-       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-           / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE AS jaccard
-FROM cand
-JOIN sh sa ON sa.doc_id = cand.id_a
-JOIN sh sb ON sb.doc_id = cand.id_b
-WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5
 """
+)
+
+_NEAR_DUP_SQL = (
+    _NEAR_DUP_CTES + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"
 )
 
 
 @register("docs_near_dup_pairs", _NEAR_DUP_SQL)
 def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_near_dup_input(spark, sf_dir))
+
+
+@register(
+    "docs_near_dup_dedup",
+    _NEAR_DUP_CTES
+    + """
+    SELECT doc_id FROM base
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.5)
+    """,
+)
+def docs_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: drop the higher-id member of every
+    qualifying pair (greedy survivor policy) via anti-join on the LSH+
+    Jaccard pair list."""
+    corpus = _near_dup_input(spark, sf_dir)
+    dups = near_dup_pairs(corpus).select(F.col("id_b").alias("doc_id"))
+    return corpus.select("doc_id").join(dups, on="doc_id", how="left_anti")
 
 
 @register(

@@ -21,6 +21,7 @@ sha256, which is what makes the DuckDB oracle possible.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -231,7 +232,13 @@ def near_dup_pairs(
     collide with each other).
     """
     rows_per_band = num_hashes // num_bands
-    base = _minhash_table(df, text_col, id_col, num_hashes, shingle_k)
+    # The signature table feeds four plan branches (both band-join sides +
+    # both shingle-set joins); persist it so the corpus is shingled and
+    # hashed ONCE, not once per branch — at scale this is the difference
+    # between one corpus pass and four.
+    base = _minhash_table(df, text_col, id_col, num_hashes, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = base.select(
         F.col(id_col),
         F.explode(

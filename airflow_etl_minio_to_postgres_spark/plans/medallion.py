@@ -144,6 +144,7 @@ def run_medallion(
     raw: DataFrame,
     field_config_raw: DataFrame,
     targets: set[str] | None = None,
+    **gold_kwargs,
 ) -> MedallionResult:
     """bronze->silver->gold over in-memory/lake DataFrames.
 
@@ -157,7 +158,7 @@ def run_medallion(
     fc = standardize_columns(field_config_raw)
     if targets is not None and not targets:
         return MedallionResult(silver=silver, field_config=fc)
-    return build_gold(silver, fc, targets=targets)
+    return build_gold(silver, fc, targets=targets, **gold_kwargs)
 
 
 def write_medallion(

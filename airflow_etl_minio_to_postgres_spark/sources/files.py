@@ -60,6 +60,60 @@ def read_csv(
     return reader.csv(path)
 
 
+def _read_xlsx_minimal(path: str) -> tuple[list[str], list[list]]:
+    """Dependency-free xlsx parse (header row + data rows).
+
+    An .xlsx is a zip of XML parts; this reads ``xl/sharedStrings.xml`` and
+    the first worksheet, resolving shared-string cells and plain numbers —
+    sufficient for metadata-sized workbooks like the 66-row field config.
+    Driver-side by design: Excel is binary and non-splittable (SURVEY.md §7
+    hard-part 6), so it must never sit on a data path.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheet_names = sorted(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheet_names:
+            raise ValueError(f"no worksheet found in {path!r}")
+        root = ET.fromstring(z.read(sheet_names[0]))
+        rows: list[list] = []
+        for row in root.iter(
+            "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"
+        ):
+            values: list = []
+            for cell in row.findall("m:c", ns):
+                v = cell.find("m:v", ns)
+                if v is None or v.text is None:
+                    values.append(None)
+                elif cell.get("t") == "s":
+                    values.append(shared[int(v.text)])
+                elif cell.get("t") == "str":
+                    values.append(v.text)
+                else:
+                    num = float(v.text)
+                    values.append(int(num) if num.is_integer() else num)
+            rows.append(values)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path!r}")
+    header = [str(h) for h in rows[0]]
+    width = len(header)
+    data = [r + [None] * (width - len(r)) for r in rows[1:]]
+    return header, data
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -67,20 +121,26 @@ def read_excel(
     schema: T.StructType | None = None,
 ) -> DataFrame:
     """Driver-side Excel parse -> DataFrame (S2).  Metadata-sized files only
-    (the field-config workbook is 66 rows); raises a clear error when the
-    optional openpyxl/xlrd engine is unavailable in the environment."""
+    (the field-config workbook is 66 rows).  Uses pandas+openpyxl when
+    available, else a dependency-free minimal xlsx parser."""
     try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+        has_engine = True
+    except ImportError:
+        has_engine = False
+
+    if has_engine:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as exc:  # openpyxl/xlrd missing
-        raise ImportError(
-            "Excel ingest needs the optional 'openpyxl' (xlsx) or 'xlrd' "
-            "(xls) package; install one or convert the workbook to CSV."
-        ) from exc
+        if schema is not None:
+            return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+
+    header, data = _read_xlsx_minimal(path)
     if schema is not None:
-        return spark.createDataFrame(pdf, schema=schema)
-    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+        return spark.createDataFrame(data, schema=schema)
+    return spark.createDataFrame([dict(zip(header, row)) for row in data])
 
 
 def read_file(

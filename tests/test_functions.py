@@ -45,6 +45,17 @@ def test_near_dup_finds_planted_pair(spark):
     assert pairs[0]["jaccard"] > 0.8
 
 
+def test_add_minhash_expression_form(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import add_minhash
+
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")])
+    rows = {r["doc_id"]: r for r in add_minhash(df, num_hashes=4).collect()}
+    assert len(rows[1]["shingles"]) == 3  # 5 words -> 3 shingles
+    assert rows[1]["minhash"] == rows[2]["minhash"]  # same text, same sig
+    assert rows[1]["minhash"] != rows[3]["minhash"]
+    assert all(len(h) == 16 for h in rows[1]["minhash"])
+
+
 def test_near_dup_skips_short_docs(spark):
     df = _docs(spark, [(1, "too short"), (2, "too short")])
     assert near_dup_pairs(df).count() == 0

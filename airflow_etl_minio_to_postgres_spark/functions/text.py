@@ -104,6 +104,31 @@ def fingerprint_expr(text: Column, hash_len: int = 16) -> Column:
     return F.substring(F.sha2(normalized, 256), 1, hash_len)
 
 
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    hash_len: int = 16,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep at most ``cap`` rows per
+    group, chosen by sha256-of-id order (a seedless, partition-independent
+    shuffle).  The training-data mixing primitive — cap an over-represented
+    source without RNG state, reproducible on any engine/cluster layout.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.substring(
+        F.sha2(F.col(id_col).cast("string"), 256), 1, hash_len
+    )
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle to a documents frame."""
     t = F.col(text_col)

@@ -42,12 +42,16 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ivf_topk,
     topk_cosine,
 )
+from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
+    per_group_counts_pandas,
+)
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     punct_ratio_expr,
     quality_score_expr,
     stopword_ratio_expr,
+    stratified_cap,
     token_count_expr,
     word_count_expr,
 )
@@ -1229,6 +1233,40 @@ def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("user_id", "event_id", "value")
     )
+
+
+@register(
+    "docs_stratified_cap",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16),
+                            doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= 10
+    """,
+)
+def docs_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: cap each source at 10 docs, chosen by
+    sha256-of-id order (seedless, partition-independent)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return stratified_cap(d, "source", "doc_id", cap=10)
+
+
+@register(
+    "events_user_type_counts_pandas",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def events_user_type_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group custom op; result equals plain GROUP BY, so
+    the Arrow group-map plumbing itself is oracle-gated."""
+    e = load_table(spark, "events", sf_dir)
+    return per_group_counts_pandas(e, "user_id", "event_type")
 
 
 @register(

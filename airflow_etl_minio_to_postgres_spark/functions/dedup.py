@@ -281,6 +281,7 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 60  # 15 hex chars -> fits a signed 64-bit integer
+SIMHASH_BANDS = 4  # 15-bit chunks for the banded pair join
 
 
 def simhash(
@@ -324,4 +325,66 @@ def simhash(
         )
         .groupBy(id_col)
         .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded candidate generation + exact
+    Hamming verification.
+
+    Pigeonhole banding: two 60-bit signatures within Hamming distance
+    ``max_hamming`` < 2 * SIMHASH_BANDS share at least one identical 15-bit
+    chunk when the distance is under the band count — candidates come from
+    an equi-join on (band, chunk), never an all-pairs scan.  Returns
+    (id_a, id_b, hamming) with ``id_a < id_b``.
+    """
+    chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.expr(
+                            f"CAST(shiftright(simhash, {b * chunk_bits})"
+                            f" & {mask} AS STRING)"
+                        ),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    pairs = (
+        banded.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_key"
+        )
+        .join(
+            banded.select(
+                F.col(id_col).alias("id_b"),
+                F.col("simhash").alias("sig_b"),
+                "band_key",
+            ),
+            "band_key",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

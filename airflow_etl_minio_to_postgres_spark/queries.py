@@ -31,6 +31,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     exact_dedup_groups,
     near_dup_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
     attach_payload,
@@ -951,6 +952,56 @@ def docs_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "docs_simhash_pairs",
+    "WITH "
+    + _NEAR_DUP_BASE_SQL
+    + f""",
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM base
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS tok_hash
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               CAST(sum(CASE WHEN (tok_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS s
+        FROM th, (SELECT unnest(range(0, 60)) AS bit) bits
+        GROUP BY doc_id, bit
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash,
+               unnest([{", ".join(f"concat_ws('|', '{b}', CAST((simhash >> {b * 15}) & 32767 AS VARCHAR))" for b in range(4))}])
+                   AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.simhash AS sig_a, b.simhash AS sig_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    """,
+)
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the planted corpus: banded 15-bit-chunk
+    candidates + exact Hamming verification."""
+    return simhash_near_dup_pairs(_near_dup_input(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -125,3 +125,21 @@ def test_multimodal_features_deterministic(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="image codecs"):
         decode_image(b"\x89PNG")
+
+
+def test_simhash_near_dup_pairs_planted(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),  # identical -> hamming 0, band collision guaranteed
+            (3, "utterly different text with other tokens entirely present"),
+        ],
+    )
+    pairs = simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]

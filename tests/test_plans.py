@@ -59,3 +59,17 @@ def test_dim_resolution_broadcasts(spark):
     # Dimension-sized id map: the hint must survive to a broadcast join.
     df = registry.queries()["key_to_id_resolution"](spark, SF_SMOKE)
     assert "BroadcastHashJoin" in _physical_plan(df)
+
+
+def test_q5_broadcasts_dim_chain(spark):
+    df = registry.queries()["q5_supplier_nation_revenue"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3  # supplier, nation, region
+    # The fact side must not shuffle before the final aggregation's exchange.
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_stratified_cap_single_shuffle(spark):
+    df = registry.queries()["docs_stratified_cap"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1  # window partitioning only

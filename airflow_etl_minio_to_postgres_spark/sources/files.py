@@ -194,6 +194,65 @@ def write_parquet(
     return path
 
 
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> str:
+    """Keyed upsert into a parquet location without a lakehouse format:
+    read-modify-overwrite where incoming rows win on key collision.
+
+    Correct and simple at dimension scale (the medallion serving tables);
+    at fact scale use partition-scoped overwrite (``partition_by`` on write
+    + ``replaceWhere``-style pruning) or a table format with MERGE —
+    rewriting 100 TB per upsert is not a plan.
+    """
+    spark = df.sparkSession
+    if os.path.exists(path):
+        existing = spark.read.schema(df.schema).parquet(path)
+        survivors = existing.join(
+            df.select(*key_cols).dropDuplicates(key_cols),
+            on=key_cols,
+            how="left_anti",
+        )
+        merged = survivors.unionByName(df)
+    else:  # first write: nothing to merge
+        merged = df
+    return _rewrite_in_place(merged, path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    schema: T.StructType | None = None,
+) -> str:
+    """Small-file compaction: rewrite a parquet location into
+    ``target_files`` files.  Streaming/incremental appends fragment
+    locations into many tiny files; scans then pay per-file open + footer
+    costs.  Run this as housekeeping on landing zones."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path).coalesce(target_files)
+    return _rewrite_in_place(df, path)
+
+
+def _rewrite_in_place(df: DataFrame, path: str) -> str:
+    """Overwriting a location the plan also READS would delete its own
+    input; stage to a sibling tmp location, then swap — fully distributed
+    (no driver-side collect), one extra rename on local FS / object copy on
+    stores without rename."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__rewrite_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    return path
+
+
 def bronze_path(base: str, file_name: str, folder: str = "bronze-files") -> str:
     """Normalized bronze object path (S4/S5: reference lowers + de-spaces the
     object key at ``:60``)."""

@@ -251,3 +251,39 @@ def test_execute_ddl_single_txn():
     execute_ddl(FakeConn, [create_schema_sql("gold"), "CREATE TABLE t (x INT)"])
     assert executed == ['CREATE SCHEMA IF NOT EXISTS "gold"', "CREATE TABLE t (x INT)"]
     assert committed == [True] and closed == [True]
+
+
+def test_upsert_parquet(spark, tmp_path):
+    from airflow_etl_minio_to_postgres_spark.sources.files import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_parquet(base, path, ["k"])
+    update = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    upsert_parquet(update, path, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}  # incoming wins, others kept
+
+
+def test_compact_parquet(spark, tmp_path):
+    from airflow_etl_minio_to_postgres_spark.sources.files import compact_parquet
+
+    path = str(tmp_path / "frag")
+    for i in range(5):  # five appends -> many small files
+        spark.createDataFrame([(i,)], ["x"]).write.mode("append").parquet(path)
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) >= 5
+    compact_parquet(spark, path, target_files=1)
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert sorted(r["x"] for r in spark.read.parquet(path).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["v", "kind"]
+    )
+    path = write_parquet(df, str(tmp_path / "p"), partition_by=["kind"])
+    scan = spark.read.parquet(path).where("kind = 'a'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(kind" in plan
+    assert scan.count() == 2

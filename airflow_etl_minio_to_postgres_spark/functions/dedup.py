@@ -231,11 +231,18 @@ def near_dup_pairs(
     (they have no signature; degenerate all-null band keys would otherwise
     collide with each other).
     """
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into num_bands "
+            f"({num_bands}); trailing hashes would be silently ignored"
+        )
     rows_per_band = num_hashes // num_bands
     # The signature table feeds four plan branches (both band-join sides +
     # both shingle-set joins); persist it so the corpus is shingled and
     # hashed ONCE, not once per branch — at scale this is the difference
-    # between one corpus pass and four.
+    # between one corpus pass and four.  (Lifetime note: the cache lives
+    # until Spark's ContextCleaner collects the unreferenced plan; callers
+    # looping over many corpora should checkpoint/unpersist explicitly.)
     base = _minhash_table(df, text_col, id_col, num_hashes, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -332,16 +339,19 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: banded candidate generation + exact
     Hamming verification.
 
-    Pigeonhole banding: two 60-bit signatures within Hamming distance
-    ``max_hamming`` < 2 * SIMHASH_BANDS share at least one identical 15-bit
-    chunk when the distance is under the band count — candidates come from
-    an equi-join on (band, chunk), never an all-pairs scan.  Returns
-    (id_a, id_b, hamming) with ``id_a < id_b``.
+    Pigeonhole banding: with SIMHASH_BANDS chunks, two signatures within
+    Hamming distance < SIMHASH_BANDS are GUARANTEED to share an identical
+    chunk (distance errors can't touch every chunk); candidates come from
+    an equi-join on (band, chunk), never an all-pairs scan.  For
+    ``max_hamming >= SIMHASH_BANDS`` recall is best-effort: a pair whose
+    differing bits hit every chunk generates no candidate.  Returns
+    (id_a, id_b, hamming) with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.
     """
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1

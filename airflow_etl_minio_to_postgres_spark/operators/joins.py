@@ -33,6 +33,13 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     if SALT_COL in big.columns or SALT_COL in small.columns:
         raise ValueError(f"column {SALT_COL!r} already present")
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"}:
+        # right/full joins would emit one row PER REPLICA for unmatched
+        # small-side keys — semantically wrong under replication.
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got {how!r}"
+        )
     salted_big = big.withColumn(
         SALT_COL,
         F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),

@@ -29,7 +29,6 @@ land, so the output is deterministic and equals the single-window
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,10 +89,14 @@ def assign_surrogate_ids(
     per-partition count job, so the result is the global rank no matter
     where the sampled range boundaries fall.
 
-    The distinct-key frame is persisted (MEMORY_AND_DISK) because range
-    boundary sampling is not deterministic across jobs — the count job and
-    the final plan must observe the same partitioning, exactly the contract
-    RDD ``zipWithIndex`` relies on internally.
+    The distinct-key frame is locally checkpointed (lineage truncated)
+    because range boundary sampling is not deterministic across jobs — the
+    count job and the final plan MUST observe the same partitioning.  A
+    plain persist would silently recompute with fresh boundaries if cached
+    partitions were evicted/lost, pairing stale offsets with a different
+    partitioning (duplicate/skipped ids); checkpointing makes partition
+    loss fail the job instead of corrupting ids — fail-fast over silently
+    wrong.
 
     Deliberately NOT ``monotonically_increasing_id`` (non-dense,
     partition-dependent).  The reference's equivalent is Postgres ``SERIAL``
@@ -105,7 +108,7 @@ def assign_surrogate_ids(
         .distinct()
         .repartitionByRange(F.col(key_col))
         .sortWithinPartitions(key_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     part_rows = (
         keys.groupBy(F.spark_partition_id().alias("_pid")).count().collect()

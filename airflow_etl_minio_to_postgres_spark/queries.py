@@ -995,7 +995,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """,
 )
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

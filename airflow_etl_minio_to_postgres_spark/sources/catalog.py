@@ -20,8 +20,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
 # reader cannot map to TimestampType (micros).  They are read as raw
-# nanosecond longs (legacy nanosAsLong) and floor-divided to micros —
-# integer division, so no double-precision loss on epoch-nanos magnitudes.
+# nanosecond longs (legacy nanosAsLong) and integer-divided to micros
+# (`div` truncates toward zero — exact for post-epoch data; pre-1970
+# nanos would round up 1us vs a floor) with no double-precision loss.
+#
+# Conf note: nanosAsLong is session-global and stays set once a nanos
+# table is loaded; within this engine every nanos column is declared here
+# and always read long-then-converted, so the setting is idempotent.
 NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 

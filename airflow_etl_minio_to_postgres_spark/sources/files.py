@@ -42,6 +42,25 @@ def _extension(path: str) -> str:
     return os.path.splitext(path)[1].lower()
 
 
+def _local_path(path: str) -> str:
+    """Resolve a path to a plain local filesystem path, or raise.
+
+    The in-place rewrite helpers swap directories with ``os.replace`` —
+    local-FS only; object stores have no rename, so there the pattern is
+    stage-to-new-prefix + flip the reader path.
+    """
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    if "://" in path:
+        raise ValueError(
+            "in-place rewrite is local-FS only (swap uses os.replace); on "
+            "object stores stage to a new prefix and flip the reader path"
+        )
+    return path
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -89,28 +108,45 @@ def _read_xlsx_minimal(path: str) -> tuple[list[str], list[list]]:
         if not sheet_names:
             raise ValueError(f"no worksheet found in {path!r}")
         root = ET.fromstring(z.read(sheet_names[0]))
+
+        def col_index(ref: str | None, fallback: int) -> int:
+            # "B7" -> 1; blank cells are OMITTED from the XML, so the r=
+            # reference (not list position) decides the column.
+            if not ref:
+                return fallback
+            letters = "".join(ch for ch in ref if ch.isalpha())
+            idx = 0
+            for ch in letters:
+                idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+            return idx - 1 if idx else fallback
+
         rows: list[list] = []
         for row in root.iter(
             "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"
         ):
             values: list = []
-            for cell in row.findall("m:c", ns):
+            for pos, cell in enumerate(row.findall("m:c", ns)):
+                i = col_index(cell.get("r"), pos)
+                while len(values) <= i:
+                    values.append(None)
                 v = cell.find("m:v", ns)
                 if v is None or v.text is None:
-                    values.append(None)
+                    values[i] = None
                 elif cell.get("t") == "s":
-                    values.append(shared[int(v.text)])
+                    values[i] = shared[int(v.text)]
                 elif cell.get("t") == "str":
-                    values.append(v.text)
+                    values[i] = v.text
                 else:
                     num = float(v.text)
-                    values.append(int(num) if num.is_integer() else num)
+                    values[i] = int(num) if num.is_integer() else num
             rows.append(values)
     if not rows:
         raise ValueError(f"empty worksheet in {path!r}")
     header = [str(h) for h in rows[0]]
     width = len(header)
-    data = [r + [None] * (width - len(r)) for r in rows[1:]]
+    data = [
+        (r + [None] * (width - len(r)))[:width] for r in rows[1:]
+    ]
     return header, data
 
 
@@ -140,7 +176,12 @@ def read_excel(
     header, data = _read_xlsx_minimal(path)
     if schema is not None:
         return spark.createDataFrame(data, schema=schema)
-    return spark.createDataFrame([dict(zip(header, row)) for row in data])
+    if not data:
+        # Header-only workbook: typed empty frame, workbook column order.
+        empty = T.StructType([T.StructField(h, T.StringType()) for h in header])
+        return spark.createDataFrame([], schema=empty)
+    # Pass names (not dicts) so workbook column order survives inference.
+    return spark.createDataFrame(data, schema=header)
 
 
 def read_file(
@@ -208,6 +249,7 @@ def upsert_parquet(
     rewriting 100 TB per upsert is not a plan.
     """
     spark = df.sparkSession
+    path = _local_path(path)
     if os.path.exists(path):
         existing = spark.read.schema(df.schema).parquet(path)
         survivors = existing.join(
@@ -245,6 +287,7 @@ def _rewrite_in_place(df: DataFrame, path: str) -> str:
     stores without rename."""
     import shutil
 
+    path = _local_path(path)
     tmp = path.rstrip("/") + "__rewrite_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)

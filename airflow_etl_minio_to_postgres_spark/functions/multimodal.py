@@ -74,6 +74,51 @@ def decode_image(payload: bytes):
     )
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    """Real image resize — NOT IMPLEMENTED in this environment (no
+    PIL/cv2).  Production body: decode -> ``Image.resize((width, height))``
+    -> re-encode, inside the same Arrow batch loop."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; the Spark-side "
+        "plumbing (batch shape, schema) is covered by extract_payload_features"
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frame_offsets(df: DataFrame, num_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing for video-like payloads: emit ``num_frames``
+    evenly-strided (index, byte offset) rows per payload via the same
+    Arrow-batched crossing a real decoder would use.  The offsets are
+    deterministic functions of payload length (a real implementation reads
+    the container index instead); one input row fans out to N output rows —
+    the mapInPandas-as-flatMap shape.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            out = {"doc_id": [], "frame_index": [], "frame_offset_bytes": []}
+            for doc_id, nb in zip(pdf["doc_id"], n_bytes):
+                stride = max(1, int(nb) // num_frames)
+                for i in range(num_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_offset_bytes"].append(min(i * stride, int(nb)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _frames, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
 def _feature_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

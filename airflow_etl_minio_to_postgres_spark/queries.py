@@ -36,6 +36,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
     attach_payload,
     extract_payload_features,
+    sample_frame_offsets,
 )
 from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
@@ -1190,6 +1191,23 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return extract_payload_features(attach_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           f.i AS frame_index,
+           least(f.i * greatest(octet_length(encode(text)) // 4, 1),
+                 octet_length(encode(text))) AS frame_offset_bytes
+    FROM documents, (SELECT unnest(range(0, 4)) AS i) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: one payload row
+    fans out to 4 (frame_index, byte offset) rows via mapInPandas."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frame_offsets(attach_payload(docs), num_frames=4)
 
 
 # ---------------------------------------------------------------------------

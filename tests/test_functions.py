@@ -143,3 +143,24 @@ def test_simhash_near_dup_pairs_planted(spark):
     )
     pairs = simhash_near_dup_pairs(df, max_hamming=3).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_resize_image_is_explicit_stub():
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError, match="image codecs"):
+        resize_image(b"\x89PNG", 224, 224)
+
+
+def test_sample_frame_offsets_fanout(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        attach_payload,
+        sample_frame_offsets,
+    )
+
+    df = _docs(spark, [(1, "x" * 100)])
+    rows = sorted(
+        (r["frame_index"], r["frame_offset_bytes"])
+        for r in sample_frame_offsets(attach_payload(df), num_frames=4).collect()
+    )
+    assert rows == [(0, 0), (1, 25), (2, 50), (3, 75)]

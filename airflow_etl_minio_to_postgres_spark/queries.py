@@ -1338,6 +1338,38 @@ def events_user_type_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFram
     return per_group_counts_pandas(e, "user_id", "event_type")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_type_counts",
+    """
+    SELECT user_id,
+           """
+    + ",\n           ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long events to one wide row per user.  The explicit value
+    list keeps it a single-pass aggregation (no distinct-values pre-scan)."""
+    e = load_table(spark, "events", sf_dir)
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return renamed
+
+
 @register(
     "events_json_props",
     """

@@ -1249,8 +1249,8 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT *,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM g
     )
     SELECT user_id, session_id,
@@ -1374,7 +1374,7 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     """
     SELECT event_type,
-           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type

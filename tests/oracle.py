@@ -56,6 +56,27 @@ def compare(spark_df, oracle_df: pd.DataFrame, rtol: float = 1e-9) -> list[str]:
         )
     if issues:
         return issues
+    # The driver hashes raw values, so an integer column on one side vs a
+    # float/object column on the other (DuckDB HUGEINT sums arrive as
+    # float64/object via .df()) hash-mismatches even when values agree.
+    # Catch that dtype drift here, before the lossy int64 normalization.
+    for c in sp.columns:
+        ai = pd.api.types.is_integer_dtype(sp[c])
+        bi = pd.api.types.is_integer_dtype(oracle_df[c])
+        if ai != bi and not (
+            pd.api.types.is_datetime64_any_dtype(sp[c])
+            or pd.api.types.is_datetime64_any_dtype(oracle_df[c])
+            # all-NULL int columns surface as object/float; not drift
+            or sp[c].isna().all()
+            or oracle_df[c].isna().all()
+        ):
+            issues.append(
+                f"col {c}: dtype drift spark={sp[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (HUGEINT sum? cast the "
+                "oracle to BIGINT)"
+            )
+    if issues:
+        return issues
     a, b = _normalize(sp), _normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]

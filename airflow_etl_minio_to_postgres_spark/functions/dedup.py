@@ -29,6 +29,33 @@ from airflow_etl_minio_to_postgres_spark.functions.text import WHITESPACE
 
 HASH_LEN = 16
 
+# Signature tables persisted by near_dup_pairs / simhash_near_dup_pairs.
+# The cache outlives the returned plan (Spark's ContextCleaner only collects
+# it lazily), so callers looping over many corpora would otherwise
+# accumulate MEMORY_AND_DISK blocks — release_caches() frees them eagerly.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(handle)
+    return handle
+
+
+def release_caches() -> int:
+    """Eagerly unpersist every signature table cached by the near-dup
+    operators in this process; returns how many were released.  Safe at any
+    time — an unpersisted plan recomputes, it never breaks."""
+    n = 0
+    while _PERSISTED:
+        handle = _PERSISTED.pop()
+        try:
+            handle.unpersist()
+            n += 1
+        except Exception:
+            pass  # context already stopped; nothing to free
+    return n
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup (reference T11 at scale: dags/dag_etl_minio_to_postgres.py:216-219)
@@ -240,11 +267,9 @@ def near_dup_pairs(
     # The signature table feeds four plan branches (both band-join sides +
     # both shingle-set joins); persist it so the corpus is shingled and
     # hashed ONCE, not once per branch — at scale this is the difference
-    # between one corpus pass and four.  (Lifetime note: the cache lives
-    # until Spark's ContextCleaner collects the unreferenced plan; callers
-    # looping over many corpora should checkpoint/unpersist explicitly.)
-    base = _minhash_table(df, text_col, id_col, num_hashes, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # between one corpus pass and four.  Tracked for release_caches().
+    base = _persist_tracked(
+        _minhash_table(df, text_col, id_col, num_hashes, shingle_k)
     )
     banded = base.select(
         F.col(id_col),
@@ -355,7 +380,7 @@ def simhash_near_dup_pairs(
     """
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    sigs = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist_tracked(simhash(df, text_col, id_col))
     banded = sigs.select(
         id_col,
         "simhash",

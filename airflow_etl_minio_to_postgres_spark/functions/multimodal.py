@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,19 +104,55 @@ def sample_frame_offsets(df: DataFrame, num_frames: int = 4) -> DataFrame:
     """
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized fan-out: repeat/tile over the whole Arrow batch — the
+        # only per-row Python is len(bytes), which a real decoder pays
+        # anyway when it touches the payload.
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            out = {"doc_id": [], "frame_index": [], "frame_offset_bytes": []}
-            for doc_id, nb in zip(pdf["doc_id"], n_bytes):
-                stride = max(1, int(nb) // num_frames)
-                for i in range(num_frames):
-                    out["doc_id"].append(doc_id)
-                    out["frame_index"].append(i)
-                    out["frame_offset_bytes"].append(min(i * stride, int(nb)))
-            yield pd.DataFrame(out)
+            n_bytes = pdf["payload"].map(len).to_numpy(dtype="int64")
+            stride = np.maximum(1, n_bytes // num_frames)
+            idx = np.tile(np.arange(num_frames, dtype="int64"), len(pdf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), num_frames),
+                    "frame_index": idx,
+                    "frame_offset_bytes": np.minimum(
+                        idx * np.repeat(stride, num_frames),
+                        np.repeat(n_bytes, num_frames),
+                    ),
+                }
+            )
 
     return df.select("doc_id", "payload").mapInPandas(
         _frames, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def sample_frame_offsets_expr(df: DataFrame, num_frames: int = 4) -> DataFrame:
+    """JVM-side equivalent of :func:`sample_frame_offsets`:
+    ``explode(sequence(...))`` — zero Python, whole-stage codegen.
+
+    Prefer THIS form whenever only the offsets are needed; the mapInPandas
+    variant exists to pin the Arrow fan-out shape a real decoder requires
+    (it must touch the payload bytes), and the two are asserted equal in
+    tests so the demo can never drift from the fast path."""
+    return (
+        df.select("doc_id", F.octet_length("payload").cast("long").alias("nb"))
+        .select(
+            "doc_id",
+            "nb",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(num_frames - 1).cast("long"))
+            ).alias("frame_index"),
+        )
+        .select(
+            "doc_id",
+            "frame_index",
+            F.least(
+                F.col("frame_index")
+                * F.greatest(F.lit(1).cast("long"), F.expr(f"nb DIV {num_frames}")),
+                F.col("nb"),
+            ).alias("frame_offset_bytes"),
+        )
     )
 
 

@@ -152,32 +152,124 @@ def ivf_topk(
     )
 
 
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes: NumPy PCG64 with a fixed seed,
+    components rounded to 6 decimals so the SAME float literals embed
+    byte-for-byte into both the Spark expression and the DuckDB oracle SQL
+    — identical IEEE doubles on both sides, so bucket assignment can never
+    drift between engine and oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _projection_sql(vec_col: str, weights: list[float]) -> str:
+    """Literal dot product as ``aggregate(zip_with(...))`` SQL text.
+
+    Why THIS form and not an inlined ``w1*v[1] + w2*v[2] + ...`` chain:
+    16 planes x 64 dims inlines to a ~4096-node expression that (a) costs
+    seconds of py4j round-trips just to BUILD as Column objects, (b) fails
+    Janino codegen outright (interpreted fallback after a long compile
+    attempt), and (c) if any interpreted HOF sits upstream, projection
+    collapse re-inlines it into every element access — the same trap as
+    the round-2 minhash rewrite.  The HOF lambdas here are tiny, parse
+    JVM-side in one call, and evaluate the input array once per plane.
+
+    Determinism (the oracle contract): ``aggregate`` folds strictly left to
+    right from 0.0, so the float sum order is fixed — the DuckDB oracle
+    writes the identical left-associated chain and both engines produce
+    bit-for-bit equal IEEE doubles.
+    """
+    ws = ", ".join(f"{w!r}D" for w in weights)
+    return (
+        f"aggregate(zip_with({vec_col}, array({ws}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def hyperplane_band_keys_expr(
+    vec_col: str, planes: list[list[float]], n_bands: int
+) -> Column:
+    """Array of ``n_bands`` LSH band keys; each key is the band index plus
+    the sign bits of ``len(planes)/n_bands`` random-hyperplane projections.
+    Multi-band = minhash-style OR-amplification: near-identical vectors
+    (tiny angle) agree on ALL bits of at least one band almost surely.
+
+    ``vec_col`` is a column NAME (the keys are built as one SQL string —
+    see :func:`_projection_sql` for why)."""
+    per_band = len(planes) // n_bands
+    keys = []
+    for band in range(n_bands):
+        bits = ", ".join(
+            f"CASE WHEN ({_projection_sql(vec_col, p)}) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for p in planes[band * per_band : (band + 1) * per_band]
+        )
+        keys.append(f"concat('{band}|', {bits})")
+    return F.expr("array(" + ", ".join(keys) + ")")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
+    dim: int,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, LSH-bucketed.
+    """Embedding-cosine near-duplicate detection, banded-hyperplane-LSH.
 
-    Candidate pairs come from an equi-join on the sign bucket (cosine-close
-    vectors almost surely share sign patterns on leading components); only
-    candidates pay the exact cosine.  Returns (id_a, id_b, cosine) with
-    ``id_a < id_b`` and ``cosine >= threshold`` — never an all-pairs
-    product: complexity is sum of squared bucket sizes, ~corpus^2 / 2^n_bits
-    for balanced buckets.
+    Candidates come from an equi-join on any of ``n_bands`` band keys built
+    from seeded RANDOM hyperplane sign bits — not axis-aligned leading
+    components, which on real (anisotropic) embeddings collapse into one
+    hot bucket and degrade to the n^2 all-pairs scan this operator exists
+    to avoid (r2 VERDICT #5).  Random directions make each bit split the
+    corpus near 50/50 regardless of how the embedding distribution is
+    skewed, so per-band bucket sizes concentrate around corpus/2^bits;
+    banding then recovers the recall a single longer signature would lose.
+    Only candidates pay the exact cosine.  Returns (id_a, id_b, cosine)
+    with ``id_a < id_b`` and ``cosine >= threshold``.
     """
-    b = add_sign_bucket(df, vec_col, n_bits)
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _persist_tracked,
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+
+    planes = hyperplanes(dim, n_bands * bits_per_band, seed)
+    # Cache barrier, twice over: the corpus feeds three plan branches (band
+    # keys + both sides of the verification join), and any interpreted HOF
+    # upstream (e.g. a float->double transform) would otherwise be inlined
+    # by projection collapse into every band-key evaluation.
+    df = _persist_tracked(df.select(id_col, vec_col))
+    b = df.select(
+        F.col(id_col),
+        F.explode(
+            hyperplane_band_keys_expr(vec_col, planes, n_bands)
+        ).alias("band_key"),
     )
-    return (
-        left.join(right, on="bucket")
+    pairs = (
+        b.select(F.col(id_col).alias("id_a"), "band_key")
+        .join(b.select(F.col(id_col).alias("id_b"), "band_key"), on="band_key")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df
+    return (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+            "id_b",
+        )
         .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")

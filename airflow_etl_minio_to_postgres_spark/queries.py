@@ -37,10 +37,12 @@ from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
     attach_payload,
     extract_payload_features,
     sample_frame_offsets,
+    sample_frame_offsets_expr,
 )
 from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
     embedding_near_dup_pairs,
+    hyperplanes as _hyperplanes,
     ivf_topk,
     topk_cosine,
 )
@@ -721,6 +723,58 @@ def bronze_csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema=TESTDATA_SCHEMAS["region"])
 
 
+@register(
+    "jdbc_roundtrip_nation",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 write + S9 partitioned read, LIVE: rows travel through an actual
+    SQL database (embedded Apache Derby, which ships in Spark's own jars)
+    and come back via a 4-range partitioned JDBC scan — the reference's
+    push_to_postgres/read_postgres pair (dags/dag_etl_minio_to_postgres
+    .py:125-148) with a real JDBC driver in the loop.
+
+    Embedded Derby lives in the driver JVM, so this works in local mode
+    only — it is the sandbox stand-in; on a cluster the same JdbcConfig
+    swaps url+driver to a network database (Postgres) and nothing else
+    changes.  The db path is keyed on applicationId: Derby holds an
+    exclusive JVM lock per database directory."""
+    from airflow_etl_minio_to_postgres_spark.sources.jdbc import (
+        derby_config,
+        read_table,
+        write_table,
+    )
+
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tempfile.gettempdir(), "derby.log")
+    )
+    db = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_derby",
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    cfg = derby_config(db)
+    nation = load_table(spark, "nation", sf_dir)
+    write_table(
+        nation,
+        cfg,
+        "nation_rt",
+        mode="overwrite",
+        max_connections=4,
+        create_table_column_types="n_name VARCHAR(64)",
+    )
+    return read_table(
+        spark,
+        cfg,
+        "nation_rt",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents/embeddings (brief mandate; not
 # in the reference, whose scalar surface stops at lower/trim/concat/sha256 —
@@ -1133,9 +1187,39 @@ corpus AS (
 )
 """
 
-_BUCKET_D_SQL = "concat(" + ", ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-) + ")"
+# Seeded random hyperplanes — the SAME literals feed the Spark expression
+# (via hyperplanes() inside embedding_near_dup_pairs) and the oracle SQL
+# below, so bucket assignment is identical by construction.  4 bands x 8
+# bits: random directions split anisotropic embeddings ~50/50 per bit
+# (axis-aligned sign bits collapse into one hot bucket on real data);
+# 8 bits/band keeps per-band buckets at corpus/256 so the candidate join
+# stays ~n^2/512 while 4-band OR-amplification holds near-identical-pair
+# recall at ~1 (per-bit flip prob ~theta/pi).
+_EMB_DIM = 64
+_EMB_BANDS, _EMB_BITS_PER_BAND, _EMB_SEED = 4, 8, 42
+_EMB_PLANES = _hyperplanes(_EMB_DIM, _EMB_BANDS * _EMB_BITS_PER_BAND, _EMB_SEED)
+
+
+def _plane_proj_sql(plane: list[float]) -> str:
+    # left-assoc "+" chain FROM 0.0, mirroring the Spark side's
+    # aggregate() fold order exactly (bit-for-bit IEEE equality)
+    return "0.0 + " + " + ".join(
+        f"(embedding[{i + 1}] * {w!r})" for i, w in enumerate(plane)
+    )
+
+
+def _band_keys_sql() -> str:
+    keys = []
+    for band in range(_EMB_BANDS):
+        bits = ", ".join(
+            f"CASE WHEN ({_plane_proj_sql(p)}) >= 0 THEN '1' ELSE '0' END"
+            for p in _EMB_PLANES[
+                band * _EMB_BITS_PER_BAND : (band + 1) * _EMB_BITS_PER_BAND
+            ]
+        )
+        keys.append(f"concat('{band}|', {bits})")
+    return "[" + ", ".join(keys) + "]"
+
 
 _COS_AB_SQL = (
     "list_sum(list_transform(range(0, len(v_a)), i -> v_a[i+1] * v_b[i+1]))"
@@ -1149,15 +1233,23 @@ _COS_AB_SQL = (
     "WITH "
     + _EMB_PERTURBED_SQL
     + f""",
-    b AS (SELECT vec_id, embedding, {_BUCKET_D_SQL} AS bucket FROM corpus),
+    b AS (
+        SELECT vec_id, embedding, unnest({_band_keys_sql()}) AS band_key
+        FROM corpus
+    ),
     cand AS (
-        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-               a.embedding AS v_a, b2.embedding AS v_b
-        FROM b a JOIN b b2 USING (bucket)
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 USING (band_key)
         WHERE a.vec_id < b2.vec_id
+    ),
+    withv AS (
+        SELECT id_a, id_b, ca.embedding AS v_a, cb.embedding AS v_b
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = id_a
+        JOIN corpus cb ON cb.vec_id = id_b
     )
     SELECT id_a, id_b, {_COS_AB_SQL} AS cosine
-    FROM cand
+    FROM withv
     WHERE {_COS_AB_SQL} >= 0.95
     """,
 )
@@ -1180,7 +1272,12 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return embedding_near_dup_pairs(
-        as_double.unionByName(perturbed), threshold=0.95, n_bits=8
+        as_double.unionByName(perturbed),
+        dim=_EMB_DIM,
+        threshold=0.95,
+        n_bands=_EMB_BANDS,
+        bits_per_band=_EMB_BITS_PER_BAND,
+        seed=_EMB_SEED,
     )
 
 
@@ -1220,6 +1317,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out to 4 (frame_index, byte offset) rows via mapInPandas."""
     docs = load_table(spark, "documents", sf_dir)
     return sample_frame_offsets(attach_payload(docs), num_frames=4)
+
+
+@register(
+    "multimodal_frame_sample_expr",
+    """
+    SELECT doc_id,
+           f.i AS frame_index,
+           least(f.i * greatest(octet_length(encode(text)) // 4, 1),
+                 octet_length(encode(text))) AS frame_offset_bytes
+    FROM documents, (SELECT unnest(range(0, 4)) AS i) f
+    """,
+)
+def multimodal_frame_sample_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same frame fan-out as multimodal_frame_sample, but pure JVM
+    (explode(sequence)) — the preferred plan when no decoder is in the
+    loop; whole-stage codegen, no Python boundary."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frame_offsets_expr(attach_payload(docs), num_frames=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1395,12 +1510,17 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a field from the JSON props
     string and aggregate — `get_json_object` stays JVM-side (codegen), the
-    pattern for sparse metadata columns at scale."""
+    pattern for sparse metadata columns at scale.
+
+    `try_cast`, not `cast`: under Spark 4's default ANSI mode a single
+    malformed value would fail the whole job; at 100 TB a dirty metadata
+    row must degrade to NULL (sum skips it), never kill the pipeline.
+    Pinned by test_json_props_null_and_nonnumeric_rows."""
     e = load_table(spark, "events", sf_dir)
     return e.groupBy("event_type").agg(
-        F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias(
-            "sum_k"
-        ),
+        F.sum(
+            F.get_json_object(F.col("props"), "$.k").try_cast("long")
+        ).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
 

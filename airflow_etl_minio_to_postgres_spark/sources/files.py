@@ -284,15 +284,24 @@ def _rewrite_in_place(df: DataFrame, path: str) -> str:
     """Overwriting a location the plan also READS would delete its own
     input; stage to a sibling tmp location, then swap — fully distributed
     (no driver-side collect), one extra rename on local FS / object copy on
-    stores without rename."""
+    stores without rename.
+
+    Crash safety: the old data is renamed aside (``__rewrite_old``) before
+    the staged copy is promoted, and deleted only last — every failure
+    point leaves at least one complete copy under the target name or a
+    clearly-marked sibling, never an empty target with orphaned data."""
     import shutil
 
     path = _local_path(path)
     tmp = path.rstrip("/") + "__rewrite_tmp"
+    old = path.rstrip("/") + "__rewrite_old"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return path
 
 

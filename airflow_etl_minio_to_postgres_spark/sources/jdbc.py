@@ -107,6 +107,56 @@ def _with_url_param(url: str, key: str, value: str) -> str:
     return url if f"{key}=" in url else f"{url}{sep}{key}={value}"
 
 
+def derby_config(db_path: str) -> JdbcConfig:
+    """Config for the Apache Derby *embedded* database that ships in the
+    Spark distribution's jars — a real JDBC store with zero external
+    dependencies, so the S7 write / S9 read paths can be exercised live
+    (rows actually traveling through SQL) in environments without Postgres.
+    Embedded Derby ignores credentials by default; the same config shape
+    swaps to Postgres by changing url+driver only."""
+    return JdbcConfig(
+        url=f"jdbc:derby:{db_path};create=true",
+        user="app",
+        password="app",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+
+
+def dbapi_over_jvm(spark: SparkSession, url: str):
+    """A minimal DB-API-shaped connection factory over the driver JVM's
+    ``java.sql.DriverManager`` (py4j), so :func:`execute_ddl` can run
+    against any JDBC database on the classpath without a Python driver.
+    Driver-side only, DDL-sized statements only — never for data."""
+
+    class _Cursor:
+        def __init__(self, conn):
+            self._conn = conn
+
+        def execute(self, stmt: str) -> None:
+            st = self._conn.createStatement()
+            try:
+                st.execute(stmt)
+            finally:
+                st.close()
+
+    class _Conn:
+        def __init__(self, jconn):
+            self._jconn = jconn
+
+        def cursor(self) -> _Cursor:
+            return _Cursor(self._jconn)
+
+        def commit(self) -> None:
+            if not self._jconn.getAutoCommit():
+                self._jconn.commit()
+
+        def close(self) -> None:
+            self._jconn.close()
+
+    jvm = spark.sparkContext._jvm
+    return lambda: _Conn(jvm.java.sql.DriverManager.getConnection(url))
+
+
 def read_table(
     spark: SparkSession,
     cfg: JdbcConfig,

@@ -164,3 +164,139 @@ def test_sample_frame_offsets_fanout(spark):
         for r in sample_frame_offsets(attach_payload(df), num_frames=4).collect()
     )
     assert rows == [(0, 0), (1, 25), (2, 50), (3, 75)]
+
+
+def test_json_props_null_and_nonnumeric_rows(spark):
+    """Pin the semi-structured extraction semantics before the corpus ever
+    grows a weird row (VERDICT r2 #4): absent '$.k' and non-numeric 'k'
+    both become NULL under get_json_object(...).try_cast('long'), and
+    sum() skips NULLs.  A plain cast would ERROR under Spark 4's default
+    ANSI mode — same failure DuckDB's strict ::BIGINT has — so both
+    engine and oracle must use their try-cast form on dirty data."""
+    rows = [
+        ("a", '{"k": 3}'),
+        ("a", '{"k": "4"}'),       # numeric-in-string still counts
+        ("a", '{"other": 1}'),     # absent key -> NULL
+        ("a", '{"k": "x"}'),       # non-numeric -> NULL, not an error
+        ("a", None),               # NULL document
+        ("b", '{"k": 10}'),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "props"])
+    out = {
+        r["event_type"]: (r["sum_k"], r["n"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").try_cast("long")
+            ).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert out == {"a": (7, 5), "b": (10, 1)}
+
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        """
+        SELECT event_type,
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM (VALUES ('a','{"k": 3}'), ('a','{"k": "4"}'),
+                     ('a','{"other": 1}'), ('a','{"k": "x"}'),
+                     ('a', NULL), ('b','{"k": 10}')) t(event_type, props)
+        GROUP BY event_type ORDER BY event_type
+        """
+    ).fetchall()
+    assert got == [("a", 7, 5), ("b", 10, 1)]
+
+
+def test_frame_offset_forms_agree(spark):
+    """The mapInPandas demo and the pure-JVM explode form must never
+    drift — same rows, same values, both fan-out shapes."""
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        attach_payload,
+        sample_frame_offsets,
+        sample_frame_offsets_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "a much longer document body here"), (3, "xy")],
+        ["doc_id", "text"],
+    )
+    payloads = attach_payload(docs)
+    a = sorted(tuple(r) for r in sample_frame_offsets(payloads).collect())
+    b = sorted(tuple(r) for r in sample_frame_offsets_expr(payloads).collect())
+    assert a == b
+    assert len(a) == 12  # 3 docs x 4 frames
+
+
+def test_hyperplane_buckets_balanced_on_anisotropic_data(spark):
+    """The r2 VERDICT #5 failure mode: on an anisotropic corpus (every
+    component positive — realistic for post-ReLU embeddings) axis-aligned
+    sign bits put ALL vectors in one bucket (n^2 blowup); seeded random
+    hyperplanes keep per-band buckets near corpus/2^bits."""
+    import numpy as np
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        add_sign_bucket,
+        hyperplane_band_keys_expr,
+        hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 256, 16
+    rows = [
+        (int(i), [float(x) for x in np.abs(rng.standard_normal(dim))])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    axis = add_sign_bucket(df, "embedding", n_bits=8).groupBy("bucket").count()
+    assert axis.count() == 1  # the hot-bucket collapse
+
+    planes = hyperplanes(dim, 16, seed=42)
+    banded = df.select(
+        F.explode(
+            hyperplane_band_keys_expr("embedding", planes, 4)
+        ).alias("band_key")
+    )
+    sizes = [r["count"] for r in banded.groupBy("band_key").count().collect()]
+    # Worst bucket is bounded well below the corpus (vs == corpus above).
+    # Residual imbalance remains on one-sided data — w·|x| is biased toward
+    # sign(sum(w)) — but candidate cost is sum(sizes^2): collapse is n^2,
+    # this stays O(n^2 * const < 1) and shrinks with more bits per band.
+    assert max(sizes) <= 0.6 * n
+    assert len(sizes) > 16
+
+
+def test_embedding_near_dup_recall_on_planted_pair(spark):
+    """Near-identical vectors must still collide in some band after the
+    hyperplane change (OR-amplification recall check)."""
+    import numpy as np
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.standard_normal(dim)
+    near = base.copy()
+    near[0] += 0.01
+    far = rng.standard_normal(dim)
+    df = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base]),
+            (1, [float(x) for x in near]),
+            (2, [float(x) for x in far]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, dim=dim, threshold=0.99).collect()
+    ]
+    assert got == [(0, 1)]

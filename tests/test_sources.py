@@ -287,3 +287,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(kind" in plan
     assert scan.count() == 2
+
+
+def test_rewrite_leaves_no_sibling_dirs(spark, tmp_path):
+    """Crash-safe rewrite: after a successful upsert neither the __rewrite_tmp
+    stage nor the __rewrite_old backup survives, and the data is intact."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import upsert_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_parquet(df, path, ["k"])
+    upsert_parquet(spark.createDataFrame([(2, "B")], ["k", "v"]), path, ["k"])
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B")}
+    siblings = sorted(p.name for p in tmp_path.iterdir())
+    assert siblings == ["t"]
+
+
+def test_release_caches_unpersists_signature_tables(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        near_dup_pairs,
+        release_caches,
+        simhash_near_dup_pairs,
+    )
+
+    release_caches()  # drop anything earlier tests left behind
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], ["doc_id", "text"]
+    )
+    near_dup_pairs(docs).collect()
+    simhash_near_dup_pairs(docs).collect()
+    assert release_caches() == 2
+    assert release_caches() == 0

@@ -309,6 +309,155 @@ def near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Character n-gram Jaccard (exact set-similarity join via prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character ``n``-grams of the lowercased text, one row per
+    (doc, gram).  explode(sequence) + substring — all codegen'd; the
+    distinct is a map-side-combinable aggregation."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.select(F.col(id_col), t.alias("_t"))
+        .where(F.length("_t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (n - 1))
+            ).alias("_i"),
+            "_t",
+        )
+        .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("gram"))
+        .distinct()
+    )
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word ``n``-grams (shingles) of the lower/trimmed text.
+
+    Word grams, not characters, are the similarity-join unit of choice for
+    natural-language dedup: the gram vocabulary grows with the corpus, so
+    document frequency is low and frequency-ordered prefix joins stay
+    selective — character 3-grams over a finite alphabet are shared by
+    nearly every document pair and reduce prefix filtering to all-pairs.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    based = df.select(F.col(id_col), words.alias("_w")).where(
+        F.size("_w") >= n
+    )
+    return (
+        based.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i"),
+            "_w",
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("_w"), (F.col("_i") + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "word",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering (the
+    PPJoin-family set-similarity join) — returns every (id_a, id_b,
+    jaccard) with ``id_a < id_b`` and ``jaccard >= threshold``, with no
+    approximation, and never an all-pairs product.
+
+    Scale shape: candidate pairs come from an equi-join on PREFIX grams
+    only.  Each doc's gram set is ordered globally by (document frequency,
+    gram) and truncated to its first ``|G| - ceil(t*|G|) + 1`` grams — if
+    ``J(A,B) >= t`` then ``|A∩B| >= t*max(|A|,|B|)``, so the intersection
+    cannot fit entirely inside either suffix and both prefixes must
+    contain a shared gram.  Rarest-first ordering makes the join keys the
+    LOW-frequency grams: bucket sizes stay small by construction, the
+    opposite of joining on stop-grams.  Everything is expression-only:
+    two aggregations (gram df, set sizes), one window (per-doc rank), one
+    bounded equi-join, one intersection count.
+
+    ``unit='word'`` (default) shingle-izes on words — see
+    :func:`word_ngrams` for why character grams defeat prefix filtering
+    on low-alphabet corpora.  The DuckDB oracle for this operator
+    deliberately takes the naive candidates-from-ANY-shared-gram path —
+    equality against it at test SF proves the prefix filter drops no
+    qualifying pair.
+    """
+    gram_fn = word_ngrams if unit == "word" else char_ngrams
+    grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_df", "gram")
+    ranked = (
+        grams.join(gram_df, "gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # prefix length: |G| - ceil(t*|G|) + 1
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select(id_col, "gram")
+
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "gram")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "gram"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = (
+        cand.join(
+            grams.select(F.col(id_col).alias("id_a"), "gram"), "id_a"
+        )
+        .join(
+            grams.select(F.col(id_col).alias("id_b"), "gram"),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_c").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_c")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (60-bit, expression-only)
 # ---------------------------------------------------------------------------
 

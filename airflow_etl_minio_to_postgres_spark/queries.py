@@ -30,6 +30,7 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
 from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     exact_dedup_groups,
     near_dup_pairs,
+    ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -65,6 +66,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     run_available_now,
     run_stateful_user_counts,
     stream_events,
+    streaming_dedup,
 )
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
@@ -992,6 +994,49 @@ def docs_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_ngram_jaccard_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+    """,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard similarity join.  The engine runs the
+    prefix-filtered set-similarity join (candidates only from each doc's
+    rarest grams); the oracle deliberately generates candidates from ANY
+    shared gram — matching results prove the prefix filter exact, not
+    just fast.  Complements docs_near_dup_pairs: same gram space, exact
+    join instead of MinHash-LSH approximation."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6, unit="word")
+
+
+@register(
     "docs_simhash",
     """
     WITH tok AS (
@@ -1554,3 +1599,19 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "events_streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-arrival: first occurrence per (user, type) key
+    over the micro-batched stream equals batch DISTINCT — so even the
+    streaming dedup operator is oracle-gated."""
+    return run_available_now(
+        streaming_dedup(
+            stream_events(spark, sf_dir), ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )

@@ -123,6 +123,22 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events: DataFrame, subset: list[str]) -> DataFrame:
+    """Streaming exact deduplication: emit the first occurrence of each
+    distinct ``subset`` key — the streaming counterpart of the batch
+    ``dropDuplicates`` dedup kernel (T11), and the shape a continuously-
+    landing training-data feed needs (dedup-on-arrival instead of periodic
+    batch sweeps).
+
+    This demo keeps ALL keys in state so the emitted set equals the batch
+    ``SELECT DISTINCT`` exactly (the oracle contract).  Production bounds
+    state with ``withWatermark(ts, h) .dropDuplicatesWithinWatermark``,
+    trading exactness across >h-apart duplicates for bounded state — with
+    a monotone source the results coincide.
+    """
+    return events.select(*subset).dropDuplicates(subset)
+
+
 def incremental_silver(
     raw_stream: DataFrame, out_path: str, checkpoint_path: str
 ):

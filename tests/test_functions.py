@@ -300,3 +300,33 @@ def test_embedding_near_dup_recall_on_planted_pair(spark):
         for r in embedding_near_dup_pairs(df, dim=dim, threshold=0.99).collect()
     ]
     assert got == [(0, 1)]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    """Prefix-filtered set-similarity join returns the exact Jaccard:
+    10-word docs differing in one word share 7 of 9 distinct 3-grams."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),
+            (3, "q r s t u v w x y z"),
+        ],
+    )
+    got = [
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    ]
+    assert got == [(1, 2, round(7 / 9, 6))]
+
+
+def test_char_ngrams_unit(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import char_ngrams
+
+    df = _docs(spark, [(1, "ABAB")])
+    grams = sorted(r["gram"] for r in char_ngrams(df, n=2).collect())
+    assert grams == ["ab", "ba"]  # lowercased, distinct

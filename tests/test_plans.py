@@ -73,3 +73,19 @@ def test_stratified_cap_single_shuffle(spark):
     df = registry.queries()["docs_stratified_cap"](spark, SF_SMOKE)
     plan = _physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1  # window partitioning only
+
+
+def test_nation_region_rollup_broadcasts(spark):
+    """Dim⋈dim join stays broadcast — no sort-merge (and so no full
+    shuffle of either side) anywhere in the plan."""
+    df = registry.queries()["nation_region_rollup"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_no_sort_merge_join(spark):
+    """The q5 star chain must never fall back to sort-merge: the fact
+    table's only exchange is the final aggregation's."""
+    df = registry.queries()["q5_supplier_nation_revenue"](spark, SF_SMOKE)
+    assert "SortMergeJoin" not in _physical_plan(df)

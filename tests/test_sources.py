@@ -114,6 +114,20 @@ def test_read_excel_fallback(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_read_excel_pandas_path(spark, tmp_path):
+    """The primary (pandas/openpyxl) Excel path — skip-marked for this
+    sandbox (openpyxl absent), runs wherever the dependency exists and
+    must agree with the fallback parser's contract."""
+    pytest.importorskip("openpyxl")
+    from airflow_etl_minio_to_postgres_spark.sources.files import read_excel
+
+    p = str(tmp_path / "Field Config.xlsx")
+    _make_minimal_xlsx(p)
+    df = read_excel(spark, p)
+    assert sorted(df.columns) == ["Column Name", "Target Table"]
+    assert df.count() == 2
+
+
 def test_read_file_dispatches_xlsx(spark, tmp_path):
     from airflow_etl_minio_to_postgres_spark.sources.files import read_file
 

@@ -317,20 +317,23 @@ def char_ngrams(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct character ``n``-grams of the lowercased text, one row per
-    (doc, gram).  explode(sequence) + substring — all codegen'd; the
-    distinct is a map-side-combinable aggregation."""
-    t = F.lower(F.col(text_col))
+    (doc, gram).  The gram array is built by ONE generator expression per
+    document — ``explode(transform(sequence(...)))`` — so the lowercased
+    text is evaluated once per doc, not re-derived per output gram by
+    projection collapse (the trap that made the explode-then-project form
+    ~2.5x slower); the distinct is a map-side-combinable aggregation."""
     return (
-        df.select(F.col(id_col), t.alias("_t"))
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
         .where(F.length("_t") >= n)
         .select(
             id_col,
             F.explode(
-                F.sequence(F.lit(1), F.length("_t") - (n - 1))
-            ).alias("_i"),
-            "_t",
+                F.expr(
+                    f"transform(sequence(1, length(_t) - {n - 1}),"
+                    f" i -> substring(_t, i, {n}))"
+                )
+            ).alias("gram"),
         )
-        .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("gram"))
         .distinct()
     )
 
@@ -345,25 +348,23 @@ def word_ngrams(
     document frequency is low and frequency-ordered prefix joins stay
     selective — character 3-grams over a finite alphabet are shared by
     nearly every document pair and reduce prefix filtering to all-pairs.
+
+    Built as one generator expression per document (see
+    :func:`char_ngrams` for why): the regex split runs once per doc;
+    the ``transform`` lambda only indexes the already-split array.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
-    based = df.select(F.col(id_col), words.alias("_w")).where(
-        F.size("_w") >= n
-    )
+    shingle = ", ".join(f"_w[i+{j}]" for j in range(n))
     return (
-        based.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i"),
-            "_w",
-        )
+        df.select(F.col(id_col), words.alias("_w"))
+        .where(F.size("_w") >= n)
         .select(
             id_col,
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("_w"), (F.col("_i") + j + 1).cast("int"))
-                    for j in range(n)
-                ],
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {n}),"
+                    f" i -> concat_ws(' ', {shingle}))"
+                )
             ).alias("gram"),
         )
         .distinct()
@@ -390,9 +391,18 @@ def ngram_jaccard_pairs(
     cannot fit entirely inside either suffix and both prefixes must
     contain a shared gram.  Rarest-first ordering makes the join keys the
     LOW-frequency grams: bucket sizes stay small by construction, the
-    opposite of joining on stop-grams.  Everything is expression-only:
-    two aggregations (gram df, set sizes), one window (per-doc rank), one
-    bounded equi-join, one intersection count.
+    opposite of joining on stop-grams.  Candidates additionally pass the
+    PPJoin length filter (``t*|A| <= |B| <= |A|/t``) before any
+    verification work.
+
+    Verification joins each surviving candidate to the two per-doc sorted
+    gram ARRAYS and computes ``size(array_intersect(...))`` in a single
+    codegen'd expression — the candidate row count never explodes back
+    into per-gram rows the way a count-the-intersection join would
+    (|cand| x avg_set_size rows through a shuffle).  Stage budget: one
+    gram-df aggregate, ONE doc-partitioned window computing rank and set
+    size together, the bounded prefix self-join, one collect_list
+    aggregate, two verification joins.  Everything is expression-only.
 
     ``unit='word'`` (default) shingle-izes on words — see
     :func:`word_ngrams` for why character grams defeat prefix filtering
@@ -403,54 +413,60 @@ def ngram_jaccard_pairs(
     """
     gram_fn = word_ngrams if unit == "word" else char_ngrams
     grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
 
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("_df", "gram")
+    wsz = Window.partitionBy(id_col)
+    # one doc_id shuffle serves both the rank and the set size
     ranked = (
         grams.join(gram_df, "gram")
         .withColumn("_rn", F.row_number().over(w))
-        .join(sizes, id_col)
+        .withColumn("_sz", F.count(F.lit(1)).over(wsz))
     )
     # prefix length: |G| - ceil(t*|G|) + 1
     prefix = ranked.where(
         F.col("_rn")
         <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(id_col, "gram")
+    ).select(id_col, "gram", "_sz")
 
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "gram")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "gram"), "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col(id_col).alias("id_a"), "gram", F.col("_sz").alias("_sa"))
+        .join(
+            prefix.select(F.col(id_col).alias("id_b"), "gram", F.col("_sz").alias("_sb")),
+            "gram",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("_sb") >= F.ceil(F.lit(threshold) * F.col("_sa")))
+            & (F.col("_sa") >= F.ceil(F.lit(threshold) * F.col("_sb")))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = (
-        cand.join(
-            grams.select(F.col(id_col).alias("id_a"), "gram"), "id_a"
-        )
-        .join(
-            grams.select(F.col(id_col).alias("id_b"), "gram"),
-            ["id_b", "gram"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    doc_sets = grams.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("gram")).alias("_gset")
     )
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")),
+        cand.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"), F.col("_gset").alias("_ga")
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")),
+            doc_sets.select(
+                F.col(id_col).alias("id_b"), F.col("_gset").alias("_gb")
+            ),
             "id_b",
         )
+        .withColumn("_c", F.size(F.array_intersect("_ga", "_gb")))
         .withColumn(
             "jaccard",
             F.col("_c").cast("double")
-            / (F.col("_sa") + F.col("_sb") - F.col("_c")).cast("double"),
+            / (F.size("_ga") + F.size("_gb") - F.col("_c")).cast("double"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")

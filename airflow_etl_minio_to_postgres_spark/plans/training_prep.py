@@ -1,0 +1,76 @@
+"""End-to-end training-data preparation: the flagship composition of the
+LLM-pipeline operator family into ONE lazy Catalyst plan.
+
+funnel: quality filter -> language filter -> exact dedup -> near-dup
+removal (EXACT prefix-filtered n-gram Jaccard join) -> per-source
+stratified cap.
+
+Why composition matters at 100 TB: each stage is expression-only or a
+bounded join, so Catalyst sees the whole funnel at once — the quality and
+language predicates run in the SAME scan stage (narrow, codegen'd, pushed
+against the parquet read), shrinking the corpus BEFORE any shuffle-bearing
+stage (dedup's groupBy, the similarity join, the cap's window) touches it.
+A stage-by-stage materialized pipeline would pay a full write+read between
+every step; here the only materialization is the similarity join's
+internal gram cache.
+
+Stage order is deliberate: cheap narrow filters first (largest volume
+reduction per cycle), exact dedup before the similarity join (exact dups
+are also near-dups — remove them with a hash groupBy instead of the
+strictly more expensive set-similarity machinery), the cap last (sampling
+before dedup would under-fill capped sources whose sampled rows then get
+deduped away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    drop_exact_dups,
+    ngram_jaccard_pairs,
+)
+from airflow_etl_minio_to_postgres_spark.functions.text import (
+    lang_id_expr,
+    quality_score_expr,
+    stratified_cap,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.35,
+    lang: str = "en",
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    cap_per_source: int = 8,
+) -> DataFrame:
+    """Run the full prep funnel over a ``documents``-shaped frame
+    (``doc_id, source, lang, text``); returns the surviving
+    ``doc_id, source, lang`` rows.
+
+    Near-dup policy matches :func:`docs_near_dup_dedup`'s greedy survivor
+    rule: for every qualifying pair the LOWER doc_id survives (anti-join
+    on the pair list's ``id_b`` side).
+    """
+    text = F.col("text")
+    filtered = docs.where(
+        (quality_score_expr(text) >= F.lit(quality_min))
+        & (lang_id_expr(text) == F.lit(lang))
+    )
+    deduped = drop_exact_dups(filtered)
+    dup_ids = (
+        ngram_jaccard_pairs(
+            deduped, n=ngram_n, threshold=jaccard_threshold, unit="word"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(dup_ids, on="doc_id", how="left_anti")
+    return stratified_cap(
+        survivors.select("doc_id", "source", "lang"),
+        "source",
+        "doc_id",
+        cap=cap_per_source,
+    )

@@ -20,6 +20,13 @@ from airflow_etl_minio_to_postgres_spark.operators.cleaning import (
     clean_strings,
     fill_nulls,
 )
+from airflow_etl_minio_to_postgres_spark.plans.training_prep import (
+    prepare_training_corpus,
+)
+from airflow_etl_minio_to_postgres_spark.operators.temporal import (
+    as_of_join,
+    range_join,
+)
 from airflow_etl_minio_to_postgres_spark.operators.keys import (
     add_hash_key,
     add_natural_key,
@@ -1497,6 +1504,76 @@ def docs_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_training_prep",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source, lang, text FROM documents
+        WHERE least(1.0, greatest(0.0,
+                  0.5 * ({_stop_ratio_sql('en')})
+                + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                - 0.25 * ({_PUNCT_SQL}))) >= 0.35
+          AND (CASE WHEN ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('de')})
+                     AND ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('fr')}) THEN 'en'
+                    WHEN ({_stop_ratio_sql('de')}) >= ({_stop_ratio_sql('fr')}) THEN 'de'
+                    ELSE 'fr' END) = 'en'
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM f GROUP BY substr(sha256(text), 1, 16)
+    ),
+    s1 AS (SELECT f.* FROM f JOIN keepers USING (doc_id)),
+    d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM s1
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+    ),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM dup))
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16),
+                            doc_id) AS rn
+        FROM s2
+    ) t WHERE rn <= 8
+    """,
+)
+def docs_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-pipeline composition (plans/training_prep.py): quality
+    filter -> lang-id filter -> exact dedup -> EXACT n-gram-Jaccard
+    near-dup removal -> per-source stratified cap, as one lazy plan.  The
+    oracle re-derives every stage independently (naive all-pairs
+    similarity included), so the whole funnel is value-checked, not just
+    its stages."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "text"
+    )
+    return prepare_training_corpus(docs)
+
+
+@register(
     "events_user_type_counts_pandas",
     """
     SELECT user_id, event_type, count(*) AS n
@@ -1615,3 +1692,77 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of and bucketed range join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.event_type, l.ts,
+           r.ts    AS matched_ts,
+           r.value AS last_purchase_value
+    FROM (SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type <> 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event picks up the value and time of
+    the same user's most recent purchase at-or-before it (NULL when none
+    yet).  Engine: union + one keyed window scan (one Exchange total);
+    oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics."""
+    e = load_table(spark, "events", sf_dir)
+    left = e.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    return as_of_join(left, right, on="user_id")
+
+
+@register(
+    "events_attribution_windows",
+    """
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.event_id AS purchase_event_id
+    FROM (SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type IN ('click', 'view')) l
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: attribute each click/view to every purchase of the same
+    user whose 1-hour post-purchase window contains it.  Engine: interval
+    bucketing turns the range predicate into an equi-join on (user,
+    hour-bucket) — never a nested-loop; oracle: the naive range-predicate
+    join (fine at sf0.01, exactly what the bucketing avoids at scale)."""
+    e = load_table(spark, "events", sf_dir)
+    left = e.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("window_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
+        )
+    )
+    return range_join(
+        left, right, on="user_id", ts_col="ts",
+        start_col="window_start", end_col="window_end",
+        bucket_seconds=3600,
+    ).select("event_id", "user_id", "event_type", "purchase_event_id")

@@ -330,3 +330,39 @@ def test_char_ngrams_unit(spark):
     df = _docs(spark, [(1, "ABAB")])
     grams = sorted(r["gram"] for r in char_ngrams(df, n=2).collect())
     assert grams == ["ab", "ba"]  # lowercased, distinct
+
+
+def test_training_prep_funnel_stages(spark):
+    """Every funnel stage demonstrably acts: low-quality dropped, exact
+    dup dropped, near-dup (lower id survives) dropped, cap enforced."""
+    from airflow_etl_minio_to_postgres_spark.plans.training_prep import (
+        prepare_training_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the bird "
+        "sees the river bank where the sun is warm and the grass is tall "
+        "for a while in the morning with the wind and the trees"
+    )
+    rows = [
+        (1, "s1", "en", good),
+        (2, "s1", "en", good),                   # exact dup of 1 -> dropped
+        (3, "s1", "en", good + " extra"),        # near dup of 1 -> dropped
+        (4, "s1", "en", "!!! ??? !!!"),          # low quality -> dropped
+        (5, "s2", "en", good.replace("fox", "cat")),
+        (6, "s2", "en", good.replace("fox", "owl").replace("dog", "hen")
+                            .replace("bird", "bee").replace("river", "lake")
+                            .replace("sun", "moon").replace("grass", "moss")
+                            .replace("wind", "rain").replace("trees", "hills")
+                            .replace("morning", "evening")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            df, quality_min=0.35, jaccard_threshold=0.6, cap_per_source=1
+        ).collect()
+    )
+    # doc 1 survives its dups; s2's cap=1 keeps exactly one of {5, 6}
+    assert 1 in got and len([g for g in got if g in (5, 6)]) == 1
+    assert 2 not in got and 3 not in got and 4 not in got

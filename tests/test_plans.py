@@ -89,3 +89,21 @@ def test_q5_no_sort_merge_join(spark):
     table's only exchange is the final aggregation's."""
     df = registry.queries()["q5_supplier_nation_revenue"](spark, SF_SMOKE)
     assert "SortMergeJoin" not in _physical_plan(df)
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join is one union + one keyed window: exactly one
+    hash-partitioning Exchange in the whole plan."""
+    df = registry.queries()["events_asof_last_purchase"](spark, SF_SMOKE)
+    assert _physical_plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """Interval bucketing must turn the range predicate into a hash
+    equi-join — a raw BETWEEN join would plan as BroadcastNestedLoopJoin
+    (per-pair evaluation, fatal at scale)."""
+    plan = _physical_plan(
+        registry.queries()["events_attribution_windows"](spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,150 @@
+"""Unit tests for operators/temporal.py (as-of join, bucketed range join)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.operators.temporal import (
+    as_of_join,
+    range_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:10:00")),
+            (2, "a", _ts("2024-01-01 01:00:00")),
+            (3, "a", _ts("2024-01-01 00:00:00")),  # before any right row
+            (4, "b", _ts("2024-01-01 00:30:00")),
+            (5, "c", _ts("2024-01-01 00:30:00")),  # key with no right rows
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:05:00"), 10.0),
+            ("a", _ts("2024-01-01 00:50:00"), 20.0),
+            ("b", _ts("2024-01-01 00:30:00"), 30.0),  # exact tie with left id=4
+        ],
+        ["k", "ts", "v"],
+    )
+    return left, right
+
+
+def test_asof_backward(spark, sides):
+    left, right = sides
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    # id=1: latest right <= 00:10 is 00:05 (10.0); id=2: 00:50 (20.0);
+    # id=3: none yet; id=4: exact-ts tie matches (inclusive); id=5: no key.
+    assert got == {1: 10.0, 2: 20.0, 3: None, 4: 30.0, 5: None}
+
+
+def test_asof_forward(spark, sides):
+    left, right = sides
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(left, right, on="k", direction="forward").collect()
+    }
+    # forward: earliest right >= left ts
+    assert got == {1: 20.0, 2: None, 3: 10.0, 4: 30.0, 5: None}
+
+
+def test_asof_tolerance(spark, sides):
+    left, right = sides
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(
+            left, right, on="k", tolerance_seconds=360
+        ).collect()
+    }
+    # id=1 gap 5min ok; id=2 gap 10min > 6min -> nulled; id=4 gap 0 ok
+    assert got == {1: 10.0, 2: None, 3: None, 4: 30.0, 5: None}
+
+
+def test_asof_collision_prefix(spark):
+    """A right payload column whose name collides with a left column comes
+    back as right_<name>; matched_ts always carries the match time."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 01:00:00"), 99.0)], ["id", "k", "ts", "v"]
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 7.0)], ["k", "ts", "v"]
+    )
+    row = as_of_join(left, right, on="k").collect()[0]
+    assert row["v"] == 99.0
+    assert row["right_v"] == 7.0
+    assert row["matched_ts"] == _ts("2024-01-01 00:00:00")
+
+
+def test_range_join_boundaries(spark):
+    """start inclusive, end exclusive; bucket-boundary-spanning intervals
+    match points in every covered bucket exactly once."""
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:00:00")),  # == start: match
+            (2, "a", _ts("2024-01-01 01:59:59")),  # inside, 2nd bucket
+            (3, "a", _ts("2024-01-01 02:00:00")),  # == end: no match
+            (4, "b", _ts("2024-01-01 00:30:00")),  # wrong key
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00"), 1)],
+        ["k", "s", "e", "iv"],
+    )
+    got = sorted(
+        (r["id"], r["iv"])
+        for r in range_join(
+            left, right, on="k", ts_col="ts", start_col="s", end_col="e"
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_range_join_overlapping_intervals(spark):
+    """A point inside two overlapping windows matches both — and each pair
+    appears exactly once even when intervals span multiple buckets."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 01:30:00"))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 03:00:00"), 1),
+            ("a", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00"), 2),
+        ],
+        ["k", "s", "e", "iv"],
+    )
+    got = sorted(
+        r["iv"]
+        for r in range_join(
+            left, right, on="k", ts_col="ts", start_col="s", end_col="e"
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_rejects_collisions(spark):
+    left = spark.createDataFrame([(1, "a", _ts("2024-01-01"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01"), _ts("2024-01-02"), 5)], ["k", "s", "e", "id"]
+    )
+    with pytest.raises(ValueError, match="collision"):
+        range_join(left, right, on="k", ts_col="ts", start_col="s", end_col="e")
+
+
+def test_asof_rejects_bad_direction(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, on="k", direction="nearest")

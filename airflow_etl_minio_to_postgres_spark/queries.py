@@ -77,7 +77,13 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
 )
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
-from airflow_etl_minio_to_postgres_spark.sources.files import read_csv, write_csv
+from airflow_etl_minio_to_postgres_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -730,6 +736,47 @@ def bronze_csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = write_csv(region, os.path.join(base, "region"), mode="overwrite")
     return read_csv(spark, path, schema=TESTDATA_SCHEMAS["region"])
+
+
+@register(
+    "docs_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + schema-declared scan, lossless vs the parquet truth —
+    the interchange format a training-data pipeline actually serves
+    (one doc per line, splittable, corrupt lines quarantined instead of
+    killing the job)."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    path = write_jsonl(docs, os.path.join(base, "documents"), mode="overwrite")
+    back = read_jsonl(spark, path, schema=TESTDATA_SCHEMAS["documents"])
+    return back.drop("_corrupt_record")
+
+
+@register(
+    "orc_roundtrip_part",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice "
+    "FROM part",
+)
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (write_orc / read_file dispatch), lossless vs the
+    parquet truth — the columnar sibling for ORC-standardized estates."""
+    part = load_table(spark, "part", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.files import read_file
+
+    out = os.path.join(base, "part.orc")
+    write_orc(part, out, mode="overwrite")
+    return read_file(spark, out, schema=TESTDATA_SCHEMAS["part"])
 
 
 @register(

@@ -36,6 +36,8 @@ from airflow_etl_minio_to_postgres_spark.naming import normalize_filename
 CSV_EXTENSIONS = {".csv"}
 EXCEL_EXTENSIONS = {".xlsx", ".xls"}
 PARQUET_EXTENSIONS = {".parquet"}
+JSONL_EXTENSIONS = {".jsonl", ".json", ".ndjson"}
+ORC_EXTENSIONS = {".orc"}
 
 
 def _extension(path: str) -> str:
@@ -184,24 +186,74 @@ def read_excel(
     return spark.createDataFrame(data, schema=header)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """Line-delimited JSON scan — THE interchange format of training-data
+    pipelines (one document per line splits cleanly across executors).
+
+    Always pass ``schema`` on a data path: without one Spark pays a full
+    inference pre-scan of every file.  Malformed lines do not kill the
+    job (PERMISSIVE mode): with ``corrupt_col`` set, the raw offending
+    line lands in that column (add it to the schema to triage bad
+    records); set ``corrupt_col=None`` to silently null-row them.
+    Multi-line (pretty-printed array) JSON is deliberately unsupported —
+    it is non-splittable and has no place at scale.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema is not None and corrupt_col not in schema.fieldNames():
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+            )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    single_file: bool = False,
+) -> str:
+    """JSONL sink (one object per partition; optionally gzip'd).  NULL
+    fields are omitted per line (JSON convention) — lossless only under a
+    declared read schema, which :func:`read_jsonl` demands anyway."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return path
+
+
 def read_file(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
     **kwargs,
 ) -> DataFrame:
-    """Extension dispatch (S3): CSV / Excel / parquet, raise on unsupported
-    (reference raises at ``:46-47``)."""
+    """Extension dispatch (S3): CSV / Excel / parquet / JSONL / ORC, raise
+    on unsupported (reference raises at ``:46-47``)."""
     ext = _extension(path)
     if ext in CSV_EXTENSIONS:
         return read_csv(spark, path, schema=schema, **kwargs)
     if ext in EXCEL_EXTENSIONS:
         return read_excel(spark, path, schema=schema, **kwargs)
-    if ext in PARQUET_EXTENSIONS:
+    if ext in JSONL_EXTENSIONS:
+        return read_jsonl(spark, path, schema=schema, **kwargs)
+    if ext in PARQUET_EXTENSIONS or ext in ORC_EXTENSIONS:
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(path)
+        fmt = "parquet" if ext in PARQUET_EXTENSIONS else "orc"
+        return reader.format(fmt).load(path)
     raise ValueError(f"unsupported file type {ext!r} for {path!r}")
 
 
@@ -217,6 +269,21 @@ def write_csv(
     tables; the partitioned default is the layout that scales."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return path
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    """ORC columnar sink — parquet's sibling for warehouses standardized on
+    ORC (Hive/Trino estates); same Spark-native vectorized reader."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
     return path
 
 

@@ -54,8 +54,10 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
 
 
 def test_read_file_dispatch_unsupported(spark):
+    # .json/.jsonl/.orc now dispatch; .avro needs the external spark-avro
+    # package and stays unsupported here
     with pytest.raises(ValueError, match="unsupported file type"):
-        read_file(spark, "/tmp/data.json")
+        read_file(spark, "/tmp/data.avro")
 
 
 def test_read_file_csv_dispatch(spark, tmp_path):
@@ -333,3 +335,52 @@ def test_release_caches_unpersists_signature_tables(spark):
     simhash_near_dup_pairs(docs).collect()
     assert release_caches() == 2
     assert release_caches() == 0
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """Well-formed lines round-trip under a declared schema; a malformed
+    line lands in _corrupt_record instead of failing the scan."""
+    from pyspark.sql import types as T
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("t", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    out = str(tmp_path / "docs")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema=schema)
+    assert sorted((r["id"], r["t"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    assert "_corrupt_record" in back.columns
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.jsonl").write_text('{"id": 3, "t": "c"}\n{oops not json\n')
+    got = read_jsonl(spark, str(bad), schema=schema).collect()
+    good = [r for r in got if r["id"] == 3]
+    corrupt = [r for r in got if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and len(corrupt) == 1
+    assert corrupt[0]["_corrupt_record"].startswith("{oops")
+
+
+def test_read_file_dispatches_jsonl_and_orc(spark, tmp_path):
+    from pyspark.sql import types as T
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        read_file,
+        write_jsonl,
+        write_orc,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = spark.createDataFrame([(7,)], schema)
+    jl = str(tmp_path / "x.jsonl")
+    write_jsonl(df, jl)
+    assert read_file(spark, jl, schema=schema).drop(
+        "_corrupt_record"
+    ).collect()[0]["id"] == 7
+    oc = str(tmp_path / "y.orc")
+    write_orc(df, oc)
+    assert read_file(spark, oc, schema=schema).collect()[0]["id"] == 7

@@ -166,9 +166,15 @@ def incremental_silver(
 
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream -> stateful counts -> final value per user (max of cumulative
-    emissions, robust to multi-batch splits of the input)."""
+    emissions, robust to multi-batch splits of the input).
+
+    The explicit ``select("user_id")`` matters: Catalyst cannot prune
+    columns through the opaque ``applyInPandasWithState`` operator, so
+    without it every column (including the wide ``props`` JSON string)
+    crosses the Arrow boundary per micro-batch — ~5x slower at sf0.1.
+    """
     out = run_available_now(
-        stateful_user_counts(stream_events(spark, sf_dir)),
+        stateful_user_counts(stream_events(spark, sf_dir).select("user_id")),
         output_mode="update",
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -390,10 +390,11 @@ def ngram_jaccard_pairs(
     gram ARRAYS and computes ``size(array_intersect(...))`` in a single
     codegen'd expression — the candidate row count never explodes back
     into per-gram rows the way a count-the-intersection join would
-    (|cand| x avg_set_size rows through a shuffle).  Stage budget: one
-    gram-df aggregate, ONE doc-partitioned window computing rank and set
-    size together, the bounded prefix self-join, one collect_list
-    aggregate, two verification joins.  Everything is expression-only.
+    (|cand| x avg_set_size rows through a shuffle).  Stage budget: ONE
+    gram-partitioned window for document frequency, ONE doc-partitioned
+    window computing rank and set size together, the bounded prefix
+    self-join, one collect_list aggregate, two verification joins.
+    Everything is expression-only.
 
     ``unit='word'`` (default) shingle-izes on words — see
     :func:`word_ngrams` for why character grams defeat prefix filtering
@@ -404,15 +405,20 @@ def ngram_jaccard_pairs(
     """
     gram_fn = word_ngrams if unit == "word" else char_ngrams
     grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
-    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
 
     from pyspark.sql import Window
 
+    # Document frequency as a window over the gram partition: the count
+    # rides the SAME gram-keyed shuffle an aggregate+join-back would need
+    # twice (once for the groupBy, once to re-join the counts onto the
+    # gram table).  One full-gram-table shuffle saved — the gram table is
+    # the largest intermediate in this operator at scale.
+    wdf = Window.partitionBy("gram")
     w = Window.partitionBy(id_col).orderBy("_df", "gram")
     wsz = Window.partitionBy(id_col)
     # one doc_id shuffle serves both the rank and the set size
     ranked = (
-        grams.join(gram_df, "gram")
+        grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_sz", F.count(F.lit(1)).over(wsz))
     )

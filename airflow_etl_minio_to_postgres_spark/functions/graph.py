@@ -1,0 +1,131 @@
+"""Connected components over near-duplicate pair graphs.
+
+Why this exists: pairwise near-dup removal (drop the higher id of every
+qualifying pair) is NOT transitive-closure dedup.  With pairs (A,B) and
+(B,C) but no (A,C) edge, the pairwise policy drops B and C even though C
+only resembles the already-dropped B — the correct cluster {A,B,C} keeps
+exactly one survivor.  Production LLM dedup (e.g. the MinHash pipelines
+described in the Gopher/RefinedWeb reports) clusters candidate pairs into
+components and keeps one document per component; this module supplies that
+clustering as a DataFrame-native operator.
+
+Scale design: the operator is iterative min-label propagation —
+``label(v) <- min(label(v), min over neighbors' labels)`` to fixpoint.
+Each round is one shuffle keyed on node id (join labels to edges +
+groupBy), so total cost is O(E) per round x graph diameter.  Near-dup
+graphs are unions of tiny, dense clusters (a doc, its shards, its mirror
+copies) — diameter is 2-3 in practice, so the loop runs 3-4 rounds
+regardless of corpus size.  Every round ``localCheckpoint``s the label
+table: lineage stays O(1) deep instead of growing one join per round
+(the classic iterative-DataFrame blowup), and the convergence check reads
+a 2-value aggregate off the checkpointed result, not a recompute.  For
+adversarial high-diameter graphs (long chains), switch to the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), which converges in O(log^2 n) rounds on
+the same join/groupBy primitives; near-dup workloads never need it.
+
+Convergence detection is free of a distinct "did anything change" join:
+labels only ever decrease, so ``sum(label)`` strictly decreases on every
+round that changes anything — the loop stops the first time the (count,
+sum) signature repeats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the MINIMUM
+    node id of its connected component.
+
+    Returns (node, component).  Nodes appearing only as isolated vertices
+    are the caller's concern — ``edges`` has no way to mention them; join
+    the result back to the corpus with ``coalesce(component, id)``.
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iter`` rounds (diameter > max_iter ⇒ the input is not a
+    near-dup-shaped graph; see module docstring for the log-rounds
+    alternative).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # round 0: label(u) = min(u, min neighbor) — one groupBy seeds the
+    # same state a separate init + first propagation round would.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sig = labels.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["s"]):
+            return labels.select("node", F.col("label").alias("component"))
+        prev_sig = (sig["n"], sig["s"])
+        # propagate: each node offers its label to every neighbor; keep min
+        offers = sym.join(
+            labels.withColumnRenamed("node", "u"), on="u"
+        ).select(F.col("v").alias("node"), "label")
+        labels = (
+            labels.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the near-dup contract — use a "
+        "large-star/small-star implementation for chain-shaped graphs"
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Every corpus row labeled with its duplicate-cluster id: the minimum
+    ``id_col`` reachable through ``pairs``; singletons label themselves.
+
+    The component table is small (only docs that appear in some pair —
+    the duplicate minority), so AQE turns the join back to the corpus
+    into a broadcast; the full corpus never shuffles.
+    """
+    comp = connected_components(pairs, src_col, dst_col).withColumnRenamed(
+        "node", id_col
+    )
+    return corpus.select(id_col).join(comp, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def transitive_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Transitive-closure dedup: ONE survivor per duplicate cluster — the
+    minimum id — instead of the pairwise drop-the-higher-id policy (see
+    module docstring for why those differ on chained duplicates)."""
+    clustered = assign_clusters(corpus, pairs, id_col, src_col, dst_col)
+    return clustered.where(F.col(id_col) == F.col("cluster_id")).select(id_col)

@@ -41,6 +41,10 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
+from airflow_etl_minio_to_postgres_spark.functions.graph import (
+    assign_clusters,
+    transitive_dedup,
+)
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
     attach_payload,
     extract_payload_features,
@@ -1045,6 +1049,64 @@ def docs_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_input(spark, sf_dir)
     dups = near_dup_pairs(corpus).select(F.col("id_b").alias("doc_id"))
     return corpus.select("doc_id").join(dups, on="doc_id", how="left_anti")
+
+
+# Transitive-closure clustering oracle: the same MinHash-LSH pair CTEs,
+# extended with a recursive reachability CTE — cluster id = min doc id
+# reachable through the symmetric pair graph.  The engine runs iterative
+# min-label propagation (functions/graph.py); equality against true
+# transitive closure proves the propagation converged to the exact
+# components, not an approximation.
+_DUP_CLUSTER_CTES = (
+    _NEAR_DUP_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.5
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs WHERE jaccard >= 0.5
+),
+reach(n, m) AS (
+    SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+"""
+)
+
+
+@register(
+    "docs_dup_clusters",
+    _DUP_CLUSTER_CTES
+    + """
+    SELECT b.doc_id, coalesce(c.cluster_id, b.doc_id) AS cluster_id
+    FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
+    """,
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH near-dup pair graph; every doc labeled with the min id of
+    its component (itself when it has no near-duplicate)."""
+    corpus = _near_dup_input(spark, sf_dir)
+    return assign_clusters(corpus, near_dup_pairs(corpus))
+
+
+@register(
+    "docs_dedup_transitive",
+    _DUP_CLUSTER_CTES
+    + """
+    SELECT b.doc_id
+    FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
+    WHERE coalesce(c.cluster_id, b.doc_id) = b.doc_id
+    """,
+)
+def docs_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: one survivor (min id) per duplicate
+    CLUSTER.  Differs from docs_near_dup_dedup's pairwise policy exactly
+    on chained duplicates — A~B, B~C, no A~C edge keeps {A} here but
+    {A} ∪ nothing-else-from-the-chain there; see functions/graph.py."""
+    corpus = _near_dup_input(spark, sf_dir)
+    return transitive_dedup(corpus, near_dup_pairs(corpus))
 
 
 @register(

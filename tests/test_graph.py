@@ -1,0 +1,75 @@
+"""Unit tests for functions/graph.py (connected-components dedup clustering)."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_etl_minio_to_postgres_spark.functions.graph import (
+    assign_clusters,
+    connected_components,
+    transitive_dedup,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+
+def _components(spark, pairs):
+    rows = connected_components(_edges(spark, pairs)).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_disjoint_pairs(spark):
+    comp = _components(spark, [(1, 2), (3, 4)])
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_chain_converges_across_rounds(spark):
+    # A 7-node path needs several propagation rounds (diameter 6) — pins
+    # the iteration/convergence logic, not just the seeded first round.
+    chain = [(i, i + 1) for i in range(1, 7)]
+    comp = _components(spark, chain)
+    assert comp == {i: 1 for i in range(1, 8)}
+
+
+def test_merge_through_shared_node(spark):
+    # V-shape: (1,3) and (2,3) form ONE component through 3.
+    comp = _components(spark, [(1, 3), (2, 3)])
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_edge_order_is_irrelevant(spark):
+    # min label flows "uphill" regardless of which side is smaller
+    comp = _components(spark, [(5, 9), (2, 9), (2, 7)])
+    assert comp == {2: 2, 5: 2, 7: 2, 9: 2}
+
+
+def test_assign_clusters_labels_singletons(spark):
+    corpus = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters(corpus, _edges(spark, [(2, 4)])).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5}
+
+
+def test_transitive_vs_pairwise_on_v_shape(spark):
+    # Pairs (1,3), (2,3): the pairwise drop-every-id_b policy keeps {1, 2}
+    # — two surviving near-duplicates of the same cluster.  Transitive
+    # clustering keeps exactly one survivor: min id 1.
+    corpus = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    pairs = _edges(spark, [(1, 3), (2, 3)])
+    survivors = {
+        r["doc_id"] for r in transitive_dedup(corpus, pairs).collect()
+    }
+    assert survivors == {1}
+    pairwise = {1, 2}  # what the anti-join-on-id_b policy would keep
+    assert survivors != pairwise
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, 9)]), max_iter=2
+        )

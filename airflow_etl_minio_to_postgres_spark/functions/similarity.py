@@ -276,6 +276,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor SELF-join: for EVERY vector, its top
+    ``k`` neighbors by cosine among LSH-band candidates.
+
+    This is the all-rows variant of :func:`topk_cosine` (one query point)
+    — the shape a training pipeline needs for corpus-wide retrieval
+    augmentation or semantic-cluster labeling.  Candidate pairs come from
+    the same seeded random-hyperplane band join as
+    :func:`embedding_near_dup_pairs`, kept in BOTH directions (k-NN is
+    asymmetric: b in knn(a) says nothing about a in knn(b)); each side
+    then ranks its candidates with one window partitioned by the query id
+    — a single shuffle keyed on a high-cardinality column, never a global
+    sort.  Complexity O(sum of per-band bucket^2), bounded by the random
+    hyperplanes keeping buckets near corpus/2^bits.
+
+    Recall contract (approximate by design): a true neighbor sharing no
+    band with its query is missed; near-identical vectors collide on some
+    band almost surely (see :func:`embedding_near_dup_pairs`).  Returns
+    (``id_col``, neighbor_id, cosine, rank) with rank 1..k, cosine-desc,
+    neighbor id as the deterministic tie-break.
+    """
+    from pyspark.sql import Window
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    planes = hyperplanes(dim, n_bands * bits_per_band, seed)
+    base = _persist_tracked(df.select(id_col, vec_col))
+    b = base.select(
+        F.col(id_col),
+        F.explode(
+            hyperplane_band_keys_expr(vec_col, planes, n_bands)
+        ).alias("band_key"),
+    )
+    cand = (
+        b.select(F.col(id_col).alias("_qid"), "band_key")
+        .join(b.select(F.col(id_col).alias("_nid"), "band_key"), on="band_key")
+        .where(F.col("_qid") != F.col("_nid"))
+        .select("_qid", "_nid")
+        .dropDuplicates(["_qid", "_nid"])
+    )
+    scored = (
+        cand.join(
+            base.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+            "_qid",
+        )
+        .join(
+            base.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")),
+            "_nid",
+        )
+        .select(
+            "_qid", "_nid", cosine_expr(F.col("_qv"), F.col("_nv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def ann_topk_sign_lsh(
     df: DataFrame,
     query_id: int,

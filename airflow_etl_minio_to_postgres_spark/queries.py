@@ -56,6 +56,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
     ivf_topk,
+    knn_join,
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
@@ -1436,6 +1437,57 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double.unionByName(perturbed),
         dim=_EMB_DIM,
         threshold=0.95,
+        n_bands=_EMB_BANDS,
+        bits_per_band=_EMB_BITS_PER_BAND,
+        seed=_EMB_SEED,
+    )
+
+
+@register(
+    "emb_knn_join",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, unnest({_band_keys_sql()}) AS band_key FROM corpus
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS qid, n.vec_id AS nid
+        FROM b a JOIN b n USING (band_key)
+        WHERE a.vec_id != n.vec_id
+    ),
+    scored AS (
+        SELECT qid, nid, ca.embedding AS v_a, cb.embedding AS v_b
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = qid
+        JOIN corpus cb ON cb.vec_id = nid
+    ),
+    ranked AS (
+        SELECT qid, nid, {_COS_AB_SQL} AS cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_COS_AB_SQL} DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id, nid AS neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN self-join (k=3) over the seeded
+    random-hyperplane LSH bands; the oracle replays the identical band
+    assignment, candidate join, and window ranking in SQL."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return knn_join(
+        e,
+        dim=_EMB_DIM,
+        k=3,
         n_bands=_EMB_BANDS,
         bits_per_band=_EMB_BITS_PER_BAND,
         seed=_EMB_SEED,

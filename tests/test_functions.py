@@ -302,6 +302,39 @@ def test_embedding_near_dup_recall_on_planted_pair(spark):
     assert got == [(0, 1)]
 
 
+def test_knn_join_ranks_band_candidates(spark):
+    """Every vector gets its cosine-ranked top-k among band candidates;
+    ranks are dense from 1 and capped at k; knn is asymmetric (both
+    directions of each candidate pair are ranked independently)."""
+    import numpy as np
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        knn_join,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.standard_normal(dim)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 4):  # three perturbed copies — all near-identical
+        v = base.copy()
+        v[0] += 0.01 * i
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_join(df, dim=dim, k=2).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["vec_id"], []).append(r)
+    # every vector found neighbors, ranked 1..2, cosine non-increasing
+    assert set(by_query) == {0, 1, 2, 3}
+    for q, rs in by_query.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2]
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        assert ordered[0]["cosine"] >= ordered[1]["cosine"]
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
 def test_ngram_jaccard_exact_value(spark):
     """Prefix-filtered set-similarity join returns the exact Jaccard:
     10-word docs differing in one word share 7 of 9 distinct 3-grams."""

@@ -129,6 +129,70 @@ def stratified_cap(
     )
 
 
+def dup_ngram_frac_expr(words_col: str, n: int) -> Column:
+    """Fraction of word ``n``-grams that are repeats of an earlier one:
+    ``1 - distinct/total`` — the Gopher-report-style repetition signal
+    used to filter boilerplate and degenerate (looping) text.  A narrow
+    per-row expression over the already-split word array; 0.0 for docs
+    shorter than ``n`` words.  ``words_col`` is a column NAME — the gram
+    generator is built as one SQL string so the array is indexed in
+    place, not re-derived per gram by projection collapse."""
+    words = F.col(words_col)
+    if n == 1:
+        grams = words
+    else:
+        shingle = ", ".join(f"{words_col}[i+{j}]" for j in range(n))
+        grams = F.expr(
+            f"transform(sequence(0, size({words_col}) - {n}),"
+            f" i -> concat_ws(' ', {shingle}))"
+        )
+    total = F.size(grams)
+    return F.when(
+        F.size(words) >= n,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: (id, n_words, top_word_frac,
+    dup_2gram_frac, dup_3gram_frac).
+
+    ``top_word_frac`` (share of the single most frequent word) needs a
+    per-(doc, word) count — explode + two partial aggregations, both
+    map-side combinable, shuffle keyed on the doc id.  The duplicate
+    n-gram fractions are pure narrow expressions over the split array and
+    ride the same single pass.  The expensive explode path carries only
+    (id, word), never the document text.
+    """
+    words = words_expr(F.col(text_col))
+    base = df.select(F.col(id_col), words.alias("_w")).where(F.size("_w") > 0)
+    per_word = (
+        base.select(id_col, F.explode("_w").alias("_word"))
+        .groupBy(id_col, "_word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    top = per_word.groupBy(id_col).agg(
+        F.max("_c").alias("_top"), F.sum("_c").alias("n_words")
+    )
+    fracs = base.select(
+        id_col,
+        dup_ngram_frac_expr("_w", 2).alias("dup_2gram_frac"),
+        dup_ngram_frac_expr("_w", 3).alias("dup_3gram_frac"),
+    )
+    return top.join(fracs, on=id_col).select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("_top").cast("double") / F.col("n_words").cast("double")).alias(
+            "top_word_frac"
+        ),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle to a documents frame."""
     t = F.col(text_col)

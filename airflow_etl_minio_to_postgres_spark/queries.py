@@ -67,6 +67,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     lang_id_expr,
     punct_ratio_expr,
     quality_score_expr,
+    repetition_signals,
     stopword_ratio_expr,
     stratified_cap,
     token_count_expr,
@@ -937,6 +938,49 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "docs_repetition",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS w FROM documents
+        WHERE len({_WORDS}) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+    wc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_words
+        FROM wc GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(0, len(w) - 1),
+                                        i -> concat_ws(' ', w[i+1], w[i+2]))
+                    ELSE [] END AS g2,
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(0, len(w) - 2),
+                                        i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))
+                    ELSE [] END AS g3
+        FROM w
+    )
+    SELECT top.doc_id, n_words,
+           top_c::DOUBLE / n_words::DOUBLE AS top_word_frac,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE
+                ELSE 0.0 END AS dup_3gram_frac
+    FROM top JOIN g ON g.doc_id = top.doc_id
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile per document: most-frequent-word
+    share + duplicate 2-/3-gram fractions — the signals that catch
+    boilerplate and degenerate looping text before training."""
+    return repetition_signals(load_table(spark, "documents", sf_dir))
 
 
 @register(

@@ -302,6 +302,31 @@ def test_embedding_near_dup_recall_on_planted_pair(spark):
     assert got == [(0, 1)]
 
 
+def test_repetition_signals_hand_values(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),      # top 2/3; bigrams [a a, a b] all distinct
+            (2, "x x x x"),    # top 1.0; bigrams 3, distinct 1; trigrams 2, distinct 1
+            (3, "q"),          # single word: both gram fracs 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 3
+    assert abs(got[1]["top_word_frac"] - 2 / 3) < 1e-12
+    assert got[1]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 1.0
+    assert abs(got[2]["dup_2gram_frac"] - 2 / 3) < 1e-12
+    assert got[2]["dup_3gram_frac"] == 0.5
+    assert got[3]["n_words"] == 1
+    assert got[3]["dup_2gram_frac"] == 0.0
+    assert got[3]["dup_3gram_frac"] == 0.0
+
+
 def test_knn_join_ranks_band_candidates(spark):
     """Every vector gets its cosine-ranked top-k among band candidates;
     ranks are dense from 1 and capped at k; knn is asymmetric (both

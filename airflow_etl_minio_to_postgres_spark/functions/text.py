@@ -193,6 +193,37 @@ def repetition_signals(
     )
 
 
+def hash_uniform_expr(id_col: str, salt: str = "mix") -> Column:
+    """Deterministic uniform [0,1) draw per id: the first 8 hex chars of
+    ``sha256(salt || ':' || id)`` as an integer over 2^32.  Seedless and
+    partition-independent — the same id samples identically on any
+    cluster layout, any engine (the oracle reproduces it verbatim), any
+    rerun.  That reproducibility is the whole point: training-data
+    mixing must be an idempotent function of the corpus, not RNG state.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return bucket.cast("double") / F.lit(4294967296.0)
+
+
+def rate_sample(
+    df: DataFrame, rate: Column, id_col: str = "doc_id", salt: str = "mix"
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform draw falls below
+    ``rate`` (a per-row Column — typically a CASE over the row's domain/
+    source).  The data-mixing primitive: up-/down-weight sources by
+    sampling rate with zero shuffles — a narrow filter over the scan,
+    pushed down by Catalyst like any other predicate."""
+    return df.where(hash_uniform_expr(id_col, salt) < rate)
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle to a documents frame."""
     t = F.col(text_col)

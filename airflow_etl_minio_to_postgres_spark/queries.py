@@ -67,6 +67,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     lang_id_expr,
     punct_ratio_expr,
     quality_score_expr,
+    rate_sample,
     repetition_signals,
     stopword_ratio_expr,
     stratified_cap,
@@ -1706,6 +1707,37 @@ def docs_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256-of-id order (seedless, partition-independent)."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return stratified_cap(d, "source", "doc_id", cap=10)
+
+
+# Per-source sampling rates as a CASE over the source index — the literal
+# formula is shared verbatim with the oracle so the mix is reproducible by
+# construction.  (A production pipeline would broadcast-join a rates table;
+# the sampling predicate itself is identical.)
+_MIX_RATE_SQL = (
+    "CASE CAST(substring(source, 4) AS INT) % 4"
+    " WHEN 0 THEN CAST(1.0 AS DOUBLE)"
+    " WHEN 1 THEN CAST(0.5 AS DOUBLE)"
+    " WHEN 2 THEN CAST(0.25 AS DOUBLE)"
+    " ELSE CAST(0.125 AS DOUBLE) END"
+)
+
+
+@register(
+    "docs_domain_mix",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)::DOUBLE / 4294967296.0
+          < {_MIX_RATE_SQL.replace("substring", "substr")}
+    """,
+)
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix sampling: each source kept at a per-domain
+    rate (1.0/0.5/0.25/0.125 by source index mod 4) via a seedless
+    sha256-of-id uniform draw — a pushdown-able narrow filter, no shuffle,
+    byte-identical sample on rerun or engine change."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return rate_sample(d, F.expr(_MIX_RATE_SQL))
 
 
 @register(

@@ -302,6 +302,23 @@ def test_embedding_near_dup_recall_on_planted_pair(spark):
     assert got == [(0, 1)]
 
 
+def test_rate_sample_deterministic_and_boundary(spark):
+    from pyspark.sql import functions as SF
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import rate_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {r["doc_id"] for r in rate_sample(df, SF.lit(0.5)).collect()}
+    b = {r["doc_id"] for r in rate_sample(df, SF.lit(0.5)).collect()}
+    assert a == b  # same ids every run — function of the id, not RNG state
+    assert 60 <= len(a) <= 140  # ~binomial(200, .5)
+    assert rate_sample(df, SF.lit(1.0)).count() == 200
+    assert rate_sample(df, SF.lit(0.0)).count() == 0
+    # a different salt draws a different (still deterministic) sample
+    c = {r["doc_id"] for r in rate_sample(df, SF.lit(0.5), salt="other").collect()}
+    assert c != a
+
+
 def test_repetition_signals_hand_values(spark):
     from airflow_etl_minio_to_postgres_spark.functions.text import (
         repetition_signals,

@@ -224,6 +224,59 @@ def rate_sample(
     return df.where(hash_uniform_expr(id_col, salt) < rate)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs — the pretraining
+    batch-construction primitive (concatenate docs until ~``budget``
+    tokens, start the next pack).
+
+    Semantics (chosen to be distributable AND reproducible): docs are
+    ordered within each ``group_col`` by the seedless sha256-of-id
+    shuffle; each doc joins the pack its cumulative START offset falls
+    in — ``pack_id = floor((cumsum - tokens) / budget)``.  A doc whose
+    tokens straddle the boundary OVERFLOWS its pack rather than opening
+    a new one (training-side truncation/continuation handles the tail).
+    Exact greedy first-fit would make every assignment depend on the
+    full prefix of decisions — an inherently sequential scan; the
+    fixed-boundary rule computes the identical thing a single window
+    cumsum can, so the operator is one shuffle keyed on the group.
+
+    Returns (id, group, n_tokens, pack_id, pack_offset) where
+    ``pack_offset`` is the doc's start position within its pack.
+    """
+    from pyspark.sql import Window
+
+    tokens = (
+        F.col(token_col)
+        if token_col is not None
+        else word_count_expr(F.col(text_col))
+    )
+    rank_key = F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 16)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(rank_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col), F.col(group_col), tokens.cast("long").alias("n_tokens")
+    )
+    cum = base.withColumn("_end", F.sum("n_tokens").over(w))
+    start = (F.col("_end") - F.col("n_tokens")).cast("long")
+    return cum.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        (start % F.lit(budget)).cast("long").alias("pack_offset"),
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle to a documents frame."""
     t = F.col(text_col)

@@ -66,6 +66,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     punct_ratio_expr,
+    pack_sequences,
     quality_score_expr,
     rate_sample,
     repetition_signals,
@@ -1738,6 +1739,39 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical sample on rerun or engine change."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return rate_sample(d, F.expr(_MIX_RATE_SQL))
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16),
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS start
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+           start % 512 AS pack_offset
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: per-source 512-token
+    packs over the deterministic sha256-of-id order; one window cumsum,
+    one shuffle keyed on source (see functions/text.py for the overflow
+    semantics that keep this distributable)."""
+    return pack_sequences(
+        load_table(spark, "documents", sf_dir), budget=512
+    )
 
 
 @register(

@@ -302,6 +302,31 @@ def test_embedding_near_dup_recall_on_planted_pair(spark):
     assert got == [(0, 1)]
 
 
+def test_pack_sequences_budget_and_offsets(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", "w " * 40) for i in range(10)],  # 40 words after trim
+        ["doc_id", "source", "text"],
+    )
+    rows = pack_sequences(df, budget=100).collect()
+    assert len(rows) == 10
+    by_pack = {}
+    for r in rows:
+        assert r["n_tokens"] == 40
+        assert 0 <= r["pack_offset"] < 100
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    # starts at 0,40,...,360 -> floor(start/100) gives packs 0..3 with
+    # 3/2/3/2 docs regardless of which doc the hash order puts where
+    assert set(by_pack) == {0, 1, 2, 3}
+    assert sorted(len(v) for v in by_pack.values()) == [2, 2, 3, 3]
+    # deterministic: same assignment on re-run
+    again = pack_sequences(df, budget=100).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_rate_sample_deterministic_and_boundary(spark):
     from pyspark.sql import functions as SF
 

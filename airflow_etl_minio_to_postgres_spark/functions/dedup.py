@@ -470,6 +470,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screening: for every corpus document, count
+    how many of its distinct word ``n``-grams also appear in the benchmark
+    set — the decontamination pass every serious pretraining pipeline runs
+    (drop or flag training docs that leak eval data).
+
+    Scale shape: the benchmark gram vocabulary is tiny relative to the
+    corpus (eval suites are thousands of documents, the corpus is
+    billions), so the gram join BROADCASTS the benchmark side — the
+    corpus gram stream never shuffles; each task filters its grams
+    against the broadcast hash set and only the surviving (doc, gram)
+    rows enter the final per-doc count.  Returns (doc_id,
+    n_contaminated_grams) for docs with at least one hit; callers
+    anti-join or threshold on it.
+    """
+    corpus_grams = word_ngrams(corpus, n, text_col, id_col)
+    bench_grams = (
+        word_ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, expression-only)
 # ---------------------------------------------------------------------------

@@ -378,3 +378,30 @@ def ann_topk_sign_lsh(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted LONG —
+    one (label, dim, mean_val, n_vecs) row per coordinate — rather than as
+    an array, so the result joins/filters like any other table.
+
+    Shape: ``posexplode`` fans each vector into (label, dim, value) rows,
+    then one partial-aggregating groupBy on (label, dim) — the map-side
+    combine collapses the fan-out inside each task, so the shuffle carries
+    at most ``n_labels x dim`` rows per task regardless of corpus size.
+    The clustering/classification bookend: compute class prototypes over
+    billions of vectors with a single bounded shuffle (contrast with
+    collecting vectors to a driver-side kmeans step).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.avg(F.col("_v").cast("double")).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

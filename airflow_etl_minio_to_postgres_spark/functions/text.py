@@ -193,6 +193,38 @@ def repetition_signals(
     )
 
 
+def mask_terms(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask: str = "[MASKED]",
+) -> DataFrame:
+    """Blocklist term masking — the PII-redaction / bad-word-filter shape
+    used on raw training corpora (the C4 'dirty word' pass, or masking
+    emails/phones before pretraining).  Emits the masked text plus the
+    per-document hit count so downstream filters can drop documents whose
+    hit density is too high instead of merely scrubbing them.
+
+    One ``regexp_replace`` + one ``regexp_count`` over the text column:
+    narrow, shuffle-free, whole-stage-codegen'd — at 100 TB this is a map
+    over the scan, and the regex alternation is compiled once per task,
+    not per row.  The word-boundary anchors keep ``spark`` from matching
+    inside ``sparkle``; the same RE2/Java-compatible pattern runs verbatim
+    in the DuckDB oracle."""
+    pattern = "\\b(" + "|".join(terms) + ")\\b"
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(t, pattern, mask).alias("masked_text"),
+        # python-side F.lit keeps the backslashes out of the SQL-literal
+        # escape rules (a '\b' inside an expr() string is a backspace char)
+        F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_masked"),
+    )
+
+
 def hash_uniform_expr(id_col: str, salt: str = "mix") -> Column:
     """Deterministic uniform [0,1) draw per id: the first 8 hex chars of
     ``sha256(salt || ':' || id)`` as an integer over 2^32.  Seedless and

@@ -4,11 +4,21 @@ Reads are schema-declared (no inference pass) and lazy; Catalyst prunes
 columns/filters down to the parquet scan, which is the scale path for the
 100 TB target — a scan that reads all columns for a 2-column projection is
 wrong, and declaring the schema keeps ``ReadSchema`` minimal.
+
+Timestamp physical types are sniffed from the parquet footer, never
+hardcoded: a ``TIMESTAMP(NANOS)`` column cannot be mapped by Spark's
+vectorized reader to TimestampType (micros), so it is read as a raw
+nanosecond long (legacy ``nanosAsLong``) and integer-divided to micros.
+Earlier rounds hardcoded ``events.ts`` as nanos; when the driver
+regenerated the data as ``TIMESTAMP(MICROS)`` the div-1000 silently
+compressed 30 days of events into ~43 minutes.  Footer sniffing makes
+either regeneration direction safe.
 """
 
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,23 +28,50 @@ from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader cannot map to TimestampType (micros).  They are read as raw
-# nanosecond longs (legacy nanosAsLong) and integer-divided to micros
-# (`div` truncates toward zero — exact for post-epoch data; pre-1970
-# nanos would round up 1us vs a floor) with no double-precision loss.
-#
-# Conf note: nanosAsLong is session-global and stays set once a nanos
-# table is loaded; within this engine every nanos column is declared here
-# and always read long-then-converted, so the setting is idempotent.
-NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+@lru_cache(maxsize=None)
+def nanos_ts_columns(path: str, name: str) -> tuple[str, ...]:
+    """Columns of ``path`` whose parquet physical type is TIMESTAMP(NANOS).
+
+    Reads only the footer (pyarrow), cached per path.  ``path`` may be a
+    single parquet file or a directory of part files (first file's footer
+    wins — the writer guarantees a uniform schema per table).  Missing
+    paths and non-parquet inputs report no nanos columns; the scan itself
+    will surface the real error.
+    """
+    declared = TESTDATA_SCHEMAS.get(name)
+    if declared is not None and not any(
+        isinstance(f.dataType, T.TimestampType) for f in declared.fields
+    ):
+        return ()
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return ()
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        return tuple(
+            field.name
+            for field in schema
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+        )
+    except Exception:
+        return ()
 
 
-def raw_read_schema(name: str) -> T.StructType | None:
+def raw_read_schema(
+    name: str, nanos: tuple[str, ...] = ()
+) -> T.StructType | None:
     """Engine-facing schema with nanos-timestamp columns widened to long
     for the physical scan."""
     schema = TESTDATA_SCHEMAS.get(name)
-    nanos = NANOS_TS_COLUMNS.get(name)
     if schema is None or not nanos:
         return schema
     return T.StructType(
@@ -45,9 +82,10 @@ def raw_read_schema(name: str) -> T.StructType | None:
     )
 
 
-def restore_nanos_timestamps(df: DataFrame, name: str) -> DataFrame:
-    """Convert raw nano longs back to TimestampType (micros, truncated)."""
-    for col in NANOS_TS_COLUMNS.get(name, []):
+def restore_nanos_timestamps(df: DataFrame, nanos: tuple[str, ...]) -> DataFrame:
+    """Convert raw nano longs back to TimestampType (micros; ``div``
+    truncates toward zero — exact for post-epoch data)."""
+    for col in nanos:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
@@ -57,13 +95,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     lineitem events documents embeddings``) from ``{sf_dir}/{name}.parquet``."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name in NANOS_TS_COLUMNS:
+    nanos = nanos_ts_columns(path, name)
+    if nanos:
+        # Session-global but idempotent: every nanos column in this engine
+        # is footer-detected and always read long-then-converted.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
-    schema = raw_read_schema(name)
+    schema = raw_read_schema(name, nanos)
     if schema is not None:
         reader = reader.schema(schema)
-    return restore_nanos_timestamps(reader.parquet(path), name)
+    return restore_nanos_timestamps(reader.parquet(path), nanos)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

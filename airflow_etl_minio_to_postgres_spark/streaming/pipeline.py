@@ -22,6 +22,7 @@ Design notes for scale:
 from __future__ import annotations
 
 import itertools
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from airflow_etl_minio_to_postgres_spark.sources.catalog import (
+    nanos_ts_columns,
     raw_read_schema,
     restore_nanos_timestamps,
 )
@@ -40,16 +42,20 @@ _sink_counter = itertools.count()
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet directory (schema
-    declared — a streaming scan must never infer)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    declared — a streaming scan must never infer).  The timestamp
+    physical type is footer-sniffed like the batch path, so a nanos or
+    micros regeneration of the driver data is equally safe."""
+    nanos = nanos_ts_columns(os.path.join(sf_dir, "events.parquet"), "events")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source wants a directory; select the events object
     # with a glob filter so the same sf_dir layout works batch and stream.
     raw = (
-        spark.readStream.schema(raw_read_schema("events"))
+        spark.readStream.schema(raw_read_schema("events", nanos))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return restore_nanos_timestamps(raw, "events")
+    return restore_nanos_timestamps(raw, nanos)
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

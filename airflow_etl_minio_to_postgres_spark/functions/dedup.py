@@ -502,6 +502,36 @@ def contamination_counts(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus documents that leak at least ``min_hits`` distinct word
+    ``n``-grams from the benchmark set — the consuming half of
+    :func:`contamination_counts` (which only FLAGS leaks): this is the
+    stage a pretraining pipeline actually runs before training.
+
+    Scale shape: the screening join broadcasts the benchmark gram
+    vocabulary, so the corpus never shuffles to discover its flagged ids;
+    the flagged-id set is then tiny relative to the corpus (leaks are the
+    exception, not the rule), so AQE converts the final anti-join to a
+    broadcast at runtime and the corpus avoids a shuffle there too.  A
+    forced ``F.broadcast`` is deliberately NOT used on the flagged side —
+    an adversarially contaminated corpus could flag a large fraction, and
+    the runtime decision degrades gracefully where a hint would OOM.
+    """
+    flagged = (
+        contamination_counts(corpus, benchmark, n, text_col, id_col)
+        .where(F.col("n_contaminated_grams") >= F.lit(int(min_hits)))
+        .select(id_col)
+    )
+    return corpus.join(flagged, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, expression-only)
 # ---------------------------------------------------------------------------

@@ -1,9 +1,9 @@
 """End-to-end training-data preparation: the flagship composition of the
 LLM-pipeline operator family into ONE lazy Catalyst plan.
 
-funnel: quality filter -> language filter -> exact dedup -> near-dup
-removal (EXACT prefix-filtered n-gram Jaccard join) -> per-source
-stratified cap.
+funnel: quality filter -> language filter -> exact dedup -> [benchmark
+decontamination] -> near-dup removal (EXACT prefix-filtered n-gram
+Jaccard join) -> per-source stratified cap.
 
 Why composition matters at 100 TB: each stage is expression-only or a
 bounded join, so Catalyst sees the whole funnel at once — the quality and
@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    decontaminate,
     drop_exact_dups,
     ngram_jaccard_pairs,
 )
@@ -45,10 +46,21 @@ def prepare_training_corpus(
     ngram_n: int = 3,
     jaccard_threshold: float = 0.6,
     cap_per_source: int = 8,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 3,
+    decontam_min_hits: int = 1,
 ) -> DataFrame:
     """Run the full prep funnel over a ``documents``-shaped frame
     (``doc_id, source, lang, text``); returns the surviving
     ``doc_id, source, lang`` rows.
+
+    When ``benchmark`` is given (same shape, the held-out eval set), a
+    decontamination stage runs between exact dedup and near-dup removal:
+    any corpus doc sharing >= ``decontam_min_hits`` distinct word
+    ``decontam_n``-grams with the benchmark is dropped.  It sits there
+    because the screen is the cheapest shuffle-bearing stage (a broadcast
+    semi-join against the benchmark gram vocabulary), so it shrinks the
+    corpus BEFORE the strictly more expensive set-similarity join.
 
     Near-dup policy matches :func:`docs_near_dup_dedup`'s greedy survivor
     rule: for every qualifying pair the LOWER doc_id survives (anti-join
@@ -60,6 +72,10 @@ def prepare_training_corpus(
         & (lang_id_expr(text) == F.lit(lang))
     )
     deduped = drop_exact_dups(filtered)
+    if benchmark is not None:
+        deduped = decontaminate(
+            deduped, benchmark, n=decontam_n, min_hits=decontam_min_hits
+        )
     dup_ids = (
         ngram_jaccard_pairs(
             deduped, n=ngram_n, threshold=jaccard_threshold, unit="word"

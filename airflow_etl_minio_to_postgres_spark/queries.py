@@ -36,6 +36,7 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     contamination_counts,
+    decontaminate,
     exact_dedup_groups,
     near_dup_pairs,
     ngram_jaccard_pairs,
@@ -113,48 +114,51 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness harness oracle-checks only the FIRST 50 entries
-# of ``queries()``.  With 63 registered, 13 ride outside the window each
-# round — so expose a deliberate order: the newest / least-driver-verified
-# operator families first, and the longest-stable entries (medallion +
-# format roundtrips + two cleaners, all driver-green for 2+ rounds) at the
-# tail.  Registration order in this file stays purely topical.
-_WINDOW_HEAD: list[str] = [
-    "events_top_per_user",
-    "docs_stratified_cap",
-    "docs_domain_mix",
-    "docs_pack_sequences",
-    "docs_training_prep",
-    "events_user_type_counts_pandas",
-    "events_pivot_type_counts",
-    "events_json_props",
-    "events_streaming_hourly",
-    "events_streaming_user_counts",
-    "events_streaming_dedup",
-    "events_asof_last_purchase",
-    "events_attribution_windows",
-]
-_WINDOW_TAIL: list[str] = [
-    "clean_strings_customer",
-    "fill_nulls_customer",
-    "medallion_silver",
-    "medallion_gold_property",
-    "medallion_gold_hoa",
-    "medallion_gold_taxes",
-    "medallion_gold_leads",
-    "medallion_gold_rehab",
-    "medallion_gold_valuation",
-    "bronze_csv_roundtrip_region",
-    "docs_jsonl_roundtrip",
-    "orc_roundtrip_part",
-    "jdbc_roundtrip_nation",
-]
+# of ``queries()``.  More than 50 are registered, so ordering decides which
+# get a fresh driver row each round.  Rather than a hand-maintained list
+# (which round 5 got wrong, leaving its three newest operators unchecked),
+# the order ROTATES from the committed ``CORRECTNESS_r*.json`` history:
+# entries with no green driver row ever come first, then entries by
+# least-recently-verified round, ties broken by registration order.  A new
+# or failed entry is therefore always inside the window, and every stable
+# entry re-enters it at least every other round, so a regression in a
+# "stable" entry cannot hide indefinitely.
+def _verification_history() -> dict[str, int]:
+    """Query name -> latest round whose committed CORRECTNESS artifact has
+    a PASSING driver row for it (every ``*_match`` true, no ``err``).
+    Failed or error rows do not count — those entries re-expose until
+    green.  Missing/unreadable artifacts degrade to registration order."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            checks = [v for k, v in row.items() if k.endswith("_match")]
+            if checks and all(v is True for v in checks):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _driver_order(entries: dict) -> dict:
-    head = [n for n in _WINDOW_HEAD if n in entries]
-    tail = [n for n in _WINDOW_TAIL if n in entries]
-    middle = [n for n in entries if n not in _WINDOW_HEAD and n not in _WINDOW_TAIL]
-    return {n: entries[n] for n in head + middle + tail}
+    hist = _verification_history()
+    names = list(entries)
+    ranked = sorted(range(len(names)), key=lambda i: (hist.get(names[i], 0), i))
+    return {names[i]: entries[names[i]] for i in ranked}
 
 
 def queries() -> dict[str, QueryFn]:
@@ -286,14 +290,17 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_unshipped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
     The filtered customer side is small, so AQE broadcasts it; lineitem
-    joins orders on the shuffle-partitioned order key."""
+    joins orders on the shuffle-partitioned order key.  The scalar
+    subquery (min mktsegment) stays INSIDE the lazy plan as a broadcast
+    1-row cross-join — no driver round-trip, one job."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
-    seg = c.agg(F.min("c_mktsegment")).collect()[0][0]
+    seg = F.broadcast(c.agg(F.min("c_mktsegment").alias("_seg")))
     return (
-        c.where(F.col("c_mktsegment") == seg)
+        c.crossJoin(seg)
+        .where(F.col("c_mktsegment") == F.col("_seg"))
         .select("c_custkey")
         .join(o.where(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
         .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == o.o_orderkey)
@@ -1893,6 +1900,114 @@ def docs_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_training_prep_decontaminated",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source, lang, text FROM documents
+        WHERE doc_id % 20 <> 0
+          AND least(1.0, greatest(0.0,
+                  0.5 * ({_stop_ratio_sql('en')})
+                + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                - 0.25 * ({_PUNCT_SQL}))) >= 0.35
+          AND (CASE WHEN ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('de')})
+                     AND ({_stop_ratio_sql('en')}) >= ({_stop_ratio_sql('fr')}) THEN 'en'
+                    WHEN ({_stop_ratio_sql('de')}) >= ({_stop_ratio_sql('fr')}) THEN 'de'
+                    ELSE 'fr' END) = 'en'
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM f GROUP BY substr(sha256(text), 1, 16)
+    ),
+    s1 AS (SELECT f.* FROM f JOIN keepers USING (doc_id)),
+    bd AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    bpos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM bd WHERE len(w) >= 3
+    ),
+    bgrams AS (
+        SELECT DISTINCT concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM bpos
+    ),
+    cd AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM s1
+    ),
+    cpos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM cd WHERE len(w) >= 3
+    ),
+    cgrams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM cpos
+    ),
+    flagged AS (
+        SELECT DISTINCT doc_id FROM cgrams
+        WHERE gram IN (SELECT gram FROM bgrams)
+    ),
+    s1d AS (
+        SELECT * FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    d AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM s1d
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.6
+    ),
+    s2 AS (SELECT * FROM s1d WHERE doc_id NOT IN (SELECT id_b FROM dup))
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16),
+                            doc_id) AS rn
+        FROM s2
+    ) t WHERE rn <= 8
+    """,
+)
+def docs_training_prep_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship funnel with the decontamination stage enabled: every
+    20th document plays the held-out benchmark; the remaining corpus runs
+    quality -> lang -> exact dedup -> DECONTAMINATE (drop any doc sharing
+    a word 3-gram with the benchmark) -> near-dup removal -> stratified
+    cap, all one lazy plan.  The oracle re-derives all six stages
+    independently."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "text"
+    )
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return prepare_training_corpus(
+        corpus, benchmark=bench, decontam_n=3, decontam_min_hits=1
+    )
+
+
+@register(
     "events_user_type_counts_pandas",
     """
     SELECT user_id, event_type, count(*) AS n
@@ -2129,6 +2244,49 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return contamination_counts(corpus, bench, n=3)
+
+
+@register(
+    "docs_decontaminate",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM pos
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+    flagged AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)
+    )
+    SELECT doc_id, source, lang FROM documents
+    WHERE doc_id % 20 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consuming half of the contamination screen: DROP every corpus
+    document leaking >=1 distinct word 3-gram from the benchmark split
+    (every 20th doc), keeping the rest.  Engine: broadcast gram screen ->
+    AQE-decided anti-join (functions/dedup.py decontaminate); oracle:
+    NOT IN over the flagged-id set."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang", "text"
+    )
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, n=3, min_hits=1).select(
+        "doc_id", "source", "lang"
+    )
 
 
 @register(

@@ -18,6 +18,7 @@ either regeneration direction safe.
 from __future__ import annotations
 
 import os
+import warnings
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,26 +30,26 @@ from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-@lru_cache(maxsize=None)
 def nanos_ts_columns(path: str, name: str) -> tuple[str, ...]:
     """Columns of ``path`` whose parquet physical type is TIMESTAMP(NANOS).
 
-    Reads only the footer (pyarrow), cached per path.  ``path`` may be a
-    single parquet file or a directory of part files (first file's footer
-    wins — the writer guarantees a uniform schema per table).  Missing
-    paths and non-parquet inputs report no nanos columns; the scan itself
-    will surface the real error.
+    Reads only the footer (pyarrow).  ``path`` may be a single parquet
+    file or a directory of part files (first file's footer wins — the
+    writer guarantees a uniform schema per table).  The footer answer is
+    cached on the sniffed file's (path, mtime, size), so an in-place
+    regeneration of the data with a different timestamp physical type —
+    the exact scenario footer sniffing exists for — invalidates the cache
+    instead of silently reusing a stale answer.  Missing paths and
+    non-parquet inputs report no nanos columns; the scan itself will
+    surface the real error.
     """
     declared = TESTDATA_SCHEMAS.get(name)
     if declared is not None and not any(
         isinstance(f.dataType, T.TimestampType) for f in declared.fields
     ):
         return ()
+    target = path
     try:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        target = path
         if os.path.isdir(path):
             parts = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet")
@@ -56,13 +57,43 @@ def nanos_ts_columns(path: str, name: str) -> tuple[str, ...]:
             if not parts:
                 return ()
             target = os.path.join(path, parts[0])
+        st = os.stat(target)
+    except OSError as exc:
+        warnings.warn(
+            f"catalog: cannot stat parquet footer target {target!r} ({exc}); "
+            "assuming no nanos timestamp columns",
+            stacklevel=2,
+        )
+        return ()
+    return _sniff_nanos_columns(target, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=None)
+def _sniff_nanos_columns(target: str, mtime_ns: int, size: int) -> tuple[str, ...]:
+    """Footer read, cached on the file's freshness token (mtime+size)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         schema = pq.read_schema(target)
         return tuple(
             field.name
             for field in schema
             if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
         )
-    except Exception:
+    except ImportError as exc:
+        warnings.warn(
+            f"catalog: pyarrow unavailable for footer sniff of {target!r} "
+            f"({exc}); nanos timestamp columns would fail at scan time",
+            stacklevel=2,
+        )
+        return ()
+    except (OSError, ValueError) as exc:  # ArrowInvalid subclasses ValueError
+        warnings.warn(
+            f"catalog: failed to read parquet footer of {target!r} ({exc}); "
+            "assuming no nanos timestamp columns",
+            stacklevel=2,
+        )
         return ()
 
 

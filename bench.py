@@ -55,19 +55,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "engine_query_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-                "warmup_sec": round(warmup_sec, 4),
-                "n_queries": len(timings),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "engine_query_suite_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_from_dir(SF_DIR),
+            "warmup_sec": round(warmup_sec, 4),
+            "n_queries": len(timings),
+        }
     )
+    print(line)
+    # Sidecar copy: the driver captures stdout with a bounded tail, which
+    # has truncated this line mid-JSON in past rounds — the file keeps the
+    # per-query timings machine-readable regardless.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
 
 

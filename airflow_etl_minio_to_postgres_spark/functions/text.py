@@ -225,6 +225,50 @@ def mask_terms(
     )
 
 
+# PII classes for redact_pii.  Patterns are RE2-compatible (no lookaround,
+# ASCII \b), so the IDENTICAL string runs in Java regex (Spark) and RE2
+# (DuckDB oracle).  Order matters at replacement time: emails first (their
+# domain part could otherwise be chewed up by the ipv4 pass), then phones,
+# then bare IPv4s.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction over a raw text corpus: replace emails, phone
+    numbers, and IPv4 addresses with class tokens and emit a per-class
+    hit count — the pre-training scrub that runs AFTER quality filtering
+    and BEFORE tokenization in a real pipeline (counts let a downstream
+    filter drop documents that are mostly contact-dump boilerplate).
+
+    Same 100 TB shape as :func:`mask_terms`: a chain of three
+    ``regexp_replace`` calls plus three ``regexp_count``-style
+    expressions, all narrow, shuffle-free, and whole-stage-codegen'd —
+    one map over the scan, regexes compiled once per task.  Counts are
+    taken per class on the ORIGINAL text (classes are disjoint by
+    construction; an email's digits can't also match the phone pattern
+    because replacement order never exposes partial matches to the
+    counters)."""
+    t = F.col(text_col)
+    redacted = t
+    counts = []
+    for cls, (pattern, token) in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pattern, token)
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{cls}")
+        )
+    return df.select(
+        F.col(id_col), redacted.alias("redacted_text"), *counts
+    )
+
+
 def hash_uniform_expr(id_col: str, salt: str = "mix") -> Column:
     """Deterministic uniform [0,1) draw per id: the first 8 hex chars of
     ``sha256(salt || ':' || id)`` as an integer over 2^32.  Seedless and

@@ -27,6 +27,10 @@ from airflow_etl_minio_to_postgres_spark.operators.temporal import (
     as_of_join,
     range_join,
 )
+from airflow_etl_minio_to_postgres_spark.operators.scd import (
+    scd2_init,
+    scd2_merge,
+)
 from airflow_etl_minio_to_postgres_spark.operators.keys import (
     add_hash_key,
     add_natural_key,
@@ -66,6 +70,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     per_group_counts_pandas,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
+    redact_pii,
     fingerprint_expr,
     lang_id_expr,
     mask_terms,
@@ -85,6 +90,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     run_available_now,
     run_stateful_user_counts,
     stream_events,
+    stream_stream_attribution,
     streaming_dedup,
 )
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
@@ -570,6 +576,64 @@ def key_to_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     child = c.select("c_mktsegment", "c_custkey", "c_name")
     # The segment id map is dimension-sized -> broadcast is safe and right.
     return resolve_key_to_id(child, ids, "c_mktsegment", "segment_id", broadcast=True)
+
+
+@register(
+    "scd2_customer_dim",
+    """
+    WITH s1 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    s2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 100.0
+                                ELSE 0.0 END AS c_acctbal
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+    )
+    SELECT s1.c_custkey, s1.c_mktsegment, s1.c_acctbal,
+           TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+           CASE WHEN chg.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2020-02-01 00:00:00' END AS valid_to,
+           chg.c_custkey IS NULL AS is_current
+    FROM s1 LEFT JOIN chg USING (c_custkey)
+    UNION ALL
+    SELECT s2.c_custkey, s2.c_mktsegment, s2.c_acctbal,
+           TIMESTAMP '2020-02-01 00:00:00' AS valid_from,
+           NULL AS valid_to,
+           TRUE AS is_current
+    FROM s2 JOIN chg USING (c_custkey)
+    """,
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd.py): snapshot 1 initializes the
+    customer dim; snapshot 2 changes mktsegment for custkey%7==0 and
+    acctbal for custkey%11==0.  Changed keys get a closed version
+    (valid_to set) plus a reopened one; untouched keys pass through open.
+    One full-outer shuffle join bounded by current-dim + snapshot size —
+    closed history never enters the join."""
+    c = load_table(spark, "customer", sf_dir)
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    snap1 = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    snap2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 11 == 0, F.lit(100.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("c_acctbal"),
+    )
+    dim = scd2_init(snap1, "2020-01-01 00:00:00", keys, tracked)
+    return scd2_merge(dim, snap2, "2020-02-01 00:00:00", keys, tracked)
 
 
 # ---------------------------------------------------------------------------
@@ -2128,6 +2192,27 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_streaming_attribution",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval self-join (streaming/pipeline.py
+    stream_stream_attribution): purchases joined to the same user's clicks
+    within the preceding hour.  Inner interval joins emit eagerly, so the
+    availableNow backfill equals the batch interval join the oracle runs."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        stream_stream_attribution(ev), output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of and bucketed range join.
 # ---------------------------------------------------------------------------
@@ -2308,6 +2393,59 @@ def docs_mask_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern runs verbatim in the DuckDB oracle."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return mask_terms(docs, ["spark", "join", "merge"])
+
+
+@register(
+    "docs_redact_pii",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com tel 555-',
+                      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                      '-0199 ip 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                      '.7') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+               AS redacted_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_email,
+           len(regexp_extract_all(text,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4
+    FROM aug
+    """,
+)
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py redact_pii): emails, phones, and
+    IPv4s replaced with class tokens + per-class hit counts.  The corpus
+    carries no natural PII, so the query injects a deterministic fake
+    email/phone/IP per document (built from doc_id) before redacting —
+    both engine and oracle construct the identical augmented text, so the
+    scrub itself is what's value-checked."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 ip 10.0."),
+            (did % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
 
 
 @register(

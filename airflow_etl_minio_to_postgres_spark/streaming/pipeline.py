@@ -145,6 +145,55 @@ def streaming_dedup(events: DataFrame, subset: list[str]) -> DataFrame:
     return events.select(*subset).dropDuplicates(subset)
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: every purchase joined
+    to the same user's clicks in the preceding ``attribution_window`` —
+    the real-time counterpart of the batch range join
+    (operators/temporal.py ``range_join`` / `events_attribution_windows`).
+
+    Scale/state shape: both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark derives a state-eviction horizon
+    for BOTH join buffers — without the time bound a stream-stream join
+    buffers forever.  Inner interval joins emit eagerly (the watermark
+    only evicts state, it never delays inner-join output), so an
+    ``availableNow`` backfill yields exactly the batch join's pairs.
+    Per-side projection happens BEFORE the join so only three narrow
+    columns enter the state store, not the wide props JSON.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id")
+
+
 def incremental_silver(
     raw_stream: DataFrame, out_path: str, checkpoint_path: str
 ):

@@ -225,6 +225,56 @@ def mask_terms(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``(doc_id, word, score)``.
+
+    The classic keyword-extraction / topic-fingerprint pass over a
+    training corpus.  Three bounded shuffles, no joins back to the corpus:
+
+    1. term frequency — groupBy (doc, word) with map-side combine, the
+       only stage that sees every token;
+    2. document frequency — a ``count over (partition by word)`` WINDOW on
+       the already-aggregated (doc, word) rows, which reuses that row set
+       instead of a separate df aggregate + equi-join back;
+    3. per-doc top-k — one row_number window over (doc), input already
+       shrunk to distinct (doc, word) pairs.
+
+    The corpus size N enters as a broadcast 1-row cross-join (same
+    no-collect pattern as q3's scalar subquery).  idf = ln((N+1)/(df+1))
+    — the +1 smoothing keeps corpus-wide words finite.  Ordering ties
+    break on the word itself, so the result is deterministic."""
+    spark_words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    tokens = df.select(
+        F.col(id_col), F.explode(spark_words).alias("word")
+    ).where(F.col("word") != "")
+    tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n_docs")))
+    scored = with_df.crossJoin(n_docs).withColumn(
+        "score",
+        F.col("tf")
+        * F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+    )
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("score").desc(), F.col("word")
+            )
+        ),
+    )
+    return ranked.where(F.col("_rn") <= k).select(id_col, "word", "score")
+
+
 # PII classes for redact_pii.  Patterns are RE2-compatible (no lookaround,
 # ASCII \b), so the IDENTICAL string runs in Java regex (Spark) and RE2
 # (DuckDB oracle).  Order matters at replacement time: emails first (their

@@ -81,6 +81,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     repetition_signals,
     stopword_ratio_expr,
     stratified_cap,
+    tfidf_top_terms,
     token_count_expr,
     word_count_expr,
 )
@@ -1032,6 +1033,76 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_quality_threshold",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               least(1.0, greatest(0.0,
+                   0.5 * ({_stop_ratio_sql('en')})
+                 + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                 - 0.25 * ({_PUNCT_SQL}))) AS quality_score
+        FROM documents
+    ),
+    thr AS (SELECT quantile_cont(quality_score, 0.25) AS p25 FROM q)
+    SELECT q.doc_id, q.quality_score
+    FROM q CROSS JOIN thr
+    WHERE q.quality_score >= thr.p25
+    """,
+)
+def docs_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quantile filter: keep documents at or above the 25th
+    percentile of the quality score.  The threshold is an exact
+    interpolated percentile computed in the SAME lazy plan and attached
+    via a broadcast 1-row cross-join — no driver collect, one job; the
+    filter stage is a narrow comparison so at 100 TB the only cost beyond
+    the scan is the percentile's single-pass aggregate."""
+    d = load_table(spark, "documents", sf_dir)
+    q = d.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality_score")
+    )
+    thr = F.broadcast(
+        q.agg(F.expr("percentile(quality_score, 0.25)").alias("_p25"))
+    )
+    return (
+        q.crossJoin(thr)
+        .where(F.col("quality_score") >= F.col("_p25"))
+        .select("doc_id", "quality_score")
+    )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word,
+               t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS score
+        FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, score FROM (
+        SELECT doc_id, word, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        FROM scored
+    ) r WHERE rn <= 3
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (functions/text.py
+    tfidf_top_terms): tf groupBy -> df as a window over the aggregated
+    (doc, word) rows (no join back to the corpus) -> broadcast N ->
+    per-doc top-k window, ties broken on the word for determinism."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return tfidf_top_terms(d, k=3)
+
+
+@register(
     "docs_lang_id",
     f"""
     SELECT doc_id, lang,
@@ -1738,6 +1809,50 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "events_multi_grain_rollup",
+    """
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'hour' ELSE 'day' END AS grain,
+           coalesce(hour, day) AS bucket_ts,
+           count(*)   AS n_events,
+           sum(value) AS sum_value
+    FROM (SELECT date_trunc('hour', ts) AS hour,
+                 date_trunc('day', ts)  AS day,
+                 value
+          FROM events) b
+    GROUP BY GROUPING SETS ((hour), (day))
+    """,
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly AND daily
+    rollups of the event stream in ONE pass via GROUPING SETS — the
+    Expand operator duplicates each row once per grain before a single
+    map-side-combining aggregate, so the scan and shuffle are shared
+    instead of one job per grain."""
+    e = load_table(spark, "events", sf_dir)
+    b = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    )
+    return (
+        b.groupingSets([["hour"], ["day"]], "hour", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.grouping("day").alias("_gd"),
+        )
+        .select(
+            F.when(F.col("_gd") == 1, F.lit("hour"))
+            .otherwise(F.lit("day"))
+            .alias("grain"),
+            F.coalesce("hour", "day").alias("bucket_ts"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

@@ -107,3 +107,50 @@ def test_range_join_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    """PII redaction is a narrow regexp map over the scan: zero exchanges,
+    zero Python nodes."""
+    plan = _physical_plan(registry.queries()["docs_redact_pii"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_merge_joins_once(spark):
+    """The SCD2 merge resolves every row's fate in ONE full-outer join
+    (array-of-versions explode) — a per-branch union would plan 3 joins."""
+    plan = _physical_plan(registry.queries()["scd2_customer_dim"](spark, SF_SMOKE))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_quality_threshold_no_collect_scalar(spark):
+    """The corpus percentile threshold rides the plan as a broadcast 1-row
+    cross-join — no driver scalar round-trip, no nested-loop blowup (a
+    1-row broadcast side makes BroadcastNestedLoopJoin O(n))."""
+    df = registry.queries()["docs_quality_threshold"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_df_is_window_not_self_join(spark):
+    """Document frequency must come from a window over the aggregated
+    (doc, word) rows, not a dfreq aggregate joined back to the corpus:
+    exactly one join in the plan (the broadcast N scalar)."""
+    plan = _physical_plan(registry.queries()["docs_tfidf_top_terms"](spark, SF_SMOKE))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin"))
+    assert n_joins == 1, plan
+    assert "Window" in plan
+
+
+def test_multi_grain_rollup_single_expand(spark):
+    """GROUPING SETS plans one Expand + one aggregate — not one job per
+    grain."""
+    plan = _physical_plan(
+        registry.queries()["events_multi_grain_rollup"](spark, SF_SMOKE)
+    )
+    assert plan.count("Expand") == 1

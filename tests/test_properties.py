@@ -1,0 +1,176 @@
+"""Property-based invariants (hypothesis) for the operators whose value IS
+a distributable determinism guarantee — things example tests under-cover:
+arbitrary group shapes, adversarial token lengths, duplicate-heavy inputs.
+
+Each example pays a Spark job, so example counts are deliberately small;
+the strategies bias toward the edge shapes that break rank/cumsum logic
+(empty groups, all-in-one-group, cap larger than group, zero-token docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    decontaminate,
+    drop_exact_dups,
+)
+from airflow_etl_minio_to_postgres_spark.functions.text import (
+    pack_sequences,
+    stratified_cap,
+)
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id (dups possible)
+        st.sampled_from(["a", "b", "c"]),  # group/source
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy, cap=st.integers(min_value=1, max_value=6))
+@SPARK_SETTINGS
+def test_stratified_cap_invariants(spark, rows, cap):
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows or [(0, "a")], "doc_id long, source string")
+    if not rows:
+        df = df.limit(0)
+    out = stratified_cap(df, "source", "doc_id", cap=cap)
+    got = out.collect()
+    # at most cap per group
+    per_group = {}
+    for r in got:
+        per_group[r.source] = per_group.get(r.source, 0) + 1
+    assert all(n <= cap for n in per_group.values())
+    # output is a subset of input; groups at/below cap pass through whole
+    in_ids = {r[0] for r in rows}
+    assert {r.doc_id for r in got} <= in_ids
+    in_per_group = {}
+    for i, g in rows:
+        in_per_group[g] = in_per_group.get(g, 0) + 1
+    for g, n in in_per_group.items():
+        assert per_group.get(g, 0) == min(n, cap)
+    # deterministic: a second evaluation yields the identical set
+    again = {r.doc_id for r in stratified_cap(df, "source", "doc_id", cap=cap).collect()}
+    assert again == {r.doc_id for r in got}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=30),  # n_tokens incl. zero
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=1, max_value=25),
+)
+@SPARK_SETTINGS
+def test_pack_sequences_invariants(spark, rows, budget):
+    rows = list({r[0]: r for r in rows}.values())
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    out = pack_sequences(
+        df, budget=budget, group_col="source", id_col="doc_id", token_col="toks"
+    ).collect()
+    assert len(out) == len(rows)
+    by_group: dict[str, list] = {}
+    for r in out:
+        assert 0 <= r.pack_offset < budget
+        assert r.pack_id >= 0
+        by_group.setdefault(r.source, []).append(r)
+    import hashlib
+
+    def rank_key(doc_id: int) -> str:
+        # mirrors the operator: substring(sha2(cast(id as string), 256), 1, 16)
+        return hashlib.sha256(str(doc_id).encode()).hexdigest()[:16]
+
+    for g, rs in by_group.items():
+        # pack ids start at 0 and never exceed the token-total bound (a
+        # doc larger than the budget overflows THROUGH packs by design,
+        # so ids may skip); replayed in the operator's own deterministic
+        # order, every start equals the running token cumsum
+        group_tokens = sum(r.n_tokens for r in rs)
+        assert min(r.pack_id for r in rs) == 0
+        assert max(r.pack_id for r in rs) <= group_tokens // budget
+        total = 0
+        for r in sorted(rs, key=lambda r: (rank_key(r.doc_id), r.doc_id)):
+            assert r.pack_id * budget + r.pack_offset == total
+            total += r.n_tokens
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SPARK_SETTINGS
+def test_exact_dedup_idempotent_and_canonical(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = drop_exact_dups(df)
+    twice = drop_exact_dups(once)
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    # one survivor per distinct text, and it's the minimum doc_id
+    expect = {}
+    for i, t in rows:
+        expect.setdefault(t, i)  # first occurrence = min id (ids ascend)
+    assert got_once == sorted((i, t) for t, i in expect.items())
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SPARK_SETTINGS
+def test_decontaminate_screens_exactly(spark, corpus, bench):
+    n = 2
+
+    def grams(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    c_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    b_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in decontaminate(c_df, b_df, n=n).collect()}
+    expect = {
+        i for i, t in enumerate(corpus) if not (grams(t) & bench_grams)
+    }
+    assert out == expect

@@ -1902,6 +1902,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window_agg",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window, 30-min gap):
+    the streaming-capable twin of the window-function sessionize above —
+    the same groupBy runs under a watermark in Structured Streaming with
+    state merged per session.  Note the boundary semantics differ from
+    the lag-based version: session_window merges events strictly closer
+    than the gap (diff < gap), so the oracle's new-session test is >=,
+    and a session ENDS at last event + gap (the eviction horizon), not at
+    the last event."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_top_per_user",
     """
     SELECT user_id, event_id, value

@@ -93,6 +93,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     stream_events,
     stream_stream_attribution,
     streaming_dedup,
+    streaming_rollup_upsert,
 )
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
 from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
@@ -2351,6 +2352,33 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+@register(
+    "events_streaming_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)   AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (streaming/pipeline.py
+    streaming_rollup_upsert): the stream's micro-batch partials are
+    merge-summed into a materialized hourly rollup parquet; after the
+    availableNow backfill the serving table equals the batch hourly
+    aggregate — which is exactly what the oracle checks."""
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    out = os.path.join(base, "rollup")
+    q = streaming_rollup_upsert(
+        stream_events(spark, sf_dir).select("ts", "event_type", "value"),
+        out,
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
 
 
 @register(

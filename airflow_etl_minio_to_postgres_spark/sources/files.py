@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from airflow_etl_minio_to_postgres_spark.naming import normalize_filename
@@ -299,6 +300,36 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return path
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> str:
+    """Range-partition + sort-within-partitions parquet sink: the
+    data-skipping layout for the 100 TB store.
+
+    ``repartitionByRange(sort_cols)`` gives every output file a DISJOINT
+    value range and ``sortWithinPartitions`` orders rows inside it, so
+    parquet row-group min/max statistics become tight and non-overlapping
+    — a later ``WHERE sort_col BETWEEN ...`` scan prunes whole files and
+    row groups instead of reading everything (the same reason warehouses
+    Z-order/cluster their fact tables).  Without the sort, every file
+    spans the full value range and min/max stats prune nothing.
+    ``n_files`` overrides the range-partition count (e.g. to bound file
+    count on small dimensions); the sampled range boundaries keep output
+    files balanced even on skewed keys.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    if n_files is not None:
+        ranged = df.repartitionByRange(n_files, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
     return path
 
 

@@ -219,6 +219,59 @@ def incremental_silver(
     )
 
 
+def streaming_rollup_upsert(
+    raw_stream: DataFrame, out_path: str, checkpoint_path: str
+):
+    """Continuous-aggregate maintenance (the hypertable rollup pattern):
+    each micro-batch aggregates to (hour, event_type) PARTIALS, then
+    merge-sums them into the materialized rollup parquet — so the serving
+    table is always a complete hourly aggregate of everything ingested,
+    without ever re-scanning history.
+
+    The merge re-aggregates existing + partial on the rollup key: count
+    and sum are decomposable, so merged state is exactly the batch
+    aggregate over all arrived data.  The read-merge-rewrite is
+    dimension-scale work (the ROLLUP is small even when the stream is
+    not — that is the point of a rollup); a restart replays at batch
+    granularity from the checkpoint, with the same caveat as
+    :func:`incremental_silver` — a table format with transactional MERGE
+    (keyed on batch_id) is the production hardening.  Returns the started
+    StreamingQuery.
+    """
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _rewrite_in_place,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        if os.path.exists(out_path):
+            existing = spark.read.schema(partial.schema).parquet(out_path)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        _rewrite_in_place(merged, out_path)
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream -> stateful counts -> final value per user (max of cumulative
     emissions, robust to multi-batch splits of the input).

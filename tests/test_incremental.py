@@ -1,0 +1,99 @@
+"""Incremental/layout behaviors the oracle gate can't see:
+
+* streaming_rollup_upsert merges NEW micro-batched arrivals into an
+  existing materialized rollup (two availableNow passes over a growing
+  landing directory == one batch aggregate over everything), and
+* write_sorted_parquet produces disjoint per-file value ranges with
+  ordered row-group min/max stats — the layout that makes parquet
+  data-skipping actually skip.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
+from airflow_etl_minio_to_postgres_spark.sources.files import (
+    write_sorted_parquet,
+)
+from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+    streaming_rollup_upsert,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_rollup(spark, landing, out, ckpt):
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(landing)
+    )
+    q = streaming_rollup_upsert(stream, out, ckpt)
+    q.awaitTermination()
+
+
+def test_streaming_rollup_merges_across_restarts(spark, tmp_path):
+    events = load_table(spark, "events", SF_SMOKE).select(
+        "ts", "event_type", "value"
+    )
+    first = events.where(F.col("event_type") != "purchase")
+    second = events.where(F.col("event_type") == "purchase")
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    first.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)
+    n_after_first = spark.read.parquet(out).count()
+
+    second.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)  # same checkpoint: only new files
+
+    got = spark.read.parquet(out)
+    expect = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    assert got.count() > n_after_first  # purchase rows added new groups
+    diff = got.unionByName(expect).groupBy(
+        "hour", "event_type", "n_events"
+    ).count().where(F.col("count") != 2)
+    assert diff.count() == 0  # exact multiset match on keyed counts
+
+
+def test_write_sorted_parquet_stats_are_disjoint_and_ordered(spark, tmp_path):
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(orders, path, ["o_orderkey"], n_files=4)
+
+    file_ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        mins, maxs = [], []
+        for rg in range(pf.num_row_groups):
+            st = pf.metadata.row_group(rg).column(0).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        # row groups within a file are ordered (sortWithinPartitions)
+        assert mins == sorted(mins) and maxs == sorted(maxs)
+        file_ranges.append((min(mins), max(maxs)))
+    assert len(file_ranges) >= 2  # range partitioning actually split
+    file_ranges.sort()
+    for (_, hi), (lo, _) in zip(file_ranges, file_ranges[1:]):
+        assert hi < lo  # disjoint: a BETWEEN scan can prune whole files
+    # and the full key set survived the re-layout
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    assert total == orders.count()

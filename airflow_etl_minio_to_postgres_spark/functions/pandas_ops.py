@@ -43,3 +43,74 @@ def per_group_counts_pandas(
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
         _counts, schema=out_schema
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_on: str,
+    right_on: str,
+    value_col: str,
+    out_schema: T.StructType | str,
+) -> DataFrame:
+    """As-of join via COGROUPED ``applyInPandas`` — the third Arrow
+    crossing Spark offers (grouped map / grouped state / cogrouped map),
+    here wrapping ``pd.merge_asof`` per key group.
+
+    This is the escape hatch for as-of logic too gnarly for expressions
+    (per-group tolerances, nearest-rather-than-backward, multi-column
+    sidecar lookups): both sides shuffle ONCE on ``by``, each key's rows
+    from both frames meet as two pandas frames on one executor, and the
+    merge is pandas-local.  For the plain backward as-of, prefer
+    ``operators.temporal.as_of_join`` — it stays JVM-side (union + one
+    window, no Python boundary) and is strictly faster; this cogrouped
+    twin is oracle-gated against the SAME DuckDB ASOF JOIN to prove the
+    crossing itself is sound.  Groups must fit in executor memory —
+    the usual applyInPandas contract.
+    """
+
+    # Column names shared by both sides (beyond the group key) are
+    # PRUNED from the right-hand pandas frame by Spark's cogroup column
+    # resolution — an ambiguous name resolves to the left side and the
+    # right twin never reaches Python.  So the right-hand match column is
+    # renamed to its output name ("matched_ts") ON THE SPARK SIDE, and any
+    # other collision is rejected loudly instead of silently vanishing.
+    overlap = (set(left.columns) & set(right.columns)) - {by, right_on}
+    if overlap:
+        raise ValueError(
+            f"right columns {sorted(overlap)} collide with left; rename "
+            "them before the cogroup or they will be pruned"
+        )
+    right = right.withColumnRenamed(right_on, "matched_ts")
+
+    # A side with no rows for a key arrives as an EMPTY, COLUMN-LESS
+    # frame (zero Arrow batches), so expected columns are captured here
+    # at build time, not read off the runtime frames.
+    out_cols = list(left.columns) + ["matched_ts", value_col]
+
+    def _merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        l = l.sort_values(left_on, kind="mergesort")
+        if r.empty:  # left outer semantics: keep left rows, null match
+            out = l.copy()
+            out["matched_ts"] = pd.NaT
+            out[value_col] = float("nan")
+            return out
+        r = r.sort_values(["matched_ts", value_col], kind="mergesort").drop(
+            columns=[by]
+        )
+        return pd.merge_asof(
+            l,
+            r,
+            left_on=left_on,
+            right_on="matched_ts",
+            direction="backward",
+        )
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(_merge, schema=out_schema)
+    )

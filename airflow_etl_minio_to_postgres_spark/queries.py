@@ -67,6 +67,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
+    asof_join_cogrouped,
     per_group_counts_pandas,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
@@ -2435,6 +2436,47 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
     )
     return as_of_join(left, right, on="user_id")
+
+
+@register(
+    "events_asof_cogrouped",
+    """
+    SELECT l.event_id, l.user_id, l.event_type, l.ts,
+           r.ts    AS matched_ts,
+           r.value AS last_purchase_value
+    FROM (SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type <> 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as events_asof_last_purchase, computed
+    through the cogrouped-map Arrow crossing (functions/pandas_ops.py
+    asof_join_cogrouped: groupBy.cogroup.applyInPandas + pd.merge_asof).
+    Kept alongside the expression version deliberately: identical oracle,
+    two independent implementations — and the docstring there says when
+    to use which."""
+    e = load_table(spark, "events", sf_dir)
+    left = e.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_cogrouped(
+        left,
+        right,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        value_col="value",
+        out_schema=(
+            "event_id long, user_id long, event_type string, ts timestamp, "
+            "matched_ts timestamp, value double"
+        ),
+    ).withColumnRenamed("value", "last_purchase_value")
 
 
 @register(

@@ -225,6 +225,54 @@ def mask_terms(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional overlap
+    — the context-window chunking step between cleaning and tokenization
+    in a training/RAG pipeline (chunk N tokens, slide by N - overlap).
+
+    Expression-only fan-out: one ``split`` per document, chunk starts from
+    ``sequence(0, n_words-1, step)``, each chunk a ``slice`` of the
+    already-split array — no Python, no shuffle; output rows carry
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens).  At 100 TB this is a
+    narrow map whose output is larger than its input by ~1/(1-overlap
+    ratio); the explode happens AFTER Catalyst prunes unused columns, so
+    only the word array fans out, not the whole row."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    base = df.select(F.col(id_col), words.alias("_w")).where(
+        (F.size("_w") > 1) | (F.element_at("_w", 1) != "")
+    )
+    return (
+        base.select(
+            id_col,
+            F.posexplode(
+                F.expr(f"sequence(0, size(_w) - 1, {step})")
+            ).alias("chunk_id", "_start"),
+            "_w",
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), F.col("_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("_w") - F.col("_start")
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -71,6 +71,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     per_group_counts_pandas,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
+    chunk_text,
     redact_pii,
     fingerprint_expr,
     lang_id_expr,
@@ -1032,6 +1033,34 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio_expr(t).alias("stopword_ratio"),
         quality_score_expr(t).alias("quality_score"),
     )
+
+
+@register(
+    "docs_chunk_text",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_WORDS} AS w FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(w) > 1 OR w[1] <> ''),
+    s AS (
+        SELECT doc_id, w, unnest(range(0, len(w), 6)) AS start FROM d2
+    )
+    SELECT doc_id,
+           start // 6 AS chunk_id,
+           array_to_string(list_slice(w, start + 1, start + 8), ' ')
+               AS chunk_text,
+           CAST(least(8, len(w) - start) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def docs_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (functions/text.py chunk_text): 8-token
+    chunks sliding by 6 (2-token overlap) — the context-window prep step
+    between cleaning and tokenization.  Expression-only fan-out: split
+    once, chunk starts from sequence(), each chunk a slice of the split
+    array; no Python, no shuffle."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return chunk_text(d, chunk_tokens=8, overlap=2)
 
 
 @register(

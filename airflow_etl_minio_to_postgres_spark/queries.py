@@ -2310,6 +2310,30 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_unpivot_metrics",
+    """
+    SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal::DOUBLE AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey', c_nationkey::DOUBLE FROM customer
+    """,
+)
+def customer_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long), the inverse of the pivot operator:
+    per-customer numeric columns become (key, metric, value) rows via the
+    native ``DataFrame.unpivot`` — an Expand-style fan-out with no
+    shuffle, the shape feature stores and metric pipelines ingest."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.col("c_nationkey").cast("double").alias("c_nationkey"),
+    )
+    return c.unpivot(
+        ["c_custkey"], ["c_acctbal", "c_nationkey"], "metric", "value"
+    )
+
+
+@register(
     "events_json_props",
     """
     SELECT event_type,

@@ -97,3 +97,23 @@ def test_write_sorted_parquet_stats_are_disjoint_and_ordered(spark, tmp_path):
         for f in glob.glob(os.path.join(path, "*.parquet"))
     )
     assert total == orders.count()
+
+
+def test_observe_quality_rides_the_write_action(spark, tmp_path):
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        assert_min_rows,
+        observe_quality,
+    )
+    import pytest as _pytest
+
+    c = load_table(spark, "customer", SF_SMOKE)
+    audited, obs = observe_quality(c, "cust_audit", ["c_mktsegment"])
+    audited.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    metrics = obs.get
+    assert metrics["n_rows"] == c.count()
+    assert metrics["n_null_c_mktsegment"] == c.where(
+        F.col("c_mktsegment").isNull()
+    ).count()
+    assert_min_rows(obs, 1)
+    with _pytest.raises(ValueError, match="rows < required"):
+        assert_min_rows(obs, metrics["n_rows"] + 1)

@@ -2361,6 +2361,35 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation through Spark 4's VariantType: parse the JSON
+    once into the binary variant encoding, then `variant_get` typed paths
+    out of it.  For ONE extracted field this ties with get_json_object;
+    the variant encoding wins when many fields are extracted from the
+    same column (parse once, probe many — get_json_object re-parses the
+    string per call) and it is the natural on-disk format for
+    semi-structured columns going forward.  Identical oracle as
+    events_json_props: two engine paths, one truth."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    return e.groupBy("event_type").agg(
+        F.sum(
+            F.try_variant_get(v, "$.k", "long")
+        ).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming: the same aggregations maintained incrementally by
 # micro-batches (availableNow backfill).  Results equal their batch

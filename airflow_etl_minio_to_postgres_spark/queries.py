@@ -712,6 +712,13 @@ def _run_demo_medallion(spark: SparkSession, sf_dir: str):
             MEDALLION_FIELD_CONFIG, ["column_name", "target_table"]
         )
         result = run_medallion(raw, fc)
+        # The seven medallion queries each trigger their own action over
+        # the SAME silver subtree (orders |X| customer + cleaning).
+        # Cache it once: silver here is dimension-sized, and the memo is
+        # already session-scoped so the cache lifetime matches.  The
+        # 100 TB posture stays unchanged — a production run materializes
+        # silver to parquet via write_medallion, it doesn't cache blindly.
+        result.silver.persist()
         _MEDALLION_MEMO[key] = result
     return result
 

@@ -49,6 +49,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.graph import (
     assign_clusters,
+    pagerank,
     transitive_dedup,
 )
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
@@ -1364,6 +1365,52 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its component (itself when it has no near-duplicate)."""
     corpus = _near_dup_input(spark, sf_dir)
     return assign_clusters(corpus, near_dup_pairs(corpus))
+
+
+@register(
+    "docs_pagerank",
+    _NEAR_DUP_CTES
+    + """,
+    e2 AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+    r0 AS (SELECT b.doc_id AS node, 1.0 / nn.n AS pr FROM base b CROSS JOIN nn),
+    c1 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r1 AS (SELECT b.doc_id AS node,
+                  0.15 / nn.n + 0.85 * coalesce(c1.c, 0.0) AS pr
+           FROM base b CROSS JOIN nn LEFT JOIN c1 ON c1.dst = b.doc_id),
+    c2 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r2 AS (SELECT b.doc_id AS node,
+                  0.15 / nn.n + 0.85 * coalesce(c2.c, 0.0) AS pr
+           FROM base b CROSS JOIN nn LEFT JOIN c2 ON c2.dst = b.doc_id),
+    c3 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r3 AS (SELECT b.doc_id AS node,
+                  0.15 / nn.n + 0.85 * coalesce(c3.c, 0.0) AS pr
+           FROM base b CROSS JOIN nn LEFT JOIN c3 ON c3.dst = b.doc_id)
+    SELECT node, pr AS pagerank FROM r3
+    """,
+)
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 3-iteration power PageRank over the MinHash-LSH near-dup
+    pair graph (functions/graph.py pagerank): centrality scoring for
+    canonical-document selection inside duplicate clusters.  One edge
+    shuffle per iteration, checkpointed lineage; the oracle unrolls the
+    identical three iterations as chained CTEs."""
+    corpus = _near_dup_input(spark, sf_dir)
+    pairs = near_dup_pairs(corpus)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(corpus.select("doc_id"), edges, iterations=3)
 
 
 @register(

@@ -73,3 +73,31 @@ def test_nonconvergence_raises(spark):
         connected_components(
             _edges(spark, [(i, i + 1) for i in range(1, 9)]), max_iter=2
         )
+
+
+def test_pagerank_uniform_on_symmetric_clique(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.graph import pagerank
+
+    # 3-clique, symmetric: ranks stay uniform at 1/N every iteration.
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ranks = {r.node: r.pagerank for r in pagerank(nodes, edges, 3).collect()}
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-12
+
+
+def test_pagerank_isolated_node_keeps_base_mass_and_hub_leads(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.graph import pagerank
+
+    # star: 1-2-3 all point at 0 (and back); 9 is isolated.
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 9)], "doc_id long")
+    pairs = []
+    for leaf in (1, 2, 3):
+        pairs += [(leaf, 0), (0, leaf)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ranks = {r.node: r.pagerank for r in pagerank(nodes, edges, 3).collect()}
+    n = 5
+    assert abs(ranks[9] - 0.15 / n) < 1e-12  # isolated: base mass only
+    assert ranks[0] > max(ranks[1], ranks[2], ranks[3])  # hub dominates
+    assert abs(ranks[1] - ranks[2]) < 1e-12  # leaves symmetric

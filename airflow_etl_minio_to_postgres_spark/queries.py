@@ -1367,10 +1367,10 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(corpus, near_dup_pairs(corpus))
 
 
-@register(
-    "docs_pagerank",
-    _NEAR_DUP_CTES
-    + """,
+# Power-iteration CTEs shared by the pagerank oracle and the canonical-
+# per-cluster composition: 3 unrolled iterations over the symmetric
+# near-dup pair graph (mirrors functions/graph.py pagerank exactly).
+_PAGERANK_CTES = """
     e2 AS (
         SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
         UNION ALL
@@ -1394,8 +1394,12 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 AS (SELECT b.doc_id AS node,
                   0.15 / nn.n + 0.85 * coalesce(c3.c, 0.0) AS pr
            FROM base b CROSS JOIN nn LEFT JOIN c3 ON c3.dst = b.doc_id)
-    SELECT node, pr AS pagerank FROM r3
-    """,
+"""
+
+
+@register(
+    "docs_pagerank",
+    _NEAR_DUP_CTES + "," + _PAGERANK_CTES + "SELECT node, pr AS pagerank FROM r3",
 )
 def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 3-iteration power PageRank over the MinHash-LSH near-dup
@@ -1411,6 +1415,61 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return pagerank(corpus.select("doc_id"), edges, iterations=3)
+
+
+@register(
+    "docs_canonical_per_cluster",
+    _DUP_CLUSTER_CTES
+    + ","
+    + _PAGERANK_CTES
+    + """,
+    clustered AS (
+        SELECT b.doc_id, coalesce(c.cluster_id, b.doc_id) AS cluster_id
+        FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
+    ),
+    ranked AS (
+        SELECT cl.cluster_id, cl.doc_id, round(r3.pr, 9) AS pr,
+               row_number() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY round(r3.pr, 9) DESC, cl.doc_id) AS rn
+        FROM clustered cl JOIN r3 ON r3.node = cl.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, pr AS pagerank
+    FROM ranked WHERE rn = 1
+    """,
+)
+def docs_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the two graph operators exist for: connected
+    components label duplicate clusters, PageRank scores centrality, and
+    each cluster keeps its HIGHEST-centrality member as the canonical
+    document (the one to train on; ties broken by lowest id).  Ranks are
+    rounded to 9 decimals BEFORE ordering on both engine and oracle —
+    symmetric cluster members have mathematically equal ranks, and the
+    float summation-order noise (~1e-16) must not decide the canonical
+    pick differently across engines."""
+    corpus = _near_dup_input(spark, sf_dir)
+    pairs = near_dup_pairs(corpus)
+    clusters = assign_clusters(corpus, pairs)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(corpus.select("doc_id"), edges, iterations=3)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pr").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(ranks, clusters["doc_id"] == ranks["node"])
+        .select("cluster_id", "doc_id", F.round("pagerank", 9).alias("pr"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("pr").alias("pagerank"),
+        )
+    )
 
 
 @register(

@@ -502,6 +502,48 @@ def contamination_counts(
     )
 
 
+def repeated_span_stats(
+    corpus: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplication screen: for every document, how many of its
+    distinct word ``n``-gram spans also appear in at least ``min_docs``
+    documents (itself included) — the cross-document repeated-substring
+    signal behind span-level dedup (long spans shared across many
+    documents are boilerplate or templated text that a model memorizes
+    verbatim; whole-doc dedup never sees them because the surrounding
+    documents differ).
+
+    Scale shape mirrors :func:`tfidf_top_terms`'s document frequency: the
+    span's document count is a WINDOW over the already-distinct
+    (doc, gram) rows — one shuffle keyed on the gram, no join back to the
+    corpus, then one map-side-combining groupBy back to the doc.  Returns
+    (doc_id, n_spans, n_shared_spans, shared_frac).
+    """
+    from pyspark.sql import Window
+
+    grams = word_ngrams(corpus, n, text_col, id_col)
+    with_df = grams.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    return (
+        with_df.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_df") >= min_docs).cast("long")).alias(
+                "n_shared_spans"
+            ),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared_spans").cast("double") / F.col("n_spans"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

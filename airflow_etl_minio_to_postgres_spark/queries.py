@@ -44,6 +44,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     exact_dedup_groups,
     near_dup_pairs,
     ngram_jaccard_pairs,
+    repeated_span_stats,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -2755,6 +2756,47 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return contamination_counts(corpus, bench, n=3)
+
+
+@register(
+    "docs_repeated_spans",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+        FROM d WHERE len(w) >= 5
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]) AS gram
+        FROM pos
+    ),
+    freq AS (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+        FROM grams
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_spans,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+               AS shared_frac
+    FROM freq GROUP BY doc_id
+    """,
+)
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication screen (functions/dedup.py
+    repeated_span_stats): per document, the count and fraction of its
+    distinct 5-word spans that appear in >=2 documents — the
+    cross-document boilerplate/memorization signal whole-doc dedup never
+    sees.  Span document-frequency is a window over the distinct
+    (doc, gram) rows; no join back to the corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return repeated_span_stats(docs, n=5, min_docs=2)
 
 
 @register(

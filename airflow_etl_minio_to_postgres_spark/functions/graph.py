@@ -137,6 +137,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     id_col: str = "doc_id",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration power PageRank over a directed edge list
     ``(src, dst)`` — the second iterative-graph operator family (the
@@ -146,13 +147,26 @@ def pagerank(
 
     Same scale shape as label propagation: each iteration is one edge
     shuffle (join ranks on src + groupBy dst) and the rank table is
-    ``localCheckpoint``ed per round so lineage stays O(1) deep.  The
-    node count is the only driver scalar (metadata-sized).  Fixed
-    iteration count — power iteration's per-round cost is what matters
-    at scale, and a fixed unroll keeps the computation exactly
-    reproducible in the SQL oracle.  Dangling nodes (no out-edges) leak
-    their mass, the standard simplification; symmetric near-dup graphs
-    have none.
+    ``localCheckpoint``ed per round so lineage stays O(1) deep.
+    ``edges`` (and the out-degree table derived from it) is eagerly
+    checkpointed ONCE up front — without this, every power iteration
+    re-executes the caller's full upstream plan (for near-dup graphs
+    that is the entire MinHash-LSH candidate pipeline), turning an
+    O(E x iterations) loop into O(upstream x iterations).  The node
+    count is the only driver scalar (metadata-sized).  Fixed iteration
+    count — power iteration's per-round cost is what matters at scale,
+    and a fixed unroll keeps the computation exactly reproducible in
+    the SQL oracle.
+
+    Dangling nodes (no out-edges): by default their mass leaks — the
+    standard simplification, exact for symmetric near-dup graphs, which
+    have none.  With ``redistribute_dangling=True`` each iteration adds
+    ``damping * dangling_mass / n`` to every node, where dangling_mass
+    is the summed rank of sink nodes — the honest formulation for
+    directed link graphs (domain authority), conserving total mass at
+    1.0.  Cost: one extra 1-row aggregate per iteration (an anti-join
+    of ranks against the out-degree table, both already checkpointed),
+    broadcast back via a 1-row cross join — no driver collect.
     """
     n = nodes.count()
     if n == 0:
@@ -160,7 +174,15 @@ def pagerank(
             F.col(id_col).alias("node"), F.lit(0.0).alias("pagerank")
         )
     base_mass = (1.0 - damping) / n
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # Materialize the edge list once; every iteration (and the degree
+    # aggregate) reads the checkpointed blocks, never the upstream plan.
+    # Mirrors ``sym`` in connected_components above.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select(
         F.col(id_col).alias("node"), F.lit(1.0 / n).alias("pagerank")
     )
@@ -171,16 +193,33 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("pagerank") / F.col("_deg")).alias("_c"))
         )
-        ranks = (
-            nodes.select(F.col(id_col).alias("node"))
-            .join(contrib, F.col("node") == contrib["dst"], "left")
-            .select(
+        new_ranks = nodes.select(F.col(id_col).alias("node")).join(
+            contrib, F.col("node") == contrib["dst"], "left"
+        )
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(
+                    out_deg, ranks["node"] == out_deg["src"], "left_anti"
+                ).agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm"))
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
+                "node",
+                (
+                    F.lit(base_mass)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("pagerank"),
+            )
+        else:
+            new_ranks = new_ranks.select(
                 "node",
                 (
                     F.lit(base_mass)
                     + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
                 ).alias("pagerank"),
             )
-            .localCheckpoint(eager=False)
-        )
+        ranks = new_ranks.localCheckpoint(eager=False)
     return ranks

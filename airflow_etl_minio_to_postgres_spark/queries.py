@@ -135,6 +135,15 @@ def register(name: str, oracle: str | None = None):
 # or failed entry is therefore always inside the window, and every stable
 # entry re-enters it at least every other round, so a regression in a
 # "stable" entry cannot hide indefinitely.
+#
+# Round 7 made the rotation CODE-CHANGE-AWARE: a green row only counts if
+# the code that produced it is the code we have now.  ``QUERY_HASHES.json``
+# (synced per-round by ``scripts/sync_query_hashes.py`` from the commit
+# the driver actually tested) records each entry's implementing-code hash
+# (rotation_hash.query_code_hash) at its last green round; an entry whose
+# CURRENT hash differs — the wrapper, a same-module helper, any package
+# module it calls into, or its oracle SQL was edited since — sorts as
+# never-verified and re-enters the window immediately.
 def _verification_history() -> dict[str, int]:
     """Query name -> latest round whose committed CORRECTNESS artifact has
     a PASSING driver row for it (every ``*_match`` true, no ``err``).
@@ -166,10 +175,57 @@ def _verification_history() -> dict[str, int]:
     return latest
 
 
+def _recorded_green_hashes() -> dict | None:
+    """``QUERY_HASHES.json``: name -> {"round": N, "hash": h} recorded at
+    the entry's last green round.  ``None`` (sidecar absent/unreadable)
+    degrades to recency-only rotation rather than breaking ordering."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "QUERY_HASHES.json"
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return None
+    return data if isinstance(data, dict) else None
+
+
+_CURRENT_HASHES: dict[str, str] = {}
+
+
+def _current_code_hash(name: str) -> str:
+    if name not in _CURRENT_HASHES:
+        from airflow_etl_minio_to_postgres_spark.rotation_hash import (
+            query_code_hash,
+        )
+
+        _CURRENT_HASHES[name] = query_code_hash(
+            _QUERIES[name], _ORACLES.get(name)
+        )
+    return _CURRENT_HASHES[name]
+
+
+def _effective_round(name: str, hist: dict[str, int], green: dict | None) -> int:
+    """A green row only counts while its code identity holds: entries whose
+    implementing code or oracle changed since the recorded green hash (or
+    that were never hash-recorded) sort as unverified (round 0)."""
+    rnd = hist.get(name, 0)
+    if rnd == 0 or green is None:
+        return rnd
+    rec = green.get(name)
+    if not isinstance(rec, dict) or rec.get("hash") != _current_code_hash(name):
+        return 0
+    return rnd
+
+
 def _driver_order(entries: dict) -> dict:
     hist = _verification_history()
+    green = _recorded_green_hashes()
     names = list(entries)
-    ranked = sorted(range(len(names)), key=lambda i: (hist.get(names[i], 0), i))
+    ranked = sorted(
+        range(len(names)),
+        key=lambda i: (_effective_round(names[i], hist, green), i),
+    )
     return {names[i]: entries[names[i]] for i in ranked}
 
 
@@ -1409,13 +1465,75 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per iteration, checkpointed lineage; the oracle unrolls the
     identical three iterations as chained CTEs."""
     corpus = _near_dup_input(spark, sf_dir)
-    pairs = near_dup_pairs(corpus)
+    # Checkpoint BEFORE the symmetrizing union: otherwise the LSH
+    # candidate pipeline executes once per union branch when pagerank
+    # materializes the edge list.
+    pairs = near_dup_pairs(corpus).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return pagerank(corpus.select("doc_id"), edges, iterations=3)
+
+
+@register(
+    "docs_pagerank_dangling",
+    """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    e2 AS (
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    d1 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm FROM r0 r
+           LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    c1 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r1 AS (SELECT n0.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c1.c, 0.0) + d1.dm / nn.n) AS pr
+           FROM nodes n0 CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN c1 ON c1.dst = n0.node),
+    d2 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm FROM r1 r
+           LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    c2 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r2 AS (SELECT n0.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c2.c, 0.0) + d2.dm / nn.n) AS pr
+           FROM nodes n0 CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN c2 ON c2.dst = n0.node),
+    d3 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm FROM r2 r
+           LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    c3 AS (SELECT e.dst, sum(r.pr / d.deg) AS c FROM e2 e
+           JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+    r3 AS (SELECT n0.node,
+                  0.15 / nn.n + 0.85 * (coalesce(c3.c, 0.0) + d3.dm / nn.n) AS pr
+           FROM nodes n0 CROSS JOIN nn CROSS JOIN d3
+           LEFT JOIN c3 ON c3.dst = n0.node)
+    SELECT node, pr AS pagerank FROM r3
+    """,
+)
+def docs_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution over a DIRECTED graph
+    with true sink nodes: each even doc_id links to doc_id/2 (a
+    deterministic citation-tree shape), so every odd doc_id and doc 0
+    are dangling.  Exercises the ``redistribute_dangling=True`` path of
+    functions/graph.py pagerank — sink-node mass is summed (one 1-row
+    aggregate per iteration, broadcast back via cross join, no driver
+    collect) and re-spread uniformly, conserving total mass at 1.0; the
+    oracle unrolls the same three iterations with d1/d2/d3 dangling-mass
+    CTEs."""
+    docs = load_table(spark, "documents", sf_dir)
+    nodes = docs.select("doc_id")
+    edges = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") > 0)
+    ).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    return pagerank(nodes, edges, iterations=3, redistribute_dangling=True)
 
 
 @register(
@@ -1449,7 +1567,11 @@ def docs_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation-order noise (~1e-16) must not decide the canonical
     pick differently across engines."""
     corpus = _near_dup_input(spark, sf_dir)
-    pairs = near_dup_pairs(corpus)
+    # Checkpoint the LSH candidate pipeline ONCE: both consumers below
+    # (cluster assignment and the PageRank edge list) read the
+    # materialized pairs instead of re-deriving shingles + signatures +
+    # the banded self-join — previously re-executed ~4x in one job.
+    pairs = near_dup_pairs(corpus).localCheckpoint(eager=True)
     clusters = assign_clusters(corpus, pairs)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

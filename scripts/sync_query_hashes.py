@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Sync ``QUERY_HASHES.json`` — the code-identity record the rotation uses.
+
+For every entry with a green row in a committed ``CORRECTNESS_r*.json``,
+record the hash of the code that the driver actually verified.  The code
+tested is the tree of the commit that last touched that artifact (the
+driver commits artifacts on top of the builder's final round commit), so
+this script, for each artifact in ascending round order:
+
+  1. finds the artifact's introducing commit;
+  2. ``git archive``s that commit into a temp dir;
+  3. in a subprocess rooted there, imports the OLD registry and computes
+     ``rotation_hash.query_code_hash`` for each green entry — using the
+     CURRENT repo's hashing source (exec'd in, since the old tree may
+     predate rotation_hash.py);
+  4. merges the results into ``QUERY_HASHES.json`` (ascending order means
+     each entry keeps the record of its LATEST green round).
+
+A round whose old tree cannot be imported/hashed is skipped with a
+warning — its entries simply stay "unverified" and re-enter the driver
+window, the safe direction.  Run at round START, before editing any
+code; idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+import sys
+import tempfile
+import textwrap
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "airflow_etl_minio_to_postgres_spark"
+
+
+def artifacts_ascending() -> list[tuple[Path, int]]:
+    out = []
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            out.append((p, int(m.group(1))))
+    if not out:
+        sys.exit("no CORRECTNESS_r*.json artifact found")
+    return sorted(out, key=lambda t: t[1])
+
+
+def green_names(artifact: Path) -> list[str]:
+    rows = json.loads(artifact.read_text())
+    out = []
+    for name, row in rows.items():
+        if not isinstance(row, dict) or row.get("err") is not None:
+            continue
+        checks = [v for k, v in row.items() if k.endswith("_match")]
+        if checks and all(v is True for v in checks):
+            out.append(name)
+    return sorted(out)
+
+
+def hashes_at_commit(commit: str, names: list[str], hash_src: str) -> dict:
+    with tempfile.TemporaryDirectory() as td:
+        tar = subprocess.Popen(
+            ["git", "archive", commit], cwd=REPO, stdout=subprocess.PIPE
+        )
+        subprocess.check_call(["tar", "-x", "-C", td], stdin=tar.stdout)
+        if tar.wait() != 0:
+            raise RuntimeError("git archive failed")
+        prog = textwrap.dedent(
+            """
+            import json, sys
+            ns = {}
+            exec(sys.stdin.read(), ns)
+            from airflow_etl_minio_to_postgres_spark import queries as reg
+            names = json.loads(sys.argv[1])
+            out = {}
+            for n in names:
+                fn = reg._QUERIES.get(n)
+                if fn is None:
+                    continue
+                out[n] = ns["query_code_hash"](fn, reg._ORACLES.get(n))
+            print(json.dumps(out))
+            """
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", prog, json.dumps(names)],
+            cwd=td,
+            input=hash_src,
+            capture_output=True,
+            text=True,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(f"hashing in {commit[:9]} failed:\n{res.stderr}")
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    hash_src = (REPO / PKG / "rotation_hash.py").read_text()
+    sidecar = REPO / "QUERY_HASHES.json"
+    try:
+        merged = json.loads(sidecar.read_text())
+        assert isinstance(merged, dict)
+    except (OSError, ValueError, AssertionError):
+        merged = {}
+
+    for artifact, rnd in artifacts_ascending():
+        commit = subprocess.check_output(
+            ["git", "log", "--format=%H", "-n", "1", "--", artifact.name],
+            cwd=REPO,
+            text=True,
+        ).strip()
+        if not commit:
+            print(f"skip {artifact.name}: not committed yet")
+            continue
+        names = green_names(artifact)
+        try:
+            hashes = hashes_at_commit(commit, names, hash_src)
+        except RuntimeError as e:
+            print(f"skip {artifact.name}: {e}")
+            continue
+        for n, h in hashes.items():
+            merged[n] = {"round": rnd, "hash": h}
+        print(f"{artifact.name}: {len(hashes)}/{len(names)} green entries "
+              f"hashed @ {commit[:9]}")
+
+    sidecar.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
+    print(f"QUERY_HASHES.json: {len(merged)} total records")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,39 @@ def test_pagerank_isolated_node_keeps_base_mass_and_hub_leads(spark):
     assert abs(ranks[9] - 0.15 / n) < 1e-12  # isolated: base mass only
     assert ranks[0] > max(ranks[1], ranks[2], ranks[3])  # hub dominates
     assert abs(ranks[1] - ranks[2]) < 1e-12  # leaves symmetric
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.graph import pagerank
+
+    # chain 1 -> 2 -> 3; node 3 is a sink.  Without redistribution its
+    # mass leaks (sum < 1); with redistribution total mass stays 1.0 and
+    # every rank matches the hand-unrolled power iteration.
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+
+    leaky = {
+        r.node: r.pagerank for r in pagerank(nodes, edges, 3).collect()
+    }
+    assert sum(leaky.values()) < 1.0 - 1e-6
+
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(
+            nodes, edges, 3, redistribute_dangling=True
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved
+
+    # hand-unrolled reference: r_new(v) = .05 + .85*(contrib(v) + dm/3)
+    d, n = 0.85, 3
+    r = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    for _ in range(3):
+        dm = r[3]  # only node 3 dangles
+        r = {
+            1: (1 - d) / n + d * (dm / n),
+            2: (1 - d) / n + d * (r[1] + dm / n),
+            3: (1 - d) / n + d * (r[2] + dm / n),
+        }
+    for v in (1, 2, 3):
+        assert abs(got[v] - r[v]) < 1e-12

@@ -23,22 +23,76 @@ def test_order_is_a_permutation_of_the_registry():
 
 def test_unverified_entries_precede_all_verified_ones():
     hist = registry._verification_history()
+    green = registry._recorded_green_hashes()
     ordered = list(registry.queries())
     ranks = {n: i for i, n in enumerate(ordered)}
-    unverified = [n for n in ordered if n not in hist]
-    verified = [n for n in ordered if n in hist]
+    eff = {n: registry._effective_round(n, hist, green) for n in ordered}
+    unverified = [n for n in ordered if eff[n] == 0]
+    verified = [n for n in ordered if eff[n] > 0]
     if unverified and verified:
         assert max(ranks[n] for n in unverified) < min(ranks[n] for n in verified)
-    # An unverified entry outside the window means >50 NEW entries at
-    # once — flag it loudly rather than silently shipping unchecked ops.
+    # An unverified entry outside the window means >50 new-or-edited
+    # entries at once — flag it loudly rather than silently shipping
+    # unchecked ops.
     for n in unverified:
-        assert ranks[n] < DRIVER_WINDOW, f"{n} is new but outside the window"
+        assert ranks[n] < DRIVER_WINDOW, f"{n} is new/edited but outside the window"
 
 
 def test_verified_entries_are_least_recently_verified_first():
     hist = registry._verification_history()
-    last_round = [hist[n] for n in registry.queries() if n in hist]
-    assert last_round == sorted(last_round)
+    green = registry._recorded_green_hashes()
+    eff = [
+        registry._effective_round(n, hist, green) for n in registry.queries()
+    ]
+    assert eff == sorted(eff)
+
+
+def test_code_change_resets_an_entry_to_unverified():
+    # An entry green at round N whose implementing code hash no longer
+    # matches the recorded green hash must sort as round 0 — this is the
+    # r6 policy hole (docs_training_prep changed in r6 but rode its r5
+    # row outside the window) made impossible.
+    name = next(iter(registry._QUERIES))
+    h_now = registry._current_code_hash(name)
+
+    # _effective_round is pure given (name, hist, green) — no patching
+    assert registry._effective_round(name, {name: 6}, {name: {"hash": h_now}}) == 6
+    assert registry._effective_round(name, {name: 6}, {name: {"hash": "x"}}) == 0
+    # green-but-never-hash-recorded is conservative: unverified
+    assert registry._effective_round(name, {name: 5}, {}) == 0
+    # sidecar missing entirely degrades to recency-only
+    assert registry._effective_round(name, {name: 5}, None) == 5
+    # never green: round 0 regardless
+    assert registry._effective_round(name, {}, {name: {"hash": h_now}}) == 0
+
+
+def test_query_code_hash_tracks_callee_modules_and_oracle():
+    import inspect
+
+    from airflow_etl_minio_to_postgres_spark.functions import graph
+    from airflow_etl_minio_to_postgres_spark.rotation_hash import (
+        hash_parts,
+        query_code_hash,
+    )
+
+    fn = registry._QUERIES["docs_pagerank"]
+    oracle = registry._ORACLES["docs_pagerank"]
+    base = query_code_hash(fn, oracle)
+    assert base == query_code_hash(fn, oracle)  # deterministic
+    assert base != query_code_hash(fn, "SELECT 1")  # oracle is identity
+    assert len(base) == 64 and set(base) <= set("0123456789abcdef")
+
+    parts = hash_parts(fn, oracle)
+    # the wrapper's own source leads, the oracle closes
+    assert parts[0] == inspect.getsource(fn)
+    assert parts[-1] == oracle
+    # a query calling into functions/graph.py folds that WHOLE module's
+    # source in — so any graph.py edit bumps the whole pagerank family
+    assert inspect.getsource(graph) in parts
+    # and its same-module helper (_near_dup_input) rides along without
+    # dragging in all of queries.py
+    assert inspect.getsource(registry._near_dup_input) in parts
+    assert inspect.getsource(registry) not in parts
 
 
 def test_failed_rows_do_not_count_as_verified(tmp_path, monkeypatch):

@@ -470,6 +470,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "word",
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT join: every directed pair (id_a, id_b,
+    containment) with ``id_a != id_b`` and ``|A ∩ B| / |A| >= threshold``
+    — doc A's gram set (nearly) inside doc B's.
+
+    Why alongside Jaccard: containment catches near-SUPERSET duplicates
+    that symmetric similarity misses by construction — a document quoted
+    whole inside a longer page, a truncated crawl of a full article, a
+    chapter inside the book — where ``J(A,B) = |A|/|B|`` can be
+    arbitrarily small while A is 100% contained.  RefinedWeb/Dolma-style
+    pipelines run exactly this screen ("substring contamination") after
+    symmetric dedup.
+
+    Scale shape mirrors :func:`ngram_jaccard_pairs` with ONE asymmetry:
+    only the CONTAINED side is prefix-filtered.  If ``|A∩B| >= t*|A|``
+    the intersection cannot hide in A's suffix, so A's first
+    ``|A| - ceil(t*|A|) + 1`` rarest grams must hit B — but B admits no
+    prefix truncation (the container may be arbitrarily large), so A's
+    prefix joins against B's FULL gram table.  Rarest-first ordering
+    keeps those join keys low-frequency; the only length filter is the
+    one containment implies, ``|B| >= t*|A|`` (no upper bound — that is
+    the point).  Verification reuses the sorted-array
+    ``array_intersect`` expression, dividing by ``|A|`` instead of the
+    union size.  The same gram table is persisted once and feeds the
+    window stage, both join sides, and verification."""
+    gram_fn = word_ngrams if unit == "word" else char_ngrams
+    grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
+
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("gram")
+    w = Window.partitionBy(id_col).orderBy("_df", "gram")
+    wsz = Window.partitionBy(id_col)
+    ranked = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(wsz))
+    )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select(id_col, "gram", "_sz")
+
+    cand = (
+        prefix.select(
+            F.col(id_col).alias("id_a"), "gram", F.col("_sz").alias("_sa")
+        )
+        .join(
+            # container side: full gram table, no prefix truncation
+            ranked.select(
+                F.col(id_col).alias("id_b"), "gram", F.col("_sz").alias("_sb")
+            ),
+            "gram",
+        )
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # containment forces |B| >= t*|A|; no upper bound on |B|
+            & (F.col("_sb") >= F.ceil(F.lit(threshold) * F.col("_sa")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    doc_sets = grams.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("gram")).alias("_gset")
+    )
+    return (
+        cand.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"), F.col("_gset").alias("_ga")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("id_b"), F.col("_gset").alias("_gb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("_ga", "_gb")).cast("double")
+            / F.size("_ga").cast("double"),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def contamination_counts(
     corpus: DataFrame,
     benchmark: DataFrame,

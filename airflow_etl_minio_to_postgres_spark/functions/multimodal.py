@@ -62,27 +62,54 @@ def attach_payload(
     )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — NOT IMPLEMENTED in this environment (no PIL/cv2).
+try:  # optional codec dependency — absent in the build sandbox
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised via the skip marker
+    _PILImage = None
 
-    Production body: ``PIL.Image.open(io.BytesIO(payload))`` -> resize /
-    to-tensor inside the same Arrow batch loop as
-    :func:`extract_payload_features`.
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode image bytes to an ``(H, W, C)`` uint8 array via Pillow.
+
+    Guarded optional dependency (mirroring the s3a smoke pattern): where
+    Pillow exists this is a real decode; in the codec-less sandbox it
+    raises ``NotImplementedError`` and the contract test skips.  Call it
+    from inside an Arrow batch loop (``mapInPandas``, as
+    :func:`extract_payload_features` does) — never per-row from the
+    driver.
     """
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use extract_payload_features for the deterministic test path"
-    )
+    if _PILImage is None:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; install pillow "
+            "for real decode, or use extract_payload_features for the "
+            "deterministic codec-free test path"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    """Real image resize — NOT IMPLEMENTED in this environment (no
-    PIL/cv2).  Production body: decode -> ``Image.resize((width, height))``
-    -> re-encode, inside the same Arrow batch loop."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; the Spark-side "
-        "plumbing (batch shape, schema) is covered by extract_payload_features"
-    )
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Decode -> ``Image.resize((width, height))`` -> re-encode (PNG),
+    returning the resized payload bytes.
+
+    Same guarded-Pillow contract as :func:`decode_image`; intended to run
+    inside the same Arrow batch loop so the Python boundary is paid per
+    batch.  PNG output keeps the round-trip lossless and deterministic
+    for tests."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; the Spark-side "
+            "plumbing (batch shape, schema) is covered by "
+            "extract_payload_features"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue()
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

@@ -68,6 +68,15 @@ def asof_join_cogrouped(
     twin is oracle-gated against the SAME DuckDB ASOF JOIN to prove the
     crossing itself is sound.  Groups must fit in executor memory —
     the usual applyInPandas contract.
+
+    CONTRACT: ``(by, right_on)`` pairs on the right side must be unique.
+    With duplicate right timestamps the backward match is inherently
+    underspecified — SQL ASOF JOIN leaves tied-row selection unpinned
+    while ``pd.merge_asof`` takes the last row after our
+    ``[matched_ts, value_col]`` sort (i.e. the max value) — so two
+    engines can legitimately disagree.  Pre-aggregate the right side to
+    one row per ``(by, right_on)`` (e.g. ``groupBy(by, on).agg(max)``)
+    before calling, as the oracle-gated registry entry does.
     """
 
     # Column names shared by both sides (beyond the group key) are

@@ -323,6 +323,61 @@ def tfidf_top_terms(
     return ranked.where(F.col("_rn") <= k).select(id_col, "word", "score")
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram language-model scoring: ``(doc_id, n_tokens,
+    avg_logprob)`` where avg_logprob is the mean ``ln p(word)`` of the
+    document's tokens under the corpus's own unigram distribution — the
+    cheap proxy for the KenLM-style perplexity filter every production
+    pretraining pipeline runs (low-probability-token-dense docs are
+    gibberish, OCR noise, or boilerplate in some other language; filter
+    or down-weight them before training).
+
+    Scale shape — three bounded shuffles, the corpus text never joins
+    against itself:
+
+    1. per-(doc, word) counts — groupBy with map-side combine, the only
+       stage that touches every token;
+    2. the vocabulary — a second groupBy of those aggregated rows as a
+       WINDOW (sum over partition by word), reusing the (doc, word) row
+       set instead of a separate vocab aggregate + equi-join back
+       (same trick as :func:`tfidf_top_terms`'s df stage);
+    3. per-doc mean — final groupBy on doc_id over rows already shrunk
+       to distinct (doc, word) pairs.
+
+    The corpus token total enters as a broadcast 1-row cross join (no
+    driver collect).  p(word) = count(word)/total over the SAME corpus,
+    so scores are self-contained and the DuckDB oracle reproduces them
+    exactly; weighting by tf keeps the mean over TOKENS, not types."""
+    spark_words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    tokens = df.select(
+        F.col(id_col), F.explode(spark_words).alias("word")
+    ).where(F.col("word") != "")
+    tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    with_cf = tf.withColumn(
+        "cf", F.sum("tf").over(Window.partitionBy("word"))
+    )
+    total = F.broadcast(
+        tf.agg(F.sum("tf").cast("double").alias("_total"))
+    )
+    return (
+        with_cf.crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("_total")))
+                / F.sum("tf")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # PII classes for redact_pii.  Patterns are RE2-compatible (no lookaround,
 # ASCII \b), so the IDENTICAL string runs in Java regex (Spark) and RE2
 # (DuckDB oracle).  Order matters at replacement time: emails first (their
@@ -348,10 +403,14 @@ def redact_pii(
     ``regexp_replace`` calls plus three ``regexp_count``-style
     expressions, all narrow, shuffle-free, and whole-stage-codegen'd —
     one map over the scan, regexes compiled once per task.  Counts are
-    taken per class on the ORIGINAL text (classes are disjoint by
-    construction; an email's digits can't also match the phone pattern
-    because replacement order never exposes partial matches to the
-    counters)."""
+    taken per class on the ORIGINAL text, so on adversarial input one
+    substring can legitimately increment TWO classes (an email whose
+    domain is IPv4-shaped, ``a@10.0.0.7``, counts under both n_email and
+    n_ipv4) — the counts answer "how much of each pattern appears", not
+    "how many replacements happened"; replacement itself is sequential
+    (email first), so each character is redacted at most once.  The
+    oracle runs the same original-text counting, keeping both engines
+    pinned to the same definition."""
     t = F.col(text_col)
     redacted = t
     counts = []

@@ -38,12 +38,19 @@ def observe_quality(
     return df.observe(obs, *metrics), obs
 
 
-def assert_min_rows(observation: Observation, minimum: int) -> None:
+def assert_min_rows(
+    observation: Observation, minimum: int, name: str = "audit"
+) -> None:
     """Post-action gate: fail loudly when the observed row count collapsed
-    below ``minimum`` (the cheap canary for a broken upstream feed)."""
+    below ``minimum`` (the cheap canary for a broken upstream feed).
+
+    ``name`` labels the failure message; call sites already know the audit
+    name they passed to :func:`observe_quality` (``Observation`` exposes no
+    stable public accessor for it, and reaching into the private ``_name``
+    would couple us to pyspark internals)."""
     n = observation.get["n_rows"]
     if n < minimum:
         raise ValueError(
-            f"audit {observation._name!r}: observed {n} rows < required "
+            f"audit {name!r}: observed {n} rows < required "
             f"minimum {minimum}"
         )

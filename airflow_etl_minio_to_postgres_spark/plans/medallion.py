@@ -49,6 +49,9 @@ class MedallionResult:
     field_config: DataFrame
     gold: dict[str, DataFrame] = field(default_factory=dict)
     property_ids: DataFrame | None = None
+    # Filled by write_medallion: table -> observed metrics (n_rows,
+    # n_null_<col>...) collected DURING each write's single scan.
+    audits: dict[str, dict] = field(default_factory=dict)
 
 
 def build_silver(raw: DataFrame) -> DataFrame:
@@ -165,19 +168,47 @@ def write_medallion(
     result: MedallionResult,
     base_path: str,
     mode: str = "overwrite",
+    min_rows: int = 1,
+    audit_null_cols: dict[str, list[str]] | None = None,
 ) -> dict[str, str]:
     """Materialize silver + every built gold table as parquet under
-    ``base_path/{silver,gold/<table>}``.
+    ``base_path/{silver,gold/<table>}``, with an inline QA audit riding
+    every write.
 
     ``mode='overwrite'`` makes reruns idempotent — the engine's fix for the
     reference's append-only inserts + CREATE TABLE without IF NOT EXISTS
     (``:414,423,431``; SURVEY.md §7 hard-part 4).  Swap in
     ``sources.jdbc.write_table`` per table to serve from Postgres instead.
+
+    Auditing (the reference's silent-failure mode — a column gone all-null
+    or a collapsed feed flowing straight into gold, SURVEY.md §5 — caught
+    at the write): each table is wrapped in ``observe_quality`` so row
+    counts and null counts for ``audit_null_cols[table]`` are collected
+    during the write's single scan (zero extra passes — at 100 TB a
+    separate count/null job would double the I/O).  After each write the
+    run FAILS via ``assert_min_rows`` if the table came out below
+    ``min_rows`` (set 0 to monitor without gating).  All observed metrics
+    land in ``result.audits[table]``.
     """
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        assert_min_rows,
+        observe_quality,
+    )
     from airflow_etl_minio_to_postgres_spark.sources.files import write_parquet
 
+    audit_null_cols = audit_null_cols or {}
     paths: dict[str, str] = {}
-    paths["silver"] = write_parquet(result.silver, f"{base_path}/silver", mode)
+
+    def _write(name: str, df: DataFrame, path: str) -> str:
+        audited, obs = observe_quality(
+            df, f"{name}_audit", audit_null_cols.get(name)
+        )
+        out = write_parquet(audited, path, mode)
+        result.audits[name] = dict(obs.get)
+        assert_min_rows(obs, min_rows, f"{name}_audit")
+        return out
+
+    paths["silver"] = _write("silver", result.silver, f"{base_path}/silver")
     for name, df in result.gold.items():
-        paths[name] = write_parquet(df, f"{base_path}/gold/{name}", mode)
+        paths[name] = _write(name, df, f"{base_path}/gold/{name}")
     return paths

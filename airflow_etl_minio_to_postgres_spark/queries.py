@@ -43,6 +43,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     decontaminate,
     exact_dedup_groups,
     near_dup_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     repeated_span_stats,
     simhash,
@@ -87,6 +88,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     stratified_cap,
     tfidf_top_terms,
     token_count_expr,
+    unigram_logprob,
     word_count_expr,
 )
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
@@ -1199,6 +1201,34 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_unigram_logprob",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    cf AS (SELECT word, sum(tf) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf)
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           sum(t.tf * ln(c.cf / tot.total)) / sum(t.tf) AS avg_logprob
+    FROM tf t JOIN cf c USING (word) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM scoring (functions/text.py unigram_logprob): mean
+    ln p(word) per document under the corpus's own unigram distribution —
+    the KenLM-perplexity-filter proxy for pretraining quality screens.
+    Three bounded shuffles: (doc, word) tf groupBy, corpus frequency as a
+    window over the aggregated rows (no join back to the corpus), per-doc
+    mean; the token total is a broadcast 1-row cross join."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return unigram_logprob(d)
+
+
+@register(
     "docs_lang_id",
     f"""
     SELECT doc_id, lang,
@@ -1654,6 +1684,50 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead of MinHash-LSH approximation."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.6, unit="word")
+
+
+@register(
+    "docs_containment_pairs",
+    "WITH "
+    + _NEAR_DUP_BASE_SQL
+    + """,
+    d AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM base
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS gram
+        FROM pos
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c::DOUBLE / sa.sz::DOUBLE AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE c::DOUBLE / sa.sz::DOUBLE >= 0.95
+    """,
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed n-gram CONTAINMENT join (functions/dedup.py
+    ngram_containment_pairs): pairs where >= 95% of doc A's 3-grams
+    appear in doc B — the near-superset screen (truncated crawls, quoted
+    articles) that symmetric Jaccard misses when the container is much
+    larger.  Runs over the perturbed near-dup corpus, where every
+    truncated twin is 100% contained in its original by construction.
+    Engine prefix-filters ONLY the contained side (the container may be
+    arbitrarily large); the oracle generates candidates from ANY shared
+    gram — equality proves the asymmetric prefix filter drops no
+    qualifying directed pair."""
+    corpus = _near_dup_input(spark, sf_dir)
+    return ngram_containment_pairs(corpus, n=3, threshold=0.95, unit="word")
 
 
 @register(
@@ -2215,6 +2289,142 @@ def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS sv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' AND sv IS NOT NULL
+                        THEN ts END) OVER w AS qc
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s3 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL
+                        THEN ts END) OVER w AS qp
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END) AS r_view,
+               max(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS r_click,
+               max(CASE WHEN qp IS NOT NULL THEN 1 ELSE 0 END) AS r_purchase
+        FROM s3 GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_users,
+           CAST(sum(r_view) AS BIGINT)     AS n_view,
+           CAST(sum(r_click) AS BIGINT)    AS n_view_click,
+           CAST(sum(r_purchase) AS BIGINT) AS n_view_click_purchase
+    FROM u
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click-after-view -> purchase-after-that):
+    how many users progressed through each stage IN ORDER — the product
+    analytics staple that a naive per-type count gets wrong (a purchase
+    before any view must not count).
+
+    Scale shape: ONE shuffle.  Three chained running-min windows share
+    the identical (user_id) partitioning and (ts, event_id) sort, so
+    Spark plans a single Exchange+Sort and stacks the Window operators
+    on it; the per-user reduction and the final 4-number fold are
+    map-side-combined aggregates over already-shrunk rows.  The
+    self-join formulation (events x events x events on user + time
+    predicates) would be three fact-fact joins — this is the
+    window-rewrite that makes funnels feasible at 100 TB."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.col("event_type")
+    s1 = e.withColumn(
+        "sv", F.min(F.when(t == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "qc",
+        F.min(
+            F.when((t == "click") & F.col("sv").isNotNull(), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "qp",
+        F.min(
+            F.when((t == "purchase") & F.col("qc").isNotNull(), F.col("ts"))
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("sv").isNotNull().cast("int")).alias("r_view"),
+        F.max(F.col("qc").isNotNull().cast("int")).alias("r_click"),
+        F.max(F.col("qp").isNotNull().cast("int")).alias("r_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("r_view").cast("long").alias("n_view"),
+        F.sum("r_click").cast("long").alias("n_view_click"),
+        F.sum("r_purchase").cast("long").alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    )
+    SELECT date_trunc('week', first_ts) AS cohort_week,
+           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week
+    (ISO Monday truncation on both engines), counted distinct per
+    (cohort_week, weeks-since-first-activity) — the growth-analytics
+    triangle.
+
+    Scale shape: two shuffles.  first_ts is a min window over the
+    (user_id) partitioning — no events-to-events self-join — and the
+    retention fold is a distinct-count groupBy whose key space is tiny
+    (weeks x offsets) while the heavy distinct state is partial-merged
+    map-side.  Day arithmetic happens on DATEs so the two engines agree
+    across DST boundaries."""
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    f = e.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    return (
+        f.select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "events_top_per_user",
     """
     SELECT user_id, event_id, value
@@ -2764,8 +2974,8 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.value AS last_purchase_value
     FROM (SELECT event_id, user_id, event_type, ts FROM events
           WHERE event_type <> 'purchase') l
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') r
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
@@ -2775,13 +2985,22 @@ def events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof_join_cogrouped: groupBy.cogroup.applyInPandas + pd.merge_asof).
     Kept alongside the expression version deliberately: identical oracle,
     two independent implementations — and the docstring there says when
-    to use which."""
+    to use which.
+
+    The right side is pre-aggregated to ONE row per (user_id, ts) —
+    max(value) — on BOTH engine and oracle: the operator's contract
+    requires unique (by, right_on) pairs, because tied-timestamp
+    selection is otherwise unpinned in SQL's ASOF JOIN (DuckDB picks an
+    arbitrary tied row; pd.merge_asof picks the last after sort) and the
+    comparison would be nondeterministic on adversarial data."""
     e = load_table(spark, "events", sf_dir)
     left = e.where(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    right = e.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join_cogrouped(
         left,

@@ -163,6 +163,17 @@ def stream_stream_attribution(
     ``availableNow`` backfill yields exactly the batch join's pairs.
     Per-side projection happens BEFORE the join so only three narrow
     columns enter the state store, not the wide props JSON.
+
+    ORDERING ASSUMPTION for batch-equality: a row arriving more than
+    ``watermark`` behind the stream's max event time has its match state
+    already evicted, so its inner-join pairs are silently dropped
+    relative to the batch oracle.  Equality therefore requires the
+    source's event-time disorder to stay within ``watermark`` — true for
+    a single availableNow file batch (everything arrives "at once",
+    before any watermark advances) and for landing files written in
+    rough time order; for an out-of-order production feed, size
+    ``watermark`` from the feed's measured max disorder plus the
+    attribution window.
     """
     clicks = (
         events.where(F.col("event_type") == "click")

@@ -13,7 +13,6 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
     attach_payload,
-    decode_image,
     extract_payload_features,
 )
 from airflow_etl_minio_to_postgres_spark.functions.similarity import (
@@ -122,11 +121,6 @@ def test_multimodal_features_deterministic(spark):
     assert feats[1]["width"] == 3 and feats[1]["height"] == 21
 
 
-def test_decode_image_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="image codecs"):
-        decode_image(b"\x89PNG")
-
-
 def test_simhash_near_dup_pairs_planted(spark):
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         simhash_near_dup_pairs,
@@ -145,11 +139,39 @@ def test_simhash_near_dup_pairs_planted(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
 
 
-def test_resize_image_is_explicit_stub():
-    from airflow_etl_minio_to_postgres_spark.functions.multimodal import resize_image
+def test_resize_image_raises_cleanly_without_pillow():
+    # Guarded optional dependency: without Pillow the codec entry points
+    # raise a clear NotImplementedError instead of an ImportError mid-job.
+    from airflow_etl_minio_to_postgres_spark.functions import multimodal
 
-    with pytest.raises(NotImplementedError, match="image codecs"):
-        resize_image(b"\x89PNG", 224, 224)
+    if multimodal._PILImage is not None:
+        pytest.skip("Pillow installed — covered by the round-trip test")
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        multimodal.resize_image(b"\x89PNG", 224, 224)
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_decode_resize_roundtrip_with_pillow():
+    # Runs wherever Pillow exists (mirrors the s3a-smoke opt-in pattern);
+    # skipped in the codec-less sandbox.
+    from airflow_etl_minio_to_postgres_spark.functions import multimodal
+
+    if multimodal._PILImage is None:
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    img = multimodal._PILImage.new("RGB", (8, 6), (250, 10, 20))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    arr = multimodal.decode_image(payload)
+    assert arr.shape == (6, 8, 3) and arr.dtype.name == "uint8"
+    assert (arr[0, 0] == (250, 10, 20)).all()
+
+    resized = multimodal.resize_image(payload, 4, 3)
+    assert multimodal.decode_image(resized).shape == (3, 4, 3)
 
 
 def test_sample_frame_offsets_fanout(spark):
@@ -422,6 +444,31 @@ def test_ngram_jaccard_exact_value(spark):
         for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     ]
     assert got == [(1, 2, round(7 / 9, 6))]
+
+
+def test_ngram_containment_catches_what_jaccard_misses(spark):
+    """Doc 1 is a verbatim prefix of the much longer doc 2: containment
+    (1 -> 2) is exactly 1.0 while Jaccard is only |A|/|B| — below any
+    dedup threshold.  The directed pair must surface, the reverse
+    direction must not, and unrelated doc 3 must stay out."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    contained = "a b c d e f"                       # 4 distinct 3-grams
+    container = contained + " g h i j k l m n o p"  # 14 3-grams, superset
+    df = _docs(
+        spark,
+        [(1, contained), (2, container), (3, "q r s t u v w x y z")],
+    )
+    got = [
+        (r["id_a"], r["id_b"], round(r["containment"], 6))
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+    # the symmetric join genuinely misses it: J = 4/14 < 0.5
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
 
 
 def test_char_ngrams_unit(spark):

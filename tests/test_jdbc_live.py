@@ -99,6 +99,103 @@ def test_execute_ddl_live(spark, derby):
     assert _rows(read_table(spark, derby, "ddl_made")) == [(7, "x")]
 
 
+def test_scd2_dimension_live_roundtrip(spark, derby):
+    """The two newest warehouse-shaped outputs close the loop over a real
+    database.  SCD2: init + one merge produce open/closed versions; the
+    Postgres DDL for the dimension is emitted (serving-sink dialect), the
+    rows travel through the batched JDBC writer into Derby, and the
+    partitioned read-back is value-identical — including NULL valid_to on
+    open versions."""
+    from airflow_etl_minio_to_postgres_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    snap1 = spark.createDataFrame(
+        [(1, "BUILDING", 10.0), (2, "AUTO", 20.0)],
+        ["custkey", "segment", "balance"],
+    )
+    snap2 = spark.createDataFrame(
+        [(1, "MACHINERY", 10.0), (3, "AUTO", 5.0)],
+        ["custkey", "segment", "balance"],
+    )
+    dim = scd2_merge(
+        scd2_init(snap1, "2024-01-01", ["custkey"], ["segment", "balance"]),
+        snap2,
+        "2024-02-01",
+        ["custkey"],
+        ["segment", "balance"],
+    )
+
+    # Postgres serving-sink DDL for exactly this shape (S6 emitter).
+    sql = create_table_sql(
+        dim.schema, "dim_customer_scd2", schema_name="gold"
+    )
+    assert '"valid_from" TIMESTAMP' in sql
+    assert '"is_current" BOOLEAN' in sql
+    assert sql.startswith('CREATE TABLE IF NOT EXISTS "gold"."dim_customer_scd2"')
+
+    write_table(
+        dim,
+        derby,
+        "dim_scd2",
+        mode="overwrite",
+        max_connections=2,
+        create_table_column_types="segment VARCHAR(16)",
+    )
+    back = read_table(spark, derby, "dim_scd2")
+    assert _rows(back.select(*dim.columns)) == _rows(dim)
+    live = {
+        (r["custkey"], r["segment"])
+        for r in back.where("is_current").collect()
+    }
+    assert live == {(1, "MACHINERY"), (2, "AUTO"), (3, "AUTO")}
+    assert back.where("valid_to IS NOT NULL").count() == 1  # closed v1 of key 1
+
+
+def test_hourly_rollup_live_roundtrip(spark, derby):
+    """Hourly rollup (the streaming upsert's batch shape) served to a
+    real database: aggregate events at sf0.001, emit the Postgres DDL,
+    write through JDBC, read back partitioned on the bigint count."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
+
+    rollup = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    sql = create_table_sql(rollup.schema, "events_hourly", schema_name="gold")
+    assert '"hour" TIMESTAMP' in sql and '"n_events" BIGINT' in sql
+
+    write_table(
+        rollup,
+        derby,
+        "events_hourly",
+        mode="overwrite",
+        max_connections=2,
+        create_table_column_types="event_type VARCHAR(32)",
+    )
+    back = read_table(
+        spark,
+        derby,
+        "events_hourly",
+        partition_column="n_events",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=3,
+    )
+    assert back.rdd.getNumPartitions() == 3
+    assert _rows(back.select(*rollup.columns)) == _rows(rollup)
+
+
 def test_create_table_sql_postgres_dialect_unchanged():
     """The DDL emitter stays Postgres-exact (SERIAL/TEXT are the
     reference's dialect, not Derby's) — Derby coverage above goes through

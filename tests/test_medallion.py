@@ -147,12 +147,32 @@ def test_write_medallion_idempotent(spark, tmp_path_factory, result):
     from airflow_etl_minio_to_postgres_spark.plans.medallion import write_medallion
 
     base = str(tmp_path_factory.mktemp("medallion"))
-    paths = write_medallion(result, base)
+    paths = write_medallion(
+        result, base, audit_null_cols={"property": ["property_key"]}
+    )
     assert set(paths) == {"silver", "property", "hoa", "taxes", "leads", "valuation"}
     first = spark.read.parquet(paths["property"]).count()
+    # The audit rides every write: metrics observed during the sink scan.
+    assert set(result.audits) == set(paths)
+    assert result.audits["property"]["n_rows"] == first == 4
+    assert result.audits["property"]["n_null_property_key"] == 0
+    assert result.audits["silver"]["n_rows"] > 0
     # Rerun must overwrite, not append (reference is NOT rerun-safe).
     write_medallion(result, base)
     assert spark.read.parquet(paths["property"]).count() == first == 4
+
+
+def test_write_medallion_gates_on_collapsed_feed(spark, tmp_path_factory, result):
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import write_medallion
+
+    base = str(tmp_path_factory.mktemp("medallion_gate"))
+    # a min_rows above any table's count must abort the run loudly — the
+    # reference's silent-failure mode (collapsed upstream feed flowing
+    # into gold) becomes a hard error at the first write.
+    with pytest.raises(ValueError, match="audit 'silver_audit'"):
+        write_medallion(result, base, min_rows=10**9)
 
 
 def test_reorder_first(spark):

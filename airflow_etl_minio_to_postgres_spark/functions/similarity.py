@@ -405,3 +405,42 @@ def label_centroids(
         F.avg(F.col("_v").cast("double")).alias("mean_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``(id, scale,
+    qvec array<int>)`` with ``qvec[i] = round(x[i] / scale)`` and
+    ``scale = max(|x|) / 127`` — the storage/bandwidth scale path for
+    ANN at 100 TB (4x smaller vectors than float32, 8x than float64;
+    dot products on int8 SIMD-vectorize, and the scale factors multiply
+    back out per pair).
+
+    Expression-only and shuffle-free: one ``transform`` to double, one
+    ``array_max`` for the per-vector scale, one ``transform`` for the
+    rounded quotients — all whole-stage-codegen'd in the scan stage.
+    Arithmetic is double end-to-end (float32 cast up first), so the
+    DuckDB oracle reproduces every quantized value bit-exactly;
+    ``greatest(scale, 1e-12/127)`` keeps zero vectors from dividing by
+    zero (they quantize to all-zero).  Dequantization error is bounded
+    by ``scale/2`` per coordinate — the standard symmetric-quantization
+    contract."""
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    out = df.select(F.col(id_col), xd.alias("_xd")).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("_xd"), F.abs)), F.lit(1e-12)
+        )
+        / F.lit(127.0),
+    )
+    return out.select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col("_xd"),
+            lambda v: F.round(v / F.col("scale")).cast("int"),
+        ).alias("qvec"),
+    )

@@ -67,6 +67,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ivf_topk,
     knn_join,
     label_centroids,
+    quantize_int8,
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
@@ -221,12 +222,23 @@ def _effective_round(name: str, hist: dict[str, int], green: dict | None) -> int
 
 
 def _driver_order(entries: dict) -> dict:
+    """Primary key: effective round (0 = needs verification).  Secondary
+    key: the RAW last-green round — among needs-verification entries this
+    puts never-checked entries first (they must never ship outside the
+    window), then hash-stale entries by how long ago they were actually
+    driver-verified.  When a round's edits invalidate more entries than
+    the 50-slot window holds, the spill-over is exactly the entries with
+    the freshest real verification — and they re-enter next round."""
     hist = _verification_history()
     green = _recorded_green_hashes()
     names = list(entries)
     ranked = sorted(
         range(len(names)),
-        key=lambda i: (_effective_round(names[i], hist, green), i),
+        key=lambda i: (
+            _effective_round(names[i], hist, green),
+            hist.get(names[i], 0),
+            i,
+        ),
     )
     return {names[i]: entries[names[i]] for i in ranked}
 
@@ -3281,3 +3293,75 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect."""
     emb = load_table(spark, "embeddings", sf_dir).select("label", "embedding")
     return label_centroids(emb)
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xd,
+               greatest(list_max(list_transform(xd, v -> abs(v))), 1e-12)
+                   / 127.0 AS scale
+        FROM x
+    ),
+    pos AS (
+        SELECT vec_id, xd, scale, unnest(range(0, len(xd))) AS dim FROM s
+    )
+    SELECT vec_id, scale, dim,
+           CAST(round(xd[dim + 1] / scale) AS INTEGER) AS q
+    FROM pos
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column
+    (functions/similarity.py quantize_int8), exploded to (vec_id, scale,
+    dim, q) long form so the oracle compares every quantized coordinate.
+    The operator itself is expression-only and shuffle-free (scale +
+    rounded quotients computed in the scan stage); double arithmetic on
+    both engines makes the int8 values bit-exact, not
+    tolerance-matched."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("dim", "q")
+    )
+
+
+@register(
+    "events_user_zscore",
+    """
+    SELECT event_id, user_id, value,
+           (value - avg(value) OVER w) / stddev_pop(value) OVER w AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    QUALIFY stddev_pop(value) OVER w > 0
+    """,
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score standardization of event values — the
+    feature-normalization / anomaly-scoring primitive (outliers are a
+    downstream ``zscore > k`` filter; the threshold is left out of the
+    operator so the emitted row set is float-noise-proof).  ONE
+    partition-bound window computes mean and population stddev together
+    over the same (user_id) shuffle; single-valued or constant users
+    (stddev 0) drop out on both engines rather than emitting NaN/null
+    divergently."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    sd = F.stddev_pop("value").over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            ((F.col("value") - F.avg("value").over(w)) / sd).alias("zscore"),
+            sd.alias("_sd"),
+        )
+        .where(F.col("_sd") > 0)
+        .drop("_sd")
+    )

@@ -9,16 +9,17 @@ window).  This module supplies the missing signal — a deterministic hash of
 the code that IMPLEMENTS a query — so the rotation can treat "green at
 round N but edited since" as unverified.
 
-Granularity: the registered wrapper's own source, the source of every
-same-module helper it calls directly, the FULL module source of every
-package module it pulls functions from (a deep edit inside
-``functions/dedup.py`` must bump every query that calls
-``near_dup_pairs``), and the oracle SQL string (an oracle edit needs
-re-verification exactly like a code edit).  Hashing whole sibling modules
-is deliberate: per-function closures would miss helper-of-helper edits,
-while whole-module hashing only over-bumps the handful of entries that
-genuinely share that module — a cheap false positive (one extra driver row)
-versus an expensive false negative (a changed operator shipping unchecked).
+Granularity: the TRANSITIVE per-function closure.  Starting from the
+registered wrapper, every package function/class it references is walked
+recursively (through nested lambdas too, via code-object constants), each
+contributing its own source; module-level constants it reads (regex
+tables, schema dicts, thresholds) contribute their ``repr``; the oracle
+SQL string contributes verbatim (an oracle edit needs re-verification
+exactly like a code edit).  Whole-module hashing was tried first and
+over-triggered: ADDING a new function to ``functions/text.py`` bumped
+every text-family entry, and a docstring fix bumped the whole streaming
+family — more entries than the 50-slot driver window can absorb in a
+round.  The closure responds to exactly the code a query can execute.
 
 This module must stay import-free of the rest of the package: the sidecar
 sync script (``scripts/sync_query_hashes.py``) ``exec``s its source inside
@@ -30,55 +31,82 @@ from __future__ import annotations
 
 import hashlib
 import inspect
-import sys
+import re
 import types
+
+_ADDR_RE = re.compile(r"0x[0-9a-fA-F]{6,}")
+
+_CONST_TYPES = (str, int, float, bool, bytes, tuple, list, dict)
 
 
 def _package_of(fn) -> str:
     return fn.__module__.split(".")[0]
 
 
+def _code_names(code) -> list[str]:
+    """Global names referenced by ``code`` and every nested code object
+    (lambdas, comprehensions, inner defs)."""
+    names = list(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names.extend(_code_names(const))
+    return names
+
+
 def hash_parts(fn, oracle: str | None = None) -> list[str]:
     """The ordered component list ``query_code_hash`` digests.
 
-    Components, in deterministic order:
+    Components, deterministically ordered:
       1. the registered function's own source;
-      2. sources of same-module callables it references directly
-         (helpers like ``_near_dup_input`` that whole-module hashing of
-         the registry would over-trigger on);
-      3. full source of every OTHER package module whose callables it
-         references (operators/functions/plans/streaming modules);
+      2. source of every package function/class reachable from it
+         (transitive closure over referenced global names, including
+         names used inside nested lambdas/comprehensions);
+      3. ``repr`` of every package-module constant those functions read
+         (skipped if the repr embeds a memory address — such values hash
+         unstably and would pin the entry permanently unverified);
       4. the oracle SQL string, if any.
     """
     pkg = _package_of(fn)
-    own_module = fn.__module__
-    parts: list[str] = [inspect.getsource(fn)]
-    local_sources: dict[str, str] = {}
-    module_sources: dict[str, str] = {}
-    for name in fn.__code__.co_names:
-        obj = fn.__globals__.get(name)
-        if obj is None or not callable(obj):
+    sources: dict[tuple, str] = {}
+    consts: dict[tuple, str] = {}
+    seen: set[tuple] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        key = (
+            getattr(f, "__module__", "") or "",
+            getattr(f, "__qualname__", "") or repr(type(f)),
+        )
+        if key in seen:
             continue
-        mod = getattr(obj, "__module__", None)
-        if not isinstance(mod, str) or mod.split(".")[0] != pkg:
+        seen.add(key)
+        try:
+            sources[key] = inspect.getsource(f)
+        except (OSError, TypeError):
             continue
-        if mod == own_module:
-            if name not in local_sources and not inspect.isbuiltin(obj):
-                try:
-                    local_sources[name] = inspect.getsource(obj)
-                except (OSError, TypeError):
-                    pass
-        elif mod not in module_sources:
-            m = sys.modules.get(mod)
-            if isinstance(m, types.ModuleType):
-                try:
-                    module_sources[mod] = inspect.getsource(m)
-                except (OSError, TypeError):
-                    pass
-    for name in sorted(local_sources):
-        parts.append(local_sources[name])
-    for mod in sorted(module_sources):
-        parts.append(module_sources[mod])
+        code = getattr(f, "__code__", None)
+        g = getattr(f, "__globals__", None)
+        if code is None or g is None:
+            continue  # classes: source captured above, methods not walked
+        for name in _code_names(code):
+            obj = g.get(name)
+            if obj is None:
+                continue
+            mod = getattr(obj, "__module__", None)
+            if callable(obj):
+                if isinstance(mod, str) and mod.split(".")[0] == pkg:
+                    stack.append(obj)
+            elif isinstance(obj, _CONST_TYPES):
+                r = repr(obj)
+                if not _ADDR_RE.search(r):
+                    consts[(f.__module__, name)] = r
+
+    parts = [inspect.getsource(fn)]
+    for key in sorted(sources):
+        if sources[key] != parts[0]:
+            parts.append(sources[key])
+    for key in sorted(consts):
+        parts.append(f"{key[0]}.{key[1]}={consts[key]}")
     if oracle is not None:
         parts.append(oracle)
     return parts

@@ -31,11 +31,19 @@ def test_unverified_entries_precede_all_verified_ones():
     verified = [n for n in ordered if eff[n] > 0]
     if unverified and verified:
         assert max(ranks[n] for n in unverified) < min(ranks[n] for n in verified)
-    # An unverified entry outside the window means >50 new-or-edited
-    # entries at once — flag it loudly rather than silently shipping
-    # unchecked ops.
+    # A NEVER-green entry outside the window means >50 brand-new entries
+    # at once — flag it loudly rather than silently shipping unchecked
+    # ops.  (Hash-stale entries MAY overflow when one round's edits touch
+    # more than 50 closures; the secondary sort guarantees the spill-over
+    # is the most-recently-actually-verified entries, due back next
+    # round.)
     for n in unverified:
-        assert ranks[n] < DRIVER_WINDOW, f"{n} is new/edited but outside the window"
+        if hist.get(n, 0) == 0:
+            assert ranks[n] < DRIVER_WINDOW, f"{n} is new but outside the window"
+    # among needs-verification entries, never-green precede stale, and
+    # stale are least-recently-actually-verified first
+    stale_rounds = [hist.get(n, 0) for n in ordered if eff[n] == 0]
+    assert stale_rounds == sorted(stale_rounds)
 
 
 def test_verified_entries_are_least_recently_verified_first():
@@ -86,11 +94,18 @@ def test_query_code_hash_tracks_callee_modules_and_oracle():
     # the wrapper's own source leads, the oracle closes
     assert parts[0] == inspect.getsource(fn)
     assert parts[-1] == oracle
-    # a query calling into functions/graph.py folds that WHOLE module's
-    # source in — so any graph.py edit bumps the whole pagerank family
-    assert inspect.getsource(graph) in parts
-    # and its same-module helper (_near_dup_input) rides along without
-    # dragging in all of queries.py
+    # transitive closure: the wrapper calls pagerank() directly and
+    # near_dup_pairs() -> word_ngrams() indirectly; each contributes its
+    # OWN source (an edit to any of them bumps this entry), while
+    # unrelated functions in the same modules do not (adding a new
+    # text/dedup helper must not invalidate the whole family)
+    from airflow_etl_minio_to_postgres_spark.functions import dedup
+
+    assert inspect.getsource(graph.pagerank) in parts
+    assert inspect.getsource(dedup.near_dup_pairs) in parts
+    assert inspect.getsource(dedup._minhash_table) in parts  # transitive
+    assert inspect.getsource(dedup.simhash) not in parts  # unrelated
+    # same-module helper rides along without dragging in all of queries.py
     assert inspect.getsource(registry._near_dup_input) in parts
     assert inspect.getsource(registry) not in parts
 

@@ -1,0 +1,97 @@
+"""Hand-computed semantics for the product-analytics operators
+(events_funnel_conversion / events_cohort_retention / events_user_zscore):
+the oracle gate proves Spark == DuckDB, these pin what BOTH must mean —
+a purchase before any view must not convert, cohorts anchor at first
+activity, z-scores drop constant users.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from airflow_etl_minio_to_postgres_spark import queries as registry
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, event_type, value)
+    return spark.createDataFrame(
+        [(eid, ts, uid, et, val, None) for eid, ts, uid, et, val in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _with_table(spark, df, tmp_path, name="events.parquet"):
+    # load_table resolves {sf_dir}/{table}.parquet — mirror that layout.
+    # Write MICROS like the driver's testdata (Spark's INT96 default is
+    # sniffed as nanos by the catalog's footer check).
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    return str(tmp_path)
+
+
+def test_funnel_requires_stage_order(spark, tmp_path, monkeypatch):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: view -> click -> purchase, in order: full conversion
+        (1, t(0), 1, "view", 1.0),
+        (2, t(1), 1, "click", 1.0),
+        (3, t(2), 1, "purchase", 5.0),
+        # user 2: purchase BEFORE any view, then view: reaches view only
+        (4, t(0), 2, "purchase", 5.0),
+        (5, t(1), 2, "view", 1.0),
+        # user 3: click before view, then view (no later click): view only
+        (6, t(0), 3, "click", 1.0),
+        (7, t(1), 3, "view", 1.0),
+        # user 4: view -> click, no purchase: two stages
+        (8, t(0), 4, "view", 1.0),
+        (9, t(1), 4, "click", 1.0),
+        # user 5: never views: reaches nothing
+        (10, t(0), 5, "purchase", 2.0),
+    ]
+    sf_dir = _with_table(spark, _events(spark, rows), tmp_path)
+    got = registry.events_funnel_conversion(spark, sf_dir).collect()[0]
+    assert got["n_users"] == 5
+    assert got["n_view"] == 4              # users 1-4
+    assert got["n_view_click"] == 2        # users 1, 4
+    assert got["n_view_click_purchase"] == 1  # user 1 only
+
+
+def test_cohort_retention_anchors_at_first_activity(spark, tmp_path):
+    # user 1 first active Mon Jan 1 week, returns 8 days later (offset 1);
+    # user 2 first active the following week (its own cohort, offset 0)
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 12), 1, "view", 1.0),
+        (2, dt.datetime(2024, 1, 10, 12), 1, "view", 1.0),
+        (3, dt.datetime(2024, 1, 9, 9), 2, "view", 1.0),
+    ]
+    sf_dir = _with_table(spark, _events(spark, rows), tmp_path)
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): r["n_users"]
+        for r in registry.events_cohort_retention(spark, sf_dir).collect()
+    }
+    assert got == {
+        (dt.date(2024, 1, 1), 0): 1,  # user 1, week of activity
+        (dt.date(2024, 1, 1), 1): 1,  # user 1 retained in week 1
+        (dt.date(2024, 1, 8), 0): 1,  # user 2's own cohort
+    }
+
+
+def test_user_zscore_drops_constant_users(spark, tmp_path):
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 10.0),
+        (2, dt.datetime(2024, 1, 2), 1, "view", 20.0),
+        (3, dt.datetime(2024, 1, 1), 2, "view", 7.0),  # single event: no sd
+        (4, dt.datetime(2024, 1, 1), 3, "view", 5.0),  # constant user
+        (5, dt.datetime(2024, 1, 2), 3, "view", 5.0),
+    ]
+    sf_dir = _with_table(spark, _events(spark, rows), tmp_path)
+    got = {r["event_id"]: r["zscore"] for r in
+           registry.events_user_zscore(spark, sf_dir).collect()}
+    # only user 1 has nonzero spread: mean 15, stddev_pop 5 -> z = ∓1
+    assert set(got) == {1, 2}
+    assert abs(got[1] + 1.0) < 1e-12 and abs(got[2] - 1.0) < 1e-12

@@ -62,3 +62,43 @@ def test_tfidf_rare_term_outranks_common(spark):
     }
     # 'shared' appears in every doc (idf floor); each doc's unique term wins
     assert top[0] == "rareone" and top[1] == "raretwo" and top[2] == "common"
+
+
+def test_unigram_logprob_known_values(spark):
+    from math import log
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    # corpus: 4 tokens total -> p(a)=3/4, p(b)=1/4
+    docs = _docs(spark, ["a a", "a b"])
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(docs).collect()
+    }
+    assert got[0][0] == 2 and got[1][0] == 2
+    assert abs(got[0][1] - log(3 / 4)) < 1e-12
+    assert abs(got[1][1] - (log(3 / 4) + log(1 / 4)) / 2) < 1e-12
+    # gibberish (all-rare tokens) scores strictly lower than common text
+    assert got[1][1] < got[0][1]
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # max|x|=1.0 -> scale=1/127; values quantize exactly
+    assert rows[1].qvec == [127, -64, 32]  # round(-63.5)=-64, round(31.75)=32
+    assert abs(rows[1].scale - 1.0 / 127) < 1e-15
+    # dequantization error bounded by scale/2 per coordinate
+    for q, x in zip(rows[1].qvec, [1.0, -0.5, 0.25]):
+        assert abs(q * rows[1].scale - x) <= rows[1].scale / 2 + 1e-15
+    # zero vector: epsilon scale, all-zero codes (no divide-by-zero)
+    assert rows[2].qvec == [0, 0, 0]

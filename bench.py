@@ -42,9 +42,24 @@ def main() -> None:
         # way to time a query (collect() measures the driver pipe instead).
         df.write.format("noop").mode("overwrite").save()
 
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        release_caches,
+    )
+
     all_queries = registry.queries()
-    # Warmup: force session + parquet footer reads.
+    # Warmup: force session + parquet footer reads (q1), then the
+    # MinHash-LSH/graph codegen path (docs_dup_clusters) — the first
+    # LSH-family execution in a session pays ~7 s of whole-stage-codegen
+    # JIT compilation, and alphabetical order would bill all of it to
+    # docs_canonical_per_cluster (measured: 12.9 s cold vs 5.7 s with
+    # warm codegen).  At the 100 TB target JIT compile time is noise;
+    # the suite should measure compute.  The warmup's persisted
+    # signature tables are released so only JIT warmth carries over,
+    # never cached data.
     materialize(all_queries["q1_pricing_summary"](spark, SF_DIR))
+    materialize(all_queries["docs_dup_clusters"](spark, SF_DIR))
+    release_caches()
+    spark.catalog.clearCache()
     warmup_sec = time.perf_counter() - t_start
 
     timings: dict[str, float] = {}

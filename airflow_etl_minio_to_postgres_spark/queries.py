@@ -2301,6 +2301,86 @@ def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_gapfill_locf",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+        FROM t CROSS JOIN b
+    ),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, avg(value) AS av
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           last_value(a.av IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS UNBOUNDED PRECEDING) AS last_avg_value
+    FROM grid g LEFT JOIN agg a USING (event_type, hour)
+    """,
+)
+def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with gap-filling and last-observation-carried-
+    forward — the hypertable/time-series resample: every (event_type,
+    hour) cell of the full time range exists, silent hours get
+    ``n_events = 0``, and ``last_avg_value`` carries the most recent
+    observed hourly average forward across gaps (null until the first
+    observation, matching SQL semantics on both engines).
+
+    Scale shape: the grid is synthesized, never scanned — global min/max
+    hour is a broadcast 1-row aggregate cross-joined onto the distinct
+    type list, and ``explode(sequence(...))`` fans it to types x hours
+    rows (metadata-sized vs the fact table).  The only fact-table work
+    is one hourly groupBy; the gap-fill join keys on (type, hour) where
+    the grid side is tiny, so AQE broadcasts it; LOCF is one
+    ``last(ignorenulls)`` running window per type — no self-join, no
+    per-gap recursion."""
+    e = load_table(spark, "events", sf_dir)
+    agg = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("_n"), F.avg("value").alias("_av"))
+    bounds = F.broadcast(
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("_av", ignorenulls=True).over(w).alias("last_avg_value"),
+        )
+    )
+
+
+@register(
     "events_funnel_conversion",
     """
     WITH s1 AS (

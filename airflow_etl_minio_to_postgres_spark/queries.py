@@ -194,6 +194,7 @@ def _recorded_green_hashes() -> dict | None:
 
 
 _CURRENT_HASHES: dict[str, str] = {}
+_CURRENT_WRAPPER_HASHES: dict[str, str] = {}
 
 
 def _current_code_hash(name: str) -> str:
@@ -206,6 +207,30 @@ def _current_code_hash(name: str) -> str:
             _QUERIES[name], _ORACLES.get(name)
         )
     return _CURRENT_HASHES[name]
+
+
+def _current_wrapper_hash(name: str) -> str:
+    if name not in _CURRENT_WRAPPER_HASHES:
+        from airflow_etl_minio_to_postgres_spark.rotation_hash import (
+            wrapper_hash,
+        )
+
+        _CURRENT_WRAPPER_HASHES[name] = wrapper_hash(
+            _QUERIES[name], _ORACLES.get(name)
+        )
+    return _CURRENT_WRAPPER_HASHES[name]
+
+
+def _directly_edited(name: str, green: dict | None) -> bool:
+    """True when the entry's OWN wrapper/oracle changed since its last
+    green round (vs a transitive bump through a callee) — the
+    higher-risk class, re-verified first when the window overflows."""
+    if green is None:
+        return False
+    rec = green.get(name)
+    if not isinstance(rec, dict) or "wrapper_hash" not in rec:
+        return False
+    return rec["wrapper_hash"] != _current_wrapper_hash(name)
 
 
 def _effective_round(name: str, hist: dict[str, int], green: dict | None) -> int:
@@ -222,24 +247,26 @@ def _effective_round(name: str, hist: dict[str, int], green: dict | None) -> int
 
 
 def _driver_order(entries: dict) -> dict:
-    """Primary key: effective round (0 = needs verification).  Secondary
-    key: the RAW last-green round — among needs-verification entries this
-    puts never-checked entries first (they must never ship outside the
-    window), then hash-stale entries by how long ago they were actually
-    driver-verified.  When a round's edits invalidate more entries than
-    the 50-slot window holds, the spill-over is exactly the entries with
-    the freshest real verification — and they re-enter next round."""
+    """Primary key: effective round (0 = needs verification).  Among
+    needs-verification entries: never-checked first (they must never ship
+    outside the window), then DIRECT wrapper/oracle edits (the entry's own
+    code changed — highest risk), then transitive bumps, each by how long
+    ago they were actually driver-verified.  When a round's edits
+    invalidate more entries than the 50-slot window holds, the spill-over
+    is the transitively-bumped entries with the freshest real
+    verification — due back next round."""
     hist = _verification_history()
     green = _recorded_green_hashes()
     names = list(entries)
-    ranked = sorted(
-        range(len(names)),
-        key=lambda i: (
-            _effective_round(names[i], hist, green),
-            hist.get(names[i], 0),
-            i,
-        ),
-    )
+
+    def key(i: int):
+        n = names[i]
+        eff = _effective_round(n, hist, green)
+        direct = 0 if _directly_edited(n, green) else 1
+        return (eff, direct if eff == 0 and hist.get(n, 0) else 0,
+                hist.get(n, 0), i)
+
+    ranked = sorted(range(len(names)), key=key)
     return {names[i]: entries[names[i]] for i in ranked}
 
 

@@ -12,14 +12,16 @@ round N but edited since" as unverified.
 Granularity: the TRANSITIVE per-function closure.  Starting from the
 registered wrapper, every package function/class it references is walked
 recursively (through nested lambdas too, via code-object constants), each
-contributing its own source; module-level constants it reads (regex
-tables, schema dicts, thresholds) contribute their ``repr``; the oracle
-SQL string contributes verbatim (an oracle edit needs re-verification
-exactly like a code edit).  Whole-module hashing was tried first and
-over-triggered: ADDING a new function to ``functions/text.py`` bumped
-every text-family entry, and a docstring fix bumped the whole streaming
-family — more entries than the 50-slot driver window can absorb in a
-round.  The closure responds to exactly the code a query can execute.
+contributing its DOCSTRING-AND-COMMENT-NORMALIZED source (parse -> strip
+docstrings -> unparse), so documentation edits never re-sort an entry;
+module-level constants it reads (regex tables, schema dicts, thresholds)
+contribute their ``repr``; the oracle SQL string contributes verbatim (an
+oracle edit needs re-verification exactly like a code edit).
+Whole-module hashing was tried first and over-triggered: ADDING a new
+function to ``functions/text.py`` bumped every text-family entry, and a
+docstring fix bumped the whole streaming family — more entries than the
+50-slot driver window can absorb in a round.  The normalized closure
+responds to exactly the code a query can execute.
 
 This module must stay import-free of the rest of the package: the sidecar
 sync script (``scripts/sync_query_hashes.py``) ``exec``s its source inside
@@ -29,9 +31,11 @@ verified, so it can only rely on the standard library.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import re
+import textwrap
 import types
 
 _ADDR_RE = re.compile(r"0x[0-9a-fA-F]{6,}")
@@ -41,6 +45,37 @@ _CONST_TYPES = (str, int, float, bool, bytes, tuple, list, dict)
 
 def _package_of(fn) -> str:
     return fn.__module__.split(".")[0]
+
+
+def _strip_docstrings(node: ast.AST) -> None:
+    for child in ast.walk(node):
+        if isinstance(
+            child,
+            (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module),
+        ):
+            body = child.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+
+
+def _normalized_source(obj) -> str:
+    """Source of ``obj`` with comments, docstrings, and formatting
+    normalized away (parse -> strip docstrings -> unparse), so
+    documentation-only edits do not re-sort an entry as unverified —
+    only code that can change results does.  Falls back to the raw
+    source when the fragment does not parse standalone."""
+    src = inspect.getsource(obj)
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return src
+    _strip_docstrings(tree)
+    return ast.unparse(tree)
 
 
 def _code_names(code) -> list[str]:
@@ -81,7 +116,7 @@ def hash_parts(fn, oracle: str | None = None) -> list[str]:
             continue
         seen.add(key)
         try:
-            sources[key] = inspect.getsource(f)
+            sources[key] = _normalized_source(f)
         except (OSError, TypeError):
             continue
         code = getattr(f, "__code__", None)
@@ -101,7 +136,7 @@ def hash_parts(fn, oracle: str | None = None) -> list[str]:
                 if not _ADDR_RE.search(r):
                     consts[(f.__module__, name)] = r
 
-    parts = [inspect.getsource(fn)]
+    parts = [_normalized_source(fn)]
     for key in sorted(sources):
         if sources[key] != parts[0]:
             parts.append(sources[key])
@@ -117,4 +152,18 @@ def query_code_hash(fn, oracle: str | None = None) -> str:
     ``hash_parts`` components joined with NUL separators)."""
     return hashlib.sha256(
         "\x00".join(hash_parts(fn, oracle)).encode("utf-8")
+    ).hexdigest()
+
+
+def wrapper_hash(fn, oracle: str | None = None) -> str:
+    """sha256 over ONLY the registered wrapper's normalized source + its
+    oracle SQL.  Lets the rotation distinguish a DIRECT edit to a query
+    (its own code or oracle changed — highest re-verification priority)
+    from a TRANSITIVE bump (something it calls changed — still
+    re-verified, but after the direct edits when one round invalidates
+    more entries than the driver window holds)."""
+    return hashlib.sha256(
+        "\x00".join(
+            [_normalized_source(fn)] + ([oracle] if oracle is not None else [])
+        ).encode("utf-8")
     ).hexdigest()

@@ -79,7 +79,11 @@ def hashes_at_commit(commit: str, names: list[str], hash_src: str) -> dict:
                 fn = reg._QUERIES.get(n)
                 if fn is None:
                     continue
-                out[n] = ns["query_code_hash"](fn, reg._ORACLES.get(n))
+                o = reg._ORACLES.get(n)
+                out[n] = {
+                    "hash": ns["query_code_hash"](fn, o),
+                    "wrapper_hash": ns["wrapper_hash"](fn, o),
+                }
             print(json.dumps(out))
             """
         )
@@ -119,8 +123,8 @@ def main() -> None:
         except RuntimeError as e:
             print(f"skip {artifact.name}: {e}")
             continue
-        for n, h in hashes.items():
-            merged[n] = {"round": rnd, "hash": h}
+        for n, rec in hashes.items():
+            merged[n] = {"round": rnd, **rec}
         print(f"{artifact.name}: {len(hashes)}/{len(names)} green entries "
               f"hashed @ {commit[:9]}")
 

@@ -40,10 +40,16 @@ def test_unverified_entries_precede_all_verified_ones():
     for n in unverified:
         if hist.get(n, 0) == 0:
             assert ranks[n] < DRIVER_WINDOW, f"{n} is new but outside the window"
-    # among needs-verification entries, never-green precede stale, and
-    # stale are least-recently-actually-verified first
-    stale_rounds = [hist.get(n, 0) for n in ordered if eff[n] == 0]
-    assert stale_rounds == sorted(stale_rounds)
+    # among needs-verification entries: never-green first, then DIRECT
+    # wrapper/oracle edits, then transitive bumps — each group ordered
+    # least-recently-actually-verified first
+    def cls(n):
+        if hist.get(n, 0) == 0:
+            return 0
+        return 1 if registry._directly_edited(n, green) else 2
+
+    keys = [(cls(n), hist.get(n, 0)) for n in ordered if eff[n] == 0]
+    assert keys == sorted(keys)
 
 
 def test_verified_entries_are_least_recently_verified_first():
@@ -91,22 +97,30 @@ def test_query_code_hash_tracks_callee_modules_and_oracle():
     assert len(base) == 64 and set(base) <= set("0123456789abcdef")
 
     parts = hash_parts(fn, oracle)
-    # the wrapper's own source leads, the oracle closes
-    assert parts[0] == inspect.getsource(fn)
+    # the wrapper's own (normalized) source leads, the oracle closes
+    from airflow_etl_minio_to_postgres_spark import rotation_hash as rh
+
+    assert parts[0] == rh._normalized_source(fn)
     assert parts[-1] == oracle
+    # docstring/comment edits must NOT change the identity
+    assert "Fixed 3-iteration" in inspect.getsource(fn)  # docstring present…
+    assert not any("Fixed 3-iteration" in p for p in parts)  # …but not hashed
     # transitive closure: the wrapper calls pagerank() directly and
     # near_dup_pairs() -> word_ngrams() indirectly; each contributes its
     # OWN source (an edit to any of them bumps this entry), while
     # unrelated functions in the same modules do not (adding a new
     # text/dedup helper must not invalidate the whole family)
     from airflow_etl_minio_to_postgres_spark.functions import dedup
+    from airflow_etl_minio_to_postgres_spark.rotation_hash import (
+        _normalized_source,
+    )
 
-    assert inspect.getsource(graph.pagerank) in parts
-    assert inspect.getsource(dedup.near_dup_pairs) in parts
-    assert inspect.getsource(dedup._minhash_table) in parts  # transitive
-    assert inspect.getsource(dedup.simhash) not in parts  # unrelated
+    assert _normalized_source(graph.pagerank) in parts
+    assert _normalized_source(dedup.near_dup_pairs) in parts
+    assert _normalized_source(dedup._minhash_table) in parts  # transitive
+    assert _normalized_source(dedup.simhash) not in parts  # unrelated
     # same-module helper rides along without dragging in all of queries.py
-    assert inspect.getsource(registry._near_dup_input) in parts
+    assert _normalized_source(registry._near_dup_input) in parts
     assert inspect.getsource(registry) not in parts
 
 

@@ -484,6 +484,98 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_revenue",
+    """
+    SELECT 100.00 *
+           sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-12-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact->dim
+    join.  The date filter is pushed to the lineitem parquet scan
+    (PushedFilters), part is broadcast (dimension-sized), and the CASE
+    rides the single aggregate — promo share of revenue in one pass with
+    no second scan for the denominator."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-12-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1  AND l.l_quantity <= 30)
+       OR (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctions spanning BOTH join sides —
+    the classic disjunctive-predicate planning test.  Catalyst extracts
+    the common join key, pushes the per-side residuals it can derive
+    (part rows must satisfy one of the type/size conjunctions; lineitem
+    rows one of the quantity ranges) below the broadcast join, and
+    evaluates the full disjunction post-join — versus the naive plan
+    that joins everything and filters last."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_type", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 30)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 40)
+        )
+        | (
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(20, 50)
+            & q.between(20, 50)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q5_supplier_nation_revenue",
     """
     SELECT n.n_name AS nation,

@@ -34,6 +34,30 @@ def test_q1_scan_is_pruned(spark):
     assert "l_quantity" in read_schema
 
 
+def test_q14_pushdown_broadcast_and_pruning(spark):
+    df = registry.queries()["q14_promo_revenue"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # date range reaches the lineitem scan; part is broadcast
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" not in read_schema  # only 4 of 11 columns read
+    assert "l_extendedprice" in read_schema
+
+
+def test_q19_disjunction_pushes_per_side_residuals(spark):
+    df = registry.queries()["q19_disjunctive_revenue"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # Catalyst must derive a part-side residual from the OR-of-
+    # conjunctions (p_type/p_size constraints) rather than joining the
+    # whole dimension and filtering last: some p_ predicate appears
+    # below the join, in the part scan's pushed filters.
+    assert "BroadcastHashJoin" in plan
+    assert "Or(" in plan  # the disjunction survives post-join
+    pushed = [seg[:300] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("p_type" in seg or "p_size" in seg for seg in pushed)
+
+
 def test_hash_key_no_python_udf(spark):
     df = registry.queries()["hash_key_customer"](spark, SF_SMOKE)
     plan = _physical_plan(df)

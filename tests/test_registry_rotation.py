@@ -150,3 +150,29 @@ def test_failed_rows_do_not_count_as_verified(tmp_path, monkeypatch):
     )
     hist = registry._verification_history()
     assert hist == {"good": 1}
+
+
+def test_sync_script_green_names_and_artifact_ordering(tmp_path):
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "sync_query_hashes",
+        Path(__file__).resolve().parent.parent / "scripts" / "sync_query_hashes.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    art = tmp_path / "CORRECTNESS_r03.json"
+    art.write_text(
+        json.dumps(
+            {
+                "good": {"rows_match": True, "hash_match": True, "err": None},
+                "red": {"rows_match": False, "hash_match": True, "err": None},
+                "errored": {"rows_match": True, "err": "boom"},
+                "checkless": {"err": None},
+            }
+        )
+    )
+    assert mod.green_names(art) == ["good"]

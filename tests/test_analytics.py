@@ -95,3 +95,23 @@ def test_user_zscore_drops_constant_users(spark, tmp_path):
     # only user 1 has nonzero spread: mean 15, stddev_pop 5 -> z = ∓1
     assert set(got) == {1, 2}
     assert abs(got[1] + 1.0) < 1e-12 and abs(got[2] - 1.0) < 1e-12
+
+
+def test_hourly_gapfill_locf_semantics(spark, tmp_path):
+    # hours 0 and 3 observed; 1-2 are gaps: counts 0, avg carried forward
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 15), 1, "view", 4.0),
+        (2, dt.datetime(2024, 1, 1, 0, 45), 1, "view", 6.0),
+        (3, dt.datetime(2024, 1, 1, 3, 30), 2, "view", 9.0),
+    ]
+    sf_dir = _with_table(spark, _events(spark, rows), tmp_path)
+    got = {
+        r["hour"].hour: (r["n_events"], r["last_avg_value"])
+        for r in registry.events_hourly_gapfill_locf(spark, sf_dir).collect()
+    }
+    assert got == {
+        0: (2, 5.0),   # observed: avg(4, 6)
+        1: (0, 5.0),   # gap: count 0, LOCF carries 5.0
+        2: (0, 5.0),
+        3: (1, 9.0),   # new observation replaces the carried value
+    }

@@ -128,6 +128,17 @@ def main() -> None:
         print(f"{artifact.name}: {len(hashes)}/{len(names)} green entries "
               f"hashed @ {commit[:9]}")
 
+    # Prune records for queries that no longer exist in the registry —
+    # stale names would otherwise accumulate forever.
+    sys.path.insert(0, str(REPO))
+    from airflow_etl_minio_to_postgres_spark.queries import _QUERIES
+
+    dropped = sorted(set(merged) - set(_QUERIES))
+    for n in dropped:
+        del merged[n]
+    if dropped:
+        print(f"pruned {len(dropped)} deleted queries: {dropped}")
+
     sidecar.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
     print(f"QUERY_HASHES.json: {len(merged)} total records")
 

@@ -117,3 +117,23 @@ def test_observe_quality_rides_the_write_action(spark, tmp_path):
     assert_min_rows(obs, 1)
     with _pytest.raises(ValueError, match="rows < required"):
         assert_min_rows(obs, metrics["n_rows"] + 1)
+
+
+def test_read_parquet_evolving_unions_schema_versions(spark, tmp_path):
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v1 string, v2 double"
+    ).write.mode("append").parquet(path)
+
+    got = read_parquet_evolving(spark, path)
+    assert sorted(got.columns) == ["id", "v1", "v2"]
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in got.collect()}
+    # old-schema file surfaces NULL for the later-added column
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

@@ -351,7 +351,17 @@ def unigram_logprob(
     The corpus token total enters as a broadcast 1-row cross join (no
     driver collect).  p(word) = count(word)/total over the SAME corpus,
     so scores are self-contained and the DuckDB oracle reproduces them
-    exactly; weighting by tf keeps the mean over TOKENS, not types."""
+    exactly; weighting by tf keeps the mean over TOKENS, not types.
+
+    Known tail at extreme scale: the corpus-frequency window partitions
+    by word, and a stop word's partition holds one row per document
+    containing it — WindowExec buffers (and spills) that partition
+    through a single task.  Spark survives it (external sort), but on a
+    multi-billion-document corpus the stop-word partitions become the
+    straggler tail; there, trade one extra shuffle for skew safety:
+    ``groupBy("word").sum("tf")`` (map-side partial combine flattens the
+    skew) joined back on word under AQE skew handling.  Same math, same
+    oracle."""
     spark_words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     tokens = df.select(
         F.col(id_col), F.explode(spark_words).alias("word")

@@ -2552,7 +2552,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregates over already-shrunk rows.  The
     self-join formulation (events x events x events on user + time
     predicates) would be three fact-fact joins — this is the
-    window-rewrite that makes funnels feasible at 100 TB."""
+    window-rewrite that makes funnels feasible at 100 TB.
+
+    Skew note: a pathological user (a bot with 10^8 events) sorts
+    through one window task.  The projection is already minimal (4
+    narrow columns); the production guard is an upstream per-user event
+    cap or bot filter — salting cannot apply to an ordered per-user
+    window without breaking the running-min semantics."""
     e = load_table(spark, "events", sf_dir).select(
         "user_id", "event_id", "event_type", "ts"
     )

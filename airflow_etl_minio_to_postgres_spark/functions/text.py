@@ -327,6 +327,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Corpus-unigram language-model scoring: ``(doc_id, n_tokens,
     avg_logprob)`` where avg_logprob is the mean ``ln p(word)`` of the
@@ -358,20 +359,24 @@ def unigram_logprob(
     containing it — WindowExec buffers (and spills) that partition
     through a single task.  Spark survives it (external sort), but on a
     multi-billion-document corpus the stop-word partitions become the
-    straggler tail; there, trade one extra shuffle for skew safety:
-    ``groupBy("word").sum("tf")`` (map-side partial combine flattens the
-    skew) joined back on word under AQE skew handling.  Same math, same
-    oracle."""
+    straggler tail; pass ``skew_safe=True`` there to trade one extra
+    shuffle for skew safety: ``groupBy("word").sum("tf")`` (map-side
+    partial combine flattens the skew) joined back on word under AQE
+    skew handling.  Same math, same oracle, identical results."""
     spark_words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     tokens = df.select(
         F.col(id_col), F.explode(spark_words).alias("word")
     ).where(F.col("word") != "")
     tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    from pyspark.sql import Window
+    if skew_safe:
+        vocab = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
+        with_cf = tf.join(vocab, "word")
+    else:
+        from pyspark.sql import Window
 
-    with_cf = tf.withColumn(
-        "cf", F.sum("tf").over(Window.partitionBy("word"))
-    )
+        with_cf = tf.withColumn(
+            "cf", F.sum("tf").over(Window.partitionBy("word"))
+        )
     total = F.broadcast(
         tf.agg(F.sum("tf").cast("double").alias("_total"))
     )

@@ -102,3 +102,20 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert abs(q * rows[1].scale - x) <= rows[1].scale / 2 + 1e-15
     # zero vector: epsilon scale, all-zero codes (no divide-by-zero)
     assert rows[2].qvec == [0, 0, 0]
+
+
+def test_unigram_logprob_skew_safe_path_identical(spark):
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    docs = _docs(spark, ["a a b c", "a b b", "c c c a"])
+    base = {
+        r.doc_id: (r.n_tokens, round(r.avg_logprob, 12))
+        for r in unigram_logprob(docs).collect()
+    }
+    safe = {
+        r.doc_id: (r.n_tokens, round(r.avg_logprob, 12))
+        for r in unigram_logprob(docs, skew_safe=True).collect()
+    }
+    assert base == safe  # window path == groupBy+join path, exactly

@@ -58,6 +58,16 @@ def test_q19_disjunction_pushes_per_side_residuals(spark):
     assert any("p_type" in seg or "p_size" in seg for seg in pushed)
 
 
+def test_funnel_windows_share_one_exchange(spark):
+    df = registry.queries()["events_funnel_conversion"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # three chained running-min windows + the per-user groupBy must all
+    # ride ONE user_id hash exchange; the only other exchange is the
+    # final single-partition 4-number fold
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert plan.count("Window") == 3
+
+
 def test_hash_key_no_python_udf(spark):
     df = registry.queries()["hash_key_customer"](spark, SF_SMOKE)
     plan = _physical_plan(df)

@@ -174,3 +174,70 @@ def test_decontaminate_screens_exactly(spark, corpus, bench):
         i for i, t in enumerate(corpus) if not (grams(t) & bench_grams)
     }
     assert out == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SPARK_SETTINGS
+def test_quantize_int8_invariants(spark, vecs):
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        quantize_int8,
+    )
+
+    dim = len(vecs[0])
+    vecs = [v[:dim] + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for r in quantize_int8(df).collect():
+        src = [float(x) for x in vecs[r.vec_id]]
+        assert r.scale > 0
+        for q, x in zip(r.qvec, src):
+            assert -127 <= q <= 127  # symmetric code range
+            # dequantization error bounded by half a step (+float slack);
+            # vacuous only for the epsilon-scale zero vector
+            assert abs(q * r.scale - float(str(x))) <= r.scale / 2 * (1 + 1e-9)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@SPARK_SETTINGS
+def test_pagerank_dangling_conserves_mass_on_random_graphs(spark, n, edges):
+    from airflow_etl_minio_to_postgres_spark.functions.graph import pagerank
+
+    edges = [(s, d) for s, d in edges if s < n and d < n and s != d]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    ).where("src <> dst" if edges else "src <> src")
+    ranks = pagerank(
+        nodes, edf, iterations=2, redistribute_dangling=True
+    ).collect()
+    total = sum(r.pagerank for r in ranks)
+    assert abs(total - 1.0) < 1e-9  # mass conserved on ANY directed graph
+    assert all(r.pagerank > 0 for r in ranks)

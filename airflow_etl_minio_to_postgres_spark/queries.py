@@ -3128,6 +3128,84 @@ def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_streaming_rollup_serving",
+    """
+    WITH r AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM r),
+    t AS (SELECT DISTINCT event_type FROM r),
+    grid AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+        FROM t CROSS JOIN b
+    )
+    SELECT g.event_type, g.hour,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_events,
+           last_value(r.sv / r.n IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS UNBOUNDED PRECEDING) AS last_avg_value
+    FROM grid g LEFT JOIN r USING (event_type, hour)
+    """,
+)
+def events_streaming_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate SERVING pipeline end to end — the
+    TimescaleDB "continuous aggregate + time_bucket_gapfill" pattern on
+    Spark primitives: the stream merge-sums micro-batch partials into a
+    materialized hourly rollup (streaming/pipeline.py
+    streaming_rollup_upsert), and the serving view densifies THAT
+    rollup — every (event_type, hour) cell exists, silent hours read 0,
+    and the hourly average carries forward across gaps.
+
+    Scale shape: the streaming side never re-scans history (rollup-sized
+    merges); the densify side touches only the ROLLUP (dimension-scale),
+    synthesizing the grid from broadcast min/max bounds — the raw stream
+    is never read twice.  The oracle replays the whole composition as
+    batch SQL: equality proves the materialized rollup plus gap-fill is
+    indistinguishable from a direct dense aggregate of all arrived
+    events."""
+    base = tempfile.mkdtemp(prefix="stream_rollup_serve_")
+    out = os.path.join(base, "rollup")
+    q = streaming_rollup_upsert(
+        stream_events(spark, sf_dir).select("ts", "event_type", "value"),
+        out,
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    rollup = spark.read.parquet(out)
+
+    bounds = F.broadcast(
+        rollup.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    )
+    grid = (
+        rollup.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(rollup, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.last(
+            F.col("sum_value") / F.col("n_events"), ignorenulls=True
+        ).over(w).alias("last_avg_value"),
+    )
+
+
+@register(
     "events_streaming_attribution",
     """
     SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id

@@ -123,3 +123,42 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(by))
         .applyInPandas(_merge, schema=out_schema)
     )
+
+
+def cosine_scores_pandas_udf(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity against a fixed query vector via a SCALAR
+    ``@pandas_udf`` — the fourth and most common Arrow crossing (after
+    mapInPandas, applyInPandas, and cogrouped applyInPandas, all
+    demonstrated elsewhere in this package): a vectorized column
+    function.
+
+    Why this shape matters: the whole Arrow batch arrives as ONE pandas
+    Series, so the math runs as a single numpy matrix-vector product per
+    batch — the 10-100x win over a row-at-a-time Python UDF the PySpark
+    docs promise, with the query vector captured in the closure (shipped
+    once per task, not per row).  For THIS particular computation the
+    pure-JVM expression twin (similarity.cosine_expr — zip_with +
+    aggregate, whole-stage codegen) is still faster and is the
+    production default; the pandas_udf form is the template for the
+    cases with no expression equivalent (a real model's scoring step, a
+    tokenizer, learned quality filters) and is oracle-gated against the
+    same SQL as the JVM twin to prove the crossing computes identically.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.sqrt(q @ q))
+
+    @F.pandas_udf("double")
+    def _cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series((m @ q) / (norms * qn))
+
+    return df.select(F.col(id_col), _cos(F.col(vec_col)).alias("cosine"))

@@ -72,6 +72,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     asof_join_cogrouped,
+    cosine_scores_pandas_udf,
     per_group_counts_pandas,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
@@ -1966,6 +1967,33 @@ _COS_SQL = (
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(load_table(spark, "embeddings", sf_dir), query_id=0, k=10)
+
+
+@register(
+    "emb_cosine_topk_pandas_udf",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL} AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME top-k cosine search as emb_cosine_topk, computed through
+    the SCALAR ``@pandas_udf`` Arrow crossing (functions/pandas_ops.py
+    cosine_scores_pandas_udf: one numpy matrix-vector product per Arrow
+    batch) instead of the JVM expression — identical oracle, two
+    independent implementations, same policy as the as-of pair.  The
+    query vector is closure-captured (in production it arrives from the
+    application; here a 1-row metadata-sized lookup fetches it)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = cosine_scores_pandas_udf(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in qv]
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 
 
 _BUCKET_SQL = "concat(" + ", ".join(

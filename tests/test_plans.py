@@ -58,6 +58,15 @@ def test_q19_disjunction_pushes_per_side_residuals(spark):
     assert any("p_type" in seg or "p_size" in seg for seg in pushed)
 
 
+def test_scalar_pandas_udf_is_arrow_not_rowwise(spark):
+    df = registry.queries()["emb_cosine_topk_pandas_udf"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # the scalar pandas_udf must cross via Arrow batches; a row-at-a-time
+    # BatchEvalPython node here would be the 10-100x slow path
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_funnel_windows_share_one_exchange(spark):
     df = registry.queries()["events_funnel_conversion"](spark, SF_SMOKE)
     plan = _physical_plan(df)

@@ -285,18 +285,59 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def stable_sum(expr, scale: int = 6):
+    """Order-independent sum of a fixed-point double expression.
+
+    ``sum(double)`` is accumulation-order-dependent: at magnitude ~4e8 a
+    1-ulp wobble (~6e-8) from a different partition merge order can cross
+    the driver's value-hash rounding boundary (the round-7 q19 red row —
+    rows/schema/values all agreed to 16 significant digits).  The test
+    data is fixed-point (2-dp money/discount/tax, so products carry at
+    most 6 decimal digits exactly): each term is scaled to its EXACT
+    integer micro-unit representation (``round(expr*1e6)`` — the double
+    is within ~1e-4 of the true integer, never near a rounding tie, so
+    Spark and DuckDB recover the same integer), summed as BIGINT (integer
+    addition is associative — partition order cannot matter), and divided
+    back once (``double(total)/1e6`` — one IEEE op on identical inputs).
+    The emitted double is bit-identical across engines AND across
+    partition layouts; verified at sf0.01 and sf0.1.
+
+    Oracle-side twin idiom::
+
+        CAST(sum(CAST(round((expr)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+
+    100 TB note: micro-unit totals overflow BIGINT near 9.2e12 currency
+    units; at that scale the production form is
+    ``sum(expr.cast("decimal(18,6)"))`` emitted AS DECIMAL (Spark decimal
+    sums are equally order-independent, precision grows to 28).  The
+    bigint-micros form is used here because the final decimal→double cast
+    is the one step the two engines round differently, and the driver
+    hash-compares doubles.
+    """
+    factor = float(10**scale)
+    return (
+        F.sum(F.round(expr * F.lit(factor)).cast("long")).cast("double")
+        / F.lit(factor)
+    )
+
+
 @register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                        AS sum_qty,
-           sum(l_extendedprice)                                   AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
-           avg(l_quantity)                                        AS avg_qty,
-           avg(l_extendedprice)                                   AS avg_price,
-           avg(l_discount)                                        AS avg_disc,
-           count(*)                                               AS count_order
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000/count(*)
+               AS avg_price,
+           CAST(sum(CAST(round(l_discount*1000000) AS BIGINT)) AS DOUBLE)/1000000/count(*)
+               AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -304,25 +345,32 @@ def oracle_sql() -> dict[str, str]:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregates go through ``stable_sum`` (exact bigint
+    micro-units) so the emitted doubles are bit-stable across partition
+    orders and engines; quantity sums stay raw double — integer-valued
+    terms sum exactly below 2^53 regardless of order.  Averages are
+    written as explicit sum/count on BOTH engines (identical IEEE op
+    sequence) rather than each engine's own ``avg`` accumulation."""
     li = load_table(spark, "lineitem", sf_dir)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
+            stable_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            stable_sum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (stable_sum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (stable_sum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -332,7 +380,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -340,12 +389,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: ROLLUP computes all prefixes in ONE shuffle pass
-    (partial aggregation per grouping set), not one job per level."""
+    (partial aggregation per grouping set), not one job per level.
+    Revenue via ``stable_sum`` — the grand-total row sums the whole fact
+    table, exactly the large-magnitude shape that flakes a raw double
+    sum's hash."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -384,7 +436,8 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped_value",
     """
     SELECT o.o_orderkey,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
@@ -416,9 +469,9 @@ def q3_top_unshipped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderkey")
@@ -488,10 +541,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     """
     SELECT 100.00 *
-           sum(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount)
-                    ELSE 0 END)
-           / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue_pct
+           (CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)/1000000)
+           / (CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000)
+           AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
       AND l.l_shipdate <  TIMESTAMP '1995-12-01'
@@ -509,14 +563,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    micros = F.round(rev * F.lit(1e6)).cast("long")
+    promo = (
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", micros).otherwise(F.lit(0))
+        ).cast("double")
+        / F.lit(1e6)
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
-                / F.sum(rev)
-            ).alias("promo_revenue_pct")
+            (F.lit(100.0) * promo / stable_sum(rev)).alias(
+                "promo_revenue_pct"
+            )
         )
     )
 
@@ -524,7 +583,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+    SELECT CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 15
@@ -570,7 +630,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.sum(rev).alias("revenue"),
+            stable_sum(rev).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -580,7 +640,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_supplier_nation_revenue",
     """
     SELECT n.n_name AS nation,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -603,9 +664,9 @@ def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )

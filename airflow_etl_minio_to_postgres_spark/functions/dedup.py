@@ -42,6 +42,18 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return handle
 
 
+def _req_ceil(threshold: float, size_col) -> Column:
+    """``ceil(t * n)`` with an epsilon guard.  When ``t * n`` is
+    mathematically an integer the double product can round one ulp ABOVE
+    it, making the ceil one too large — shortening the PPJoin prefix and
+    tightening the length filter, so an exact-boundary qualifying pair
+    (similarity == threshold) could be pruned before verification while
+    the any-shared-gram oracle keeps it.  Subtracting 1e-9 (far below the
+    1/(n·n') rational granularity of any attainable Jaccard/containment
+    value at realistic gram counts) restores the mathematical ceil."""
+    return F.ceil(F.lit(threshold) * size_col - F.lit(1e-9))
+
+
 def release_caches() -> int:
     """Eagerly unpersist every signature table cached by the near-dup
     operators in this process; returns how many were released.  Safe at any
@@ -425,7 +437,7 @@ def ngram_jaccard_pairs(
     # prefix length: |G| - ceil(t*|G|) + 1
     prefix = ranked.where(
         F.col("_rn")
-        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        <= F.col("_sz") - _req_ceil(threshold, F.col("_sz")) + 1
     ).select(id_col, "gram", "_sz")
 
     cand = (
@@ -437,8 +449,8 @@ def ngram_jaccard_pairs(
         .where(
             (F.col("id_a") < F.col("id_b"))
             # length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t
-            & (F.col("_sb") >= F.ceil(F.lit(threshold) * F.col("_sa")))
-            & (F.col("_sa") >= F.ceil(F.lit(threshold) * F.col("_sb")))
+            & (F.col("_sb") >= _req_ceil(threshold, F.col("_sa")))
+            & (F.col("_sa") >= _req_ceil(threshold, F.col("_sb")))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -517,7 +529,7 @@ def ngram_containment_pairs(
     )
     prefix = ranked.where(
         F.col("_rn")
-        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        <= F.col("_sz") - _req_ceil(threshold, F.col("_sz")) + 1
     ).select(id_col, "gram", "_sz")
 
     cand = (
@@ -534,7 +546,7 @@ def ngram_containment_pairs(
         .where(
             (F.col("id_a") != F.col("id_b"))
             # containment forces |B| >= t*|A|; no upper bound on |B|
-            & (F.col("_sb") >= F.ceil(F.lit(threshold) * F.col("_sa")))
+            & (F.col("_sb") >= _req_ceil(threshold, F.col("_sa")))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

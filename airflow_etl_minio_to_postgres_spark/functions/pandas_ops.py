@@ -157,8 +157,19 @@ def cosine_scores_pandas_udf(
 
     @F.pandas_udf("double")
     def _cos(col: pd.Series) -> pd.Series:
+        # np.stack raises on an empty batch (Arrow may hand one over on
+        # empty partitions) — an empty Series must round-trip as such.
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
         m = np.stack(col.to_numpy()).astype("float64")
         norms = np.sqrt((m * m).sum(axis=1))
-        return pd.Series((m @ q) / (norms * qn))
+        denom = norms * qn
+        ok = denom > 0
+        # Zero-norm embedding (or zero query vector): the JVM twin
+        # (similarity.cosine_expr) uses try_divide -> NULL, and DuckDB's
+        # ``/`` is NULL on zero divisors too; mask to a nullable Float64
+        # so Arrow ships a real null, not a warning-laden 0/0 NaN.
+        out = np.where(ok, (m @ q) / np.where(ok, denom, 1.0), np.nan)
+        return pd.Series(pd.array(np.where(ok, out, None), dtype="Float64"))
 
     return df.select(F.col(id_col), _cos(F.col(vec_col)).alias("cosine"))

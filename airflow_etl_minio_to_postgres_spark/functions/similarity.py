@@ -38,7 +38,13 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """``try_divide``, not ``/``: under Spark 4's default ANSI mode a
+    single zero-norm embedding (an all-zeros vector from a failed
+    upstream encode) would raise DIVIDE_BY_ZERO and kill the whole job —
+    at 100 TB a dirty row must degrade to NULL, never fail the pipeline
+    (same policy as the try_cast in events_json_props).  DuckDB's ``/``
+    returns NULL on zero divisors already, so the oracle agrees."""
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def topk_cosine(

@@ -3328,8 +3328,8 @@ def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            r.value AS last_purchase_value
     FROM (SELECT event_id, user_id, event_type, ts FROM events
           WHERE event_type <> 'purchase') l
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') r
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
@@ -3338,14 +3338,22 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same user's most recent purchase at-or-before it (NULL when none
     yet).  Engine: union + one keyed window scan (one Exchange total);
     oracle: DuckDB's native ASOF LEFT JOIN — an independent
-    implementation of the same semantics."""
+    implementation of the same semantics.
+
+    Same tied-timestamp contract as events_asof_cogrouped: the right
+    side is pre-aggregated to ONE row per (user_id, ts) — max(value) —
+    on BOTH engines, because which tied row an ASOF JOIN picks is
+    implementation-defined (DuckDB: arbitrary; the window engine:
+    union sort order) and would flake on data with duplicate purchase
+    timestamps per user."""
     e = load_table(spark, "events", sf_dir)
     left = e.where(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "event_type", "ts"
     )
     right = (
         e.where(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
     )
     return as_of_join(left, right, on="user_id")
 

@@ -99,6 +99,58 @@ def hashes_at_commit(commit: str, names: list[str], hash_src: str) -> dict:
         return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def verified_commit(artifact: str) -> str | None:
+    """The commit whose tree the driver actually verified for ``artifact``.
+
+    NOT simply ``git log -n 1 -- artifact``: a later combined commit
+    (conflict resolution, reformat) touching the artifact alongside code
+    edits would silently attribute green hashes to code the driver never
+    ran — the unsafe direction.  Instead: the OLDEST commit whose blob
+    for the artifact equals its current content (the driver's original
+    artifact drop; later byte-identical touches are ignored), and that
+    commit must be a pure artifact drop — if it also modifies Python
+    source, attribution is ambiguous and the artifact is skipped with a
+    warning (its entries stay unverified and re-enter the driver window,
+    the safe direction)."""
+    cur = subprocess.check_output(
+        ["git", "hash-object", "--", artifact], cwd=REPO, text=True
+    ).strip()
+    commits = subprocess.check_output(
+        ["git", "log", "--format=%H", "--", artifact], cwd=REPO, text=True
+    ).split()
+    if not commits:
+        print(f"skip {artifact}: not committed yet")
+        return None
+    chosen = None
+    for c in commits:  # newest -> oldest; keep the last (oldest) match
+        try:
+            blob = subprocess.check_output(
+                ["git", "rev-parse", f"{c}:{artifact}"], cwd=REPO, text=True
+            ).strip()
+        except subprocess.CalledProcessError:
+            break  # artifact absent before this point
+        if blob == cur:
+            chosen = c
+        elif chosen:
+            break  # content diverges further back; stop at oldest match
+    if chosen is None:
+        print(f"skip {artifact}: working-tree content matches no commit")
+        return None
+    touched = subprocess.check_output(
+        ["git", "diff-tree", "--no-commit-id", "--name-only", "-r", chosen],
+        cwd=REPO,
+        text=True,
+    ).split()
+    code = [p for p in touched if p.endswith(".py")]
+    if code:
+        print(
+            f"skip {artifact}: introducing commit {chosen[:9]} also edits "
+            f"code ({code[:3]}...) — cannot attribute driver-verified tree"
+        )
+        return None
+    return chosen
+
+
 def main() -> None:
     hash_src = (REPO / PKG / "rotation_hash.py").read_text()
     sidecar = REPO / "QUERY_HASHES.json"
@@ -109,13 +161,8 @@ def main() -> None:
         merged = {}
 
     for artifact, rnd in artifacts_ascending():
-        commit = subprocess.check_output(
-            ["git", "log", "--format=%H", "-n", "1", "--", artifact.name],
-            cwd=REPO,
-            text=True,
-        ).strip()
+        commit = verified_commit(artifact.name)
         if not commit:
-            print(f"skip {artifact.name}: not committed yet")
             continue
         names = green_names(artifact)
         try:

@@ -83,3 +83,44 @@ def test_backward_asof_picks_latest_at_or_before(spark):
     }
     assert out["early"].v is None  # nothing at-or-before Jan 1
     assert out["late"].v == 2.0 and out["late"].matched_ts == ts[2]
+
+
+def test_cosine_pandas_udf_zero_norm_matches_jvm_twin(spark):
+    """A zero-norm embedding must yield NULL on both Arrow and JVM paths
+    (try_divide semantics; Spark 4 ANSI would otherwise raise
+    DIVIDE_BY_ZERO), and an empty input must not crash np.stack."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
+        cosine_scores_pandas_udf,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        cosine_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = [1.0, 1.0]
+    jvm = {
+        r.vec_id: r.cosine
+        for r in df.select(
+            "vec_id",
+            cosine_expr(
+                F.col("embedding"), F.array(*[F.lit(x) for x in q])
+            ).alias("cosine"),
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cosine
+        for r in cosine_scores_pandas_udf(df, q).collect()
+    }
+    assert jvm[1] is None and arrow[1] is None
+    assert abs(jvm[2] - arrow[2]) < 1e-12
+    # zero QUERY vector: every score is NULL, no numpy warnings/errors
+    assert [
+        r.cosine for r in cosine_scores_pandas_udf(df, [0.0, 0.0]).collect()
+    ] == [None, None]
+    # empty relation round-trips as empty
+    assert cosine_scores_pandas_udf(df.where("vec_id < 0"), q).collect() == []

@@ -651,6 +651,180 @@ def repeated_span_stats(
     )
 
 
+def positional_word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every word ``n``-gram occurrence WITH its 0-based start-token
+    position: (id, pos, gram) — NOT distinct, one row per occurrence.
+    The positional twin of :func:`word_ngrams`, for span-level operators
+    that must map grams back onto the token stream."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    shingle = ", ".join(f"_w[i+{j}]" for j in range(n))
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {n}), i -> "
+                    f"struct(CAST(i AS BIGINT) AS pos,"
+                    f" concat_ws(' ', {shingle}) AS gram))"
+                )
+            ).alias("_pg"),
+        )
+        .select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg.gram").alias("gram"))
+    )
+
+
+def cross_doc_spans(
+    corpus: DataFrame,
+    k: int = 8,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT-substring dedup, Lee et al. 2022 style
+    ("Deduplicating Training Data Makes Language Models Better"): find,
+    per document, every maximal token span whose ``k``-token passages
+    each occur in >= ``min_docs`` distinct documents corpus-wide — the
+    boilerplate/license-paragraph killer that whole-document dedup,
+    Jaccard, AND containment joins all miss (two long documents sharing
+    ONE paragraph have near-zero set overlap; see the contract test).
+
+    Algorithm: positional ``k``-grams -> corpus-wide gram document
+    frequency -> keep gram occurrences whose gram clears ``min_docs`` ->
+    merge overlapping/adjacent duplicated gram starts per document into
+    maximal spans (gaps-and-islands: a new island starts when
+    ``pos > lag(pos) + k``, i.e. the previous gram's token range
+    ``[lag, lag+k-1]`` neither overlaps nor touches this one).
+
+    Scale shape: the document frequency is a **groupBy, not a window** —
+    unlike :func:`repeated_span_stats`'s per-doc ratios this operator
+    only needs the tiny above-threshold gram list back, and boilerplate
+    grams are skewed by design (the interesting gram appears in 40k
+    docs): a window would sort the full occurrence table inside the hot
+    partition, while the groupBy's map-side partial aggregation collapses
+    each task's occurrences to one row per gram before the shuffle.  The
+    join back is an equi-join on gram where the duplicated-gram side is
+    threshold-pruned and small (AQE broadcasts it); the island merge is
+    one per-document window over hit positions only (hits << tokens).
+
+    Returns (id, span_start, span_tokens, span_text): 0-based start
+    token, span length in tokens, and the lower/whitespace-normalized
+    passage text.
+    """
+    from pyspark.sql import Window
+
+    occ = _persist_tracked(
+        positional_word_ngrams(corpus, k, text_col, id_col)
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = occ.join(dup, "gram", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = (
+        hits.withColumn(
+            "_brk",
+            F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0),
+        )
+        .withColumn(
+            "_g",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        )
+    )
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    toks = corpus.select(F.col(id_col), words.alias("_w"))
+    return (
+        grouped.join(toks, id_col)
+        .select(
+            id_col,
+            "span_start",
+            "span_tokens",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("span_start") + 1,
+                    F.col("span_tokens"),
+                ),
+            ).alias("span_text"),
+        )
+    )
+
+
+def strip_cross_doc_spans(
+    corpus: DataFrame,
+    k: int = 8,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every cross-document duplicated span found by
+    :func:`cross_doc_spans` from each document, keeping the surrounding
+    text — span-level dedup (strip the boilerplate, keep the document)
+    versus document-level dedup (drop one of the pair).
+
+    Output text is token-space: lowercased, whitespace-normalized tokens
+    re-joined by single spaces (the same normalization the span
+    positions are defined over).  Documents with no duplicated span pass
+    through with only that normalization; ``tokens_removed`` counts the
+    stripped tokens.
+
+    Scale shape: the span table is the small side (only documents with
+    boilerplate, a few spans each) — collected to one array per doc and
+    joined back LEFT onto the corpus (AQE broadcast); the strip itself
+    is a per-row ``filter`` over the token array, no second pass over
+    the corpus.
+    """
+    spans = (
+        cross_doc_spans(corpus, k, min_docs, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    (F.col("span_start") + F.col("span_tokens") - 1).alias(
+                        "e"
+                    ),
+                )
+            ).alias("_spans")
+        )
+    )
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    return (
+        corpus.select(F.col(id_col), words.alias("_w"))
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "concat_ws(' ', transform(filter("
+                "  transform(_w, (t, i) -> struct(t AS t, i AS i)),"
+                "  x -> _spans IS NULL OR NOT exists("
+                "    _spans, sp -> x.i >= sp.s AND x.i <= sp.e)"
+                "), x -> x.t))"
+            ).alias("clean_text"),
+            F.coalesce(
+                F.aggregate(
+                    "_spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, sp: acc + sp["e"] - sp["s"] + 1,
+                ),
+                F.lit(0).cast("long"),
+            ).alias("tokens_removed"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -40,6 +40,7 @@ from airflow_etl_minio_to_postgres_spark.operators.keys import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     contamination_counts,
+    cross_doc_spans,
     decontaminate,
     exact_dedup_groups,
     near_dup_pairs,
@@ -48,6 +49,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     repeated_span_stats,
     simhash,
     simhash_near_dup_pairs,
+    strip_cross_doc_spans,
 )
 from airflow_etl_minio_to_postgres_spark.functions.graph import (
     assign_clusters,
@@ -3530,6 +3532,112 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, gram) rows; no join back to the corpus."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return repeated_span_stats(docs, n=5, min_docs=2)
+
+
+_CROSS_DOC_SPANS_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        FROM d WHERE len(w) >= 8
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+        FROM pos
+    ),
+    dup AS (
+        SELECT gram FROM occ GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 3
+    ),
+    hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) - min(pos) + 8 AS span_tokens
+        FROM grp GROUP BY doc_id, g
+    )
+"""
+
+
+@register(
+    "docs_cross_doc_spans",
+    _CROSS_DOC_SPANS_SQL
+    + """
+    SELECT s.doc_id, s.span_start, s.span_tokens,
+           array_to_string(d.w[s.span_start+1 : s.span_start+s.span_tokens],
+                           ' ') AS span_text
+    FROM spans s JOIN d USING (doc_id)
+    """,
+)
+def docs_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (functions/dedup.py
+    cross_doc_spans), Lee et al. 2022 style: per document, every maximal
+    token span whose 8-token passages occur in >=3 distinct documents —
+    the corpus-level "same passage in 40k docs" boilerplate modality
+    that Jaccard and containment joins both miss (high set-similarity is
+    never reached when two long documents share one paragraph).  Gram
+    document frequency is a groupBy (map-side combined — boilerplate
+    grams are skewed by design), the join-back is threshold-pruned, the
+    island merge windows over hit positions only."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return cross_doc_spans(docs, k=8, min_docs=3)
+
+
+@register(
+    "docs_strip_cross_doc_spans",
+    _CROSS_DOC_SPANS_SQL
+    + """,
+    tok AS (
+        SELECT doc_id, i, w[i+1] AS t
+        FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d)
+    ),
+    keep AS (
+        SELECT t.doc_id, t.i, t.t FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.i >= s.span_start
+              AND t.i < s.span_start + s.span_tokens)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text
+        FROM keep GROUP BY doc_id
+    ),
+    rem AS (
+        SELECT doc_id, sum(span_tokens) AS tokens_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(r.tokens_removed, 0) AS BIGINT) AS tokens_removed
+    FROM d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN rem r USING (doc_id)
+    """,
+)
+def docs_strip_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup applied (functions/dedup.py
+    strip_cross_doc_spans): duplicated passages removed, surrounding
+    text kept — strip the boilerplate, keep the document.  Output is
+    token-space (lowercased, single-space-joined); documents with no
+    duplicated span pass through with only that normalization."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return strip_cross_doc_spans(docs, k=8, min_docs=3)
 
 
 @register(

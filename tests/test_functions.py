@@ -513,3 +513,74 @@ def test_training_prep_funnel_stages(spark):
     # doc 1 survives its dups; s2's cap=1 keeps exactly one of {5, 6}
     assert 1 in got and len([g for g in got if g in (5, 6)]) == 1
     assert 2 not in got and 3 not in got and 4 not in got
+
+
+def test_cross_doc_spans_catch_what_jaccard_and_containment_miss(spark):
+    """Two LONG documents share one 12-token boilerplate paragraph and
+    nothing else: their gram-set Jaccard AND both containment directions
+    sit near zero (the shared passage is a sliver of each doc), yet the
+    passage is exactly the corpus-level duplication Lee et al.-style
+    substring dedup must flag — and strip, keeping the surrounding
+    text."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        cross_doc_spans,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        strip_cross_doc_spans,
+    )
+
+    boiler = (
+        "this software is provided as is without warranty of any kind express"
+    )  # 12 tokens
+    body_a = " ".join(f"alpha{i}" for i in range(60))
+    body_b = " ".join(f"beta{i}" for i in range(60))
+    df = _docs(
+        spark,
+        [
+            (1, body_a + " " + boiler),
+            (2, boiler + " " + body_b),
+            (3, "gamma only tokens here nothing shared with anyone at all"),
+        ],
+    )
+    # both set-similarity joins genuinely miss the pair
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
+    assert ngram_containment_pairs(df, n=3, threshold=0.5).count() == 0
+
+    spans = {
+        r["doc_id"]: r
+        for r in cross_doc_spans(df, k=8, min_docs=2).collect()
+    }
+    assert set(spans) == {1, 2}
+    for doc_id, start in ((1, 60), (2, 0)):
+        assert spans[doc_id]["span_start"] == start
+        assert spans[doc_id]["span_tokens"] == 12
+        assert spans[doc_id]["span_text"] == boiler
+
+    stripped = {
+        r["doc_id"]: r
+        for r in strip_cross_doc_spans(df, k=8, min_docs=2).collect()
+    }
+    assert stripped[1]["clean_text"] == body_a
+    assert stripped[1]["tokens_removed"] == 12
+    assert stripped[2]["clean_text"] == body_b
+    assert stripped[2]["tokens_removed"] == 12
+    assert stripped[3]["tokens_removed"] == 0
+
+
+def test_cross_doc_spans_merge_overlapping_and_adjacent(spark):
+    """Three docs share a 10-token passage; gram starts 0..2 (k=8)
+    overlap pairwise and must merge into ONE maximal span per doc, not
+    three 8-token spans."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        cross_doc_spans,
+    )
+
+    passage = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [(i, passage + " " + " ".join(f"u{i}x{j}" for j in range(20)))
+            for i in (1, 2, 3)]
+    out = cross_doc_spans(_docs(spark, rows), k=8, min_docs=3).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["span_start"], r["span_tokens"], r["span_text"]) == (
+            0, 10, passage,
+        )

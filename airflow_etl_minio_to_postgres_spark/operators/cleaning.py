@@ -89,3 +89,30 @@ def apply_schema(df: DataFrame, struct: T.StructType) -> DataFrame:
     return df.select(
         *[F.col(f.name).cast(f.dataType) for f in struct.fields]
     )
+
+
+def cap_events_per_user(
+    df: DataFrame,
+    cap: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bot guard: keep at most ``cap`` events per user, chosen by
+    sha256-of-event-id order — the upstream skew defense the windowed
+    analytics operators (funnel, sessionize, z-score) name in their
+    docstrings: a pathological user (a bot with 10^8 events) serializes
+    an ordered per-user window into one task, and salting cannot apply
+    without breaking running-min/sort semantics.  Capping BEFORE the
+    window bounds every partition at ``cap`` rows.
+
+    Delegates to ``stratified_cap`` (the same seedless primitive used
+    for training-data source mixing): sha-of-id order is deterministic
+    on any engine/partition layout AND time-unbiased — a "first N by
+    ts" truncation would keep only a bot's earliest history, biasing
+    every time-windowed metric computed downstream.
+    """
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        stratified_cap,
+    )
+
+    return stratified_cap(df, user_col, id_col, cap)

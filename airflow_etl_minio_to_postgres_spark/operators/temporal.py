@@ -41,6 +41,7 @@ def as_of_join(
     right_ts: str = "ts",
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the single right row with
     the largest ``right_ts <= left_ts`` (direction='backward') or smallest
@@ -61,8 +62,12 @@ def as_of_join(
 
     Ties: a right row at exactly ``left_ts`` matches (inclusive, both
     directions).  Multiple right rows on the SAME (key, ts) make the
-    winner order-dependent — dedupe the right side first if that can
-    occur.
+    winner order-dependent — either dedupe the right side first, or pass
+    ``tie_break=<payload column>``: tied right rows are then ordered by
+    that column inside the SAME window sort (ascending, so the MAXIMUM
+    deterministically wins) — no extra shuffle, the one-Exchange plan is
+    preserved (vs a groupBy pre-aggregation, which adds its own
+    Exchange on the (key, ts) pair).
     """
     if direction not in {"backward", "forward"}:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -93,9 +98,18 @@ def as_of_join(
     ).select(*lhs.columns)  # align column order for the union
 
     ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    order_cols = [ts_order, F.col(_SIDE).asc()]
+    if tie_break is not None:
+        if tie_break not in out_names:
+            raise ValueError(
+                f"tie_break must be a right payload column, got {tie_break!r}"
+            )
+        # left rows carry NULL here and are already separated by _SIDE;
+        # only tied RIGHT rows reorder, last (= max) wins in last().
+        order_cols.append(F.col(out_names[tie_break]).asc())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col(_SIDE).asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ["matched_ts", *[out_names[c] for c in payload]]

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_etl_minio_to_postgres_spark.operators.cleaning import (
+    cap_events_per_user,
     clean_strings,
     fill_nulls,
 )
@@ -671,6 +672,133 @@ def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000/7.0
+               AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = (SELECT min(p_brand) FROM part)
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED scalar subquery — each lineitem is
+    compared against 0.2x the average quantity of ITS part.  Deliberately
+    written as correlated SQL (not a hand-rolled aggregate+join) to
+    exercise Catalyst's decorrelation: the optimizer must rewrite the
+    per-row subquery into ONE aggregate over lineitem grouped by
+    l_partkey joined back on the part key — never a re-execution per
+    outer row.  Pinned in test_plans.py: the physical plan contains an
+    avg aggregate feeding a join and no nested-loop/cartesian node.
+
+    Determinism: l_quantity is integer-valued, so the per-part avg
+    (exact integer sum / count) and the 0.2x threshold are bit-identical
+    on both engines — the `<` filter cannot flake; the money sum goes
+    through the stable_sum idiom.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(round(l.l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000/7.0
+                   AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = (SELECT min(p_brand) FROM {part})
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM {lineitem} l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """,
+        lineitem=li,
+        part=p,
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact — the
+    multi-semi/anti-join planning test.  Suppliers whose late line (ship
+    more than 60 days after an 'F' order's date) was the ONLY late line
+    in a multi-supplier order: semi-join onto all lines of the order
+    (some OTHER supplier participated), anti-join onto the late lines
+    (no OTHER supplier was late).
+
+    Scale shape: both the semi and the anti are equi-joins on
+    l_orderkey with the supplier inequality as a residual join condition
+    — shuffle-hash/sort-merge territory, NEVER a nested loop (pinned);
+    the late set is filter-pruned before either probe, and the final
+    supplier name lookup broadcasts the dimension.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
 
 
@@ -2591,6 +2719,34 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_capped_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY substr(sha256(CAST(event_id AS VARCHAR)), 1, 16),
+                            event_id) AS rn
+        FROM events
+    ) t WHERE rn <= 50
+    """,
+)
+def events_capped_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invocable bot guard (operators/cleaning.py
+    cap_events_per_user): at most 50 events per user, sha-of-id chosen —
+    the upstream skew defense the funnel/sessionize/z-score docstrings
+    point at.  Deterministic on any partition layout (seedless sha
+    order), time-unbiased (a first-N-by-ts truncation would keep only a
+    bot's earliest history), and it bounds every downstream per-user
+    window partition at the cap.  Composes with the funnel in
+    test_analytics.py."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return cap_events_per_user(e, cap=50)
+
+
+@register(
     "events_funnel_conversion",
     """
     WITH s1 AS (
@@ -3342,22 +3498,24 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: DuckDB's native ASOF LEFT JOIN — an independent
     implementation of the same semantics.
 
-    Same tied-timestamp contract as events_asof_cogrouped: the right
-    side is pre-aggregated to ONE row per (user_id, ts) — max(value) —
-    on BOTH engines, because which tied row an ASOF JOIN picks is
-    implementation-defined (DuckDB: arbitrary; the window engine:
-    union sort order) and would flake on data with duplicate purchase
-    timestamps per user."""
+    Same tied-timestamp contract as events_asof_cogrouped — which tied
+    row an ASOF JOIN picks is implementation-defined, so both sides pin
+    ties to max(value).  The oracle pre-aggregates (DuckDB's tie choice
+    is arbitrary); the ENGINE instead resolves ties inside the as-of
+    window via ``tie_break`` ordering — same result, no extra Exchange
+    (a groupBy pre-aggregation would shuffle on (user_id, ts) before
+    the window's user_id shuffle; the one-Exchange plan is pinned)."""
     e = load_table(spark, "events", sf_dir)
     left = e.where(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "event_type", "ts"
     )
     right = (
         e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("last_purchase_value"))
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
     )
-    return as_of_join(left, right, on="user_id")
+    return as_of_join(
+        left, right, on="user_id", tie_break="last_purchase_value"
+    )
 
 
 @register(

@@ -115,3 +115,47 @@ def test_hourly_gapfill_locf_semantics(spark, tmp_path):
         2: (0, 5.0),
         3: (1, 9.0),   # new observation replaces the carried value
     }
+
+
+def test_funnel_composes_with_per_user_cap(spark):
+    """The bot guard in front of the funnel: a 1000-event bot user is
+    capped to <= 5 rows BEFORE the per-user window, while a small
+    organic user passes through uncapped and still converts."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.operators.cleaning import (
+        cap_events_per_user,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    bot = [
+        (1000 + i, t0 + dt.timedelta(seconds=i), 99, "view", 1.0)
+        for i in range(1000)
+    ]
+    organic = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 5.0),
+    ]
+    e = _events(spark, bot + organic)
+    capped = cap_events_per_user(e, cap=5)
+    per_user = {
+        r.user_id: r.n
+        for r in capped.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_user[99] == 5 and per_user[1] == 3
+    # determinism: same rows regardless of input partitioning
+    ids_a = sorted(r.event_id for r in capped.collect())
+    ids_b = sorted(
+        r.event_id
+        for r in cap_events_per_user(e.repartition(7), cap=5).collect()
+    )
+    assert ids_a == ids_b
+    # the organic user's ordered funnel survives the cap intact
+    w = (
+        capped.where(F.col("user_id") == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert w[0].n == 3

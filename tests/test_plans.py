@@ -197,3 +197,27 @@ def test_multi_grain_rollup_single_expand(spark):
         registry.queries()["events_multi_grain_rollup"](spark, SF_SMOKE)
     )
     assert plan.count("Expand") == 1
+
+
+def test_q17_correlated_subquery_decorrelates_to_aggregate_join(spark):
+    df = registry.queries()["q17_small_quantity_revenue"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # The correlated 0.2*avg(l_quantity) subquery must be rewritten into
+    # ONE aggregate over lineitem joined back on l_partkey — visible as
+    # a partial_avg in the MAIN plan body — never re-executed per outer
+    # row through a nested loop.
+    assert "partial_avg" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_and_not_exists_plan_as_semi_and_anti_joins(spark):
+    df = registry.queries()["q21_waiting_suppliers"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both as EQUI-joins on
+    # l_orderkey with the supplier inequality as residual condition; a
+    # nested-loop here would be quadratic in order size at scale.
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -148,3 +148,36 @@ def test_asof_rejects_bad_direction(spark, sides):
     left, right = sides
     with pytest.raises(ValueError, match="direction"):
         as_of_join(left, right, on="k", direction="nearest")
+
+
+def test_asof_tie_break_picks_max_without_extra_exchange(spark):
+    """Three right rows tied on (key, ts): tie_break must pick the max
+    payload deterministically, and the plan must still contain exactly
+    ONE hash-partitioning Exchange (the tie resolution rides the window
+    sort, not a pre-aggregation shuffle)."""
+    from datetime import datetime
+
+    from airflow_etl_minio_to_postgres_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    t1, t2 = datetime(2020, 1, 1), datetime(2020, 1, 2)
+    left = spark.createDataFrame(
+        [(100, 1, t2)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t1, 5.0), (1, t1, 9.0), (1, t1, 2.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = as_of_join(left, right, on="user_id", tie_break="v")
+    # plan audited BEFORE collect: the post-AQE string repeats the plan
+    # under "== Initial Plan ==" and would double-count exchanges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v == 9.0
+    # unknown tie_break column fails loudly, not silently unordered
+    import pytest
+
+    with pytest.raises(ValueError, match="tie_break"):
+        as_of_join(left, right, on="user_id", tie_break="nope")

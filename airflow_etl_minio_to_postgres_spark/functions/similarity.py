@@ -386,6 +386,72 @@ def ann_topk_sign_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, compare vectors ONLY
+    within their cluster, and greedily drop every vector that has a
+    lower-id within-cluster neighbor at cosine >= ``threshold``.
+    Returns the survivors as (id, cid); callers semi-join the corpus
+    against it.
+
+    This is the semantic complement of the lexical family in
+    ``functions/dedup.py``: paraphrases and re-encodings share no
+    n-grams, but their embeddings sit at cosine ~1.
+
+    Scale shape — the whole point of the clustering step: pairwise
+    cosine is confined to each cell, so the quadratic term is
+    ``sum(|cell|^2)``, controlled by choosing ``n_cells`` proportional
+    to corpus size (SemDeDup runs web-scale with ~100k k-means
+    clusters; the paper's policy).  Centroids are BROADCAST for
+    assignment (stub: first ``n_cells`` vectors by id, deterministic so
+    the SQL oracle reproduces it — production swaps in k-means||
+    centroids, the plumbing is identical); the within-cell pair join is
+    an equi-join on cid.  Known recall edge, straight from the paper: a
+    near-dup pair split across a cell boundary is not compared —
+    nprobe>1 assignment or merged boundary cells mitigate.  The greedy
+    min-id keep policy is one anti-join, no iteration (transitive
+    chains collapse to the smallest id per chain *within a cell*).
+
+    Determinism: assignment tie-breaks on cid (inside
+    :func:`ivf_assign`); the drop set is a pure predicate over exact
+    cosines — no RNG, identical on any partition layout.
+    """
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    corpus = _persist_tracked(df.select(id_col, vec_col))
+    centroids = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # cellv feeds BOTH sides of the pair join and the final anti-join:
+    # persist so cell assignment (a window over a broadcast cross) runs
+    # once, not three times.
+    cellv = _persist_tracked(corpus.join(assigned, id_col))
+    a = cellv.select(
+        "cid", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = cellv.select(
+        "cid", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cosine_expr(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return cellv.join(dropped, id_col, "left_anti").select(id_col, "cid")
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

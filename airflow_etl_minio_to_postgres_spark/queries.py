@@ -71,6 +71,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     knn_join,
     label_centroids,
     quantize_int8,
+    semantic_dedup,
     topk_cosine,
 )
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
@@ -102,6 +103,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     run_available_now,
     run_stateful_user_counts,
     stream_events,
+    stream_static_enrichment,
     stream_stream_attribution,
     streaming_dedup,
     streaming_rollup_upsert,
@@ -799,6 +801,211 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "q2_min_price_supplier",
+    """
+    SELECT p.p_partkey, s.s_name, l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 10
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: equality against a correlated MIN — for each
+    filtered part, the supplier(s) selling it at its corpus-wide minimum
+    price.  Catalyst decorrelates the per-part min into one aggregate
+    over lineitem joined back on (l_partkey, price-equality); min() is
+    order-independent so the equality filter cannot flake.  Pinned: a
+    partial_min aggregate in the main plan, no nested loop."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.s_name, l.l_extendedprice AS min_price
+        FROM {part} p
+        JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+        JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 10
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM {lineitem} l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, s.s_name
+        LIMIT 100
+        """,
+        part=p,
+        lineitem=li,
+        supplier=s,
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(round(l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000
+           > (SELECT CAST(sum(CAST(round(l_extendedprice*1000000) AS BIGINT)) AS DOUBLE)/1000000 * 0.0005
+              FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group aggregate filtered against a SCALAR
+    subquery over the same fact (parts whose sales value exceeds 0.05%
+    of total sales).  The global total is a 1-row broadcast
+    cross-joined onto the per-part aggregate — the scalar is computed
+    once, never per group.  Both the emitted value and the threshold go
+    through the stable_sum idiom, so the HAVING comparison is
+    bit-deterministic on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    total = F.broadcast(
+        li.agg((stable_sum(F.col("l_extendedprice")) * 0.0005).alias("_thr"))
+    )
+    return (
+        li.groupBy("l_partkey")
+        .agg(stable_sum(F.col("l_extendedprice")).alias("part_value"))
+        .crossJoin(total)
+        .where(F.col("part_value") > F.col("_thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with the filter in the ON clause +
+    two stacked aggregations.  The orderpriority predicate must stay IN
+    the join condition — pushed to a WHERE it would turn the LEFT join
+    inner and silently drop zero-order customers from the histogram
+    (the classic outer-join planning trap; the c_count=0 bucket in the
+    output is the witness).  count(o_orderkey) counts non-null matches
+    only.  Double aggregation: the second groupBy keys on the first's
+    output — tiny domain, map-side combined."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_counts_not_in",
+    """
+    SELECT p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_counts_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery + count(DISTINCT) — the
+    null-aware anti-join planning test.  Written as SQL NOT IN (not a
+    hand-rolled left_anti) so the planner must produce the null-aware
+    anti join itself; with a non-null key column it degenerates to a
+    plain LeftAnti against the broadcast-small negative-balance
+    supplier list.  Pinned: LeftAnti present, no nested loop."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM {part} p JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size IN (1, 5, 10, 15, 20)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM {supplier}
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_type, p.p_size
+        """,
+        part=p,
+        lineitem=li,
+        supplier=s,
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING sum(l.l_quantity) > (SELECT 0.15 * sum(l2.l_quantity)
+                                    FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN semi-join whose subquery filters a grouped
+    aggregate against a CORRELATED aggregate over the same fact —
+    suppliers covering more than 15% of some part's total shipped
+    quantity.  Two decorrelation layers: the per-(part,supplier) sum
+    and the per-part total become two aggregates joined on l_partkey
+    (never re-executed per group), and the IN becomes a LeftSemi.
+    Quantities are integer-valued, so both sums are exact and the 0.15x
+    threshold comparison is bit-deterministic cross-engine."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM {supplier} s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM {lineitem} l
+            GROUP BY l.l_partkey, l.l_suppkey
+            HAVING sum(l.l_quantity) > (SELECT 0.15 * sum(l2.l_quantity)
+                                        FROM {lineitem} l2
+                                        WHERE l2.l_partkey = l.l_partkey)
+        )
+        ORDER BY s.s_suppkey
+        """,
+        supplier=s,
+        lineitem=li,
     )
 
 
@@ -2317,6 +2524,30 @@ _COS_AB_SQL = (
 )
 
 
+def _emb_perturbed_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings UNION a perturbed copy (first component +0.05, vec_id
+    +1000000) — the engine twin of ``_EMB_PERTURBED_SQL``, so planted
+    near-identical pairs exist by construction."""
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    as_double = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    perturbed = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.05))),
+            F.transform(
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+                lambda x: x.cast("double"),
+            ),
+        ).alias("embedding"),
+    )
+    return as_double.unionByName(perturbed)
+
+
 @register(
     "emb_near_dup_pairs",
     "WITH "
@@ -2343,30 +2574,61 @@ _COS_AB_SQL = (
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    as_double = e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    perturbed = e.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array((F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.05))),
-            F.transform(
-                F.expr("slice(embedding, 2, size(embedding) - 1)"),
-                lambda x: x.cast("double"),
-            ),
-        ).alias("embedding"),
-    )
     return embedding_near_dup_pairs(
-        as_double.unionByName(perturbed),
+        _emb_perturbed_input(spark, sf_dir),
         dim=_EMB_DIM,
         threshold=0.95,
         n_bands=_EMB_BANDS,
         bits_per_band=_EMB_BITS_PER_BAND,
         seed=_EMB_SEED,
+    )
+
+
+@register(
+    "emb_semantic_dedup",
+    "WITH "
+    + _EMB_PERTURBED_SQL
+    + f""",
+    corp AS (SELECT vec_id, embedding AS v FROM corpus),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    cellv AS (
+        SELECT a.vec_id, a.cid, c.v FROM assigned a JOIN corp c USING (vec_id)
+    ),
+    pairs AS (
+        SELECT bb.vec_id AS dropped_id,
+               aa.v AS v_a, bb.v AS v_b
+        FROM cellv aa JOIN cellv bb
+          ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT dropped_id AS vec_id FROM pairs
+        WHERE {_COS_AB_SQL} >= 0.95
+    )
+    SELECT vec_id, cid FROM cellv
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (functions/similarity.py semantic_dedup) over the
+    perturbed corpus: every planted near-identical copy whose cell
+    matches its original is dropped (greedy min-id keep), paraphrase-
+    style duplicates the lexical dedup family cannot see.  Quadratic
+    work is confined within IVF cells; centroids broadcast; the oracle
+    reproduces cell assignment, pair pruning, and the keep policy
+    end-to-end in SQL."""
+    return semantic_dedup(
+        _emb_perturbed_input(spark, sf_dir), threshold=0.95, n_cells=8
     )
 
 
@@ -3329,6 +3591,41 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "events_streaming_enriched_segments",
+    """
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_streaming_enriched_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment (streaming/pipeline.py
+    stream_static_enrichment): the event stream joins the BATCH customer
+    dimension per micro-batch (broadcast, no stream shuffle) and rolls
+    up per (mktsegment, event_type).  availableNow backfill equals the
+    batch join+aggregate, so the streaming operator is oracle-gated
+    like its batch peers; unmatched users degrade to 'unknown', and the
+    value sum is micro-unit-exact so micro-batch arrival order cannot
+    wobble the emitted double."""
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_available_now(
+        stream_static_enrichment(
+            ev, cust, "user_id", "c_custkey", "c_mktsegment"
+        ),
+        output_mode="complete",
+    )
 
 
 @register(

@@ -95,6 +95,57 @@ def run_available_now(
     return sdf.sparkSession.table(name)
 
 
+def stream_static_enrichment(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    segment_col: str,
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch of the event
+    stream against a BATCH dimension table, then aggregate per
+    (segment, event_type).  The production lookup-table shape — enrich
+    clicks with the account's segment as they arrive.
+
+    Scale shape: the static side is broadcast (dimension-sized), so no
+    stream-side shuffle for the join; Spark re-plans the static side
+    per micro-batch, which is what makes slowly-changing dimension
+    refreshes pick up automatically on the next trigger.  The aggregate
+    runs in complete mode with state bounded by the GROUP-BY domain
+    (segments x event types — metadata-sized), not by the stream; a
+    time-windowed variant would add a watermark instead.  LEFT join:
+    an event with no dimension row degrades to segment='unknown',
+    never drops (same dirty-data policy as try_cast/try_divide
+    elsewhere).  sum(value) goes through exact integer micro-units so
+    the emitted double is independent of micro-batch arrival order.
+    """
+    joined = events.join(
+        F.broadcast(dim),
+        events[stream_key] == dim[dim_key],
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col(segment_col), F.lit("unknown")).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6)).cast("long")
+            ).alias("_sv_micros"),
+        )
+        .select(
+            "segment",
+            "event_type",
+            "n_events",
+            (F.col("_sv_micros").cast("double") / F.lit(1e6)).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 USER_COUNT_SCHEMA = T.StructType(
     [

@@ -584,3 +584,34 @@ def test_cross_doc_spans_merge_overlapping_and_adjacent(spark):
         assert (r["span_start"], r["span_tokens"], r["span_text"]) == (
             0, 10, passage,
         )
+
+
+def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
+    """SemDeDup: a near-identical copy (cosine ~1 to vec 0) is dropped in
+    favor of the min id; an orthogonal vector survives; determinism
+    across partition layouts."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        # ids 0 and 1 double as the two cell centroids (stub policy)
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (3, [0.001, 0.97, 0.03, 0.0]),   # near-dup of 1 -> dropped
+        (4, [0.7, 0.7, 0.0, 0.0]),       # 45 deg off both -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_cells=2).collect()
+    )
+    assert got == [0, 1, 4]
+    got_re = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df.repartition(5), threshold=0.95, n_cells=2
+        ).collect()
+    )
+    assert got_re == [0, 1, 4]

@@ -221,3 +221,39 @@ def test_q21_exists_and_not_exists_plan_as_semi_and_anti_joins(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    df = registry.queries()["q2_min_price_supplier"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # per-part min computed ONCE as an aggregate joined back, never a
+    # per-row subquery through a nested loop
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    plan = _physical_plan(
+        registry.queries()["q16_supplier_counts_not_in"](spark, SF_SMOKE)
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_in_with_correlated_having_plans_semi_no_nested_loop(spark):
+    plan = _physical_plan(
+        registry.queries()["q20_dominant_suppliers"](spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_on_clause_predicate_keeps_outer_join(spark):
+    # the orderpriority filter must NOT collapse the LEFT join to inner:
+    # zero-order customers are a real output bucket
+    plan = _physical_plan(
+        registry.queries()["q13_order_count_distribution"](spark, SF_SMOKE)
+    )
+    assert "LeftOuter" in plan

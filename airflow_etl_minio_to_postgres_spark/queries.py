@@ -805,6 +805,112 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_pair_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, supp_nation, cust_nation
+    LIMIT 20
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the fact joins BOTH
+    its supplier-side and customer-side dimension chains (two hops
+    each), then aggregates per nation pair.  All four dimensions
+    broadcast; the only fact shuffle is the orders join (orderkey) and
+    the final pair aggregation; the n1 < n2 predicate halves the pair
+    space and cannot be pushed below either chain (it spans both)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "supp_nation", "cust_nation")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal*1000000) AS BIGINT)) AS DOUBLE)/1000000
+                                / count(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average threshold + NOT EXISTS with a
+    subquery-side predicate — above-average-balance customers who never
+    placed an urgent order.  The average is a 1-row broadcast (computed
+    once, stable_sum/count so the `>` boundary is bit-deterministic on
+    both engines); the NOT EXISTS is a LeftAnti against the
+    filter-pruned urgent-order keys."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    thr = F.broadcast(
+        c.where(F.col("c_acctbal") > 0).agg(
+            (
+                stable_sum(F.col("c_acctbal")) / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(thr)
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            stable_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "q2_min_price_supplier",
     """
     SELECT p.p_partkey, s.s_name, l.l_extendedprice AS min_price
@@ -1629,6 +1735,36 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio_expr(t).alias("punct_ratio"),
         stopword_ratio_expr(t).alias("stopword_ratio"),
         quality_score_expr(t).alias("quality_score"),
+    )
+
+
+@register(
+    "docs_quality_deciles",
+    f"""
+    SELECT doc_id,
+           CAST(ntile(10) OVER (
+               ORDER BY least(1.0, greatest(0.0,
+                   0.5 * ({_stop_ratio_sql('en')})
+                 + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                 - 0.25 * ({_PUNCT_SQL}))), doc_id
+           ) AS BIGINT) AS decile
+    FROM documents
+    """,
+)
+def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile bucketing via ntile — the curriculum/mixing
+    primitive ("sample more from the top three deciles").  The score is
+    the same pure expression both engines compute bit-identically
+    (docs_quality passes exact), and doc_id breaks score ties, so
+    bucket boundaries are deterministic.  Scale note: ntile is a GLOBAL
+    ordering — one range-partitioned sort; for 100 TB the production
+    form is approx_percentile cutpoints broadcast as a bucket lookup
+    (same shape as docs_quality_threshold), trading exact decile
+    boundaries for a shuffle-free scan."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy(quality_score_expr(F.col("text")), F.col("doc_id"))
+    return d.select(
+        "doc_id", F.ntile(10).over(w).cast("long").alias("decile")
     )
 
 
@@ -2762,6 +2898,48 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "events_rolling_avg_2h",
+    """
+    SELECT event_id, event_type, ts,
+           avg(value) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+           ) AS rolling_avg,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_window
+    FROM events
+    """,
+)
+def events_rolling_avg_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding RANGE-frame window: per event, the average value over the
+    SAME TYPE's trailing 2 hours — the time-based frame (rangeBetween on
+    epoch seconds) vs the row-count frames used elsewhere.  One shuffle
+    on event_type; the frame bound is data-driven per row, not a fixed
+    row count, so bursts widen the window and quiet periods shrink it.
+    Both frame aggregates (avg + count) share one window spec/sort.
+    Tied timestamps: RANGE frames include ALL peers at the boundary on
+    both engines, so tie order cannot change the frame contents."""
+    e = load_table(spark, "events", sf_dir)
+    # unix_micros, NOT a seconds cast: the frame key must carry the
+    # timestamp's full microsecond precision or the boundary drifts from
+    # the oracle's timestamp arithmetic for sub-second event times.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7200 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.avg("value").over(w).alias("rolling_avg"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
     )
 
 

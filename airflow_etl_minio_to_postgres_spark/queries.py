@@ -74,6 +74,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     semantic_dedup,
     topk_cosine,
 )
+from airflow_etl_minio_to_postgres_spark.functions.sketch import kmv_distinct
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     asof_join_cogrouped,
     cosine_scores_pandas_udf,
@@ -2898,6 +2899,74 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "events_user_kmv_distinct",
+    """
+    WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 13))
+                    AS BIGINT)::DOUBLE / 4503599627370496.0 AS frac
+        FROM dv
+    ),
+    r AS (
+        SELECT event_type, frac,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY frac) AS rn
+        FROM h
+    ),
+    t AS (
+        SELECT event_type, count(*) AS n_tracked, max(frac) AS kth
+        FROM r WHERE rn <= 32 GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_tracked AS BIGINT) AS n_tracked,
+           CASE WHEN n_tracked < 32 THEN n_tracked::DOUBLE
+                ELSE 31.0 / kth END AS est_distinct
+    FROM t
+    """,
+)
+def events_user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (functions/sketch.py kmv_distinct):
+    distinct users per event type estimated from the 32 minimum sha256
+    hash fractions — bounded per-group state regardless of cardinality,
+    the scale path for count(DISTINCT).  Deterministic hash => the
+    ESTIMATE itself is oracle-exact, demonstrating that approximate
+    operators can still be value-gated when the randomness is a seeded/
+    keyed hash rather than RNG state."""
+    e = load_table(spark, "events", sf_dir)
+    return kmv_distinct(e, "event_type", "user_id", k=32)
+
+
+@register(
+    "events_value_percent_rank",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+               AS pr,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+               AS cd
+    FROM events
+    """,
+)
+def events_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank and cume_dist of each
+    event's value within its type — the normalization/outlier primitive
+    when the distribution is unknown (contrast events_user_zscore's
+    parametric form).  Both ride ONE (event_type) shuffle+sort; tied
+    values are peers and receive identical ranks on both engines, so tie
+    order cannot alter the output."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
 
 

@@ -615,3 +615,28 @@ def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
         ).collect()
     )
     assert got_re == [0, 1, 4]
+
+
+def test_kmv_distinct_exact_below_k_and_close_above(spark):
+    """KMV: groups under k report exactly; a 500-distinct group's
+    estimate lands within the sketch's expected relative error
+    (~1/sqrt(k-2) ~ 18% at k=32), and the result is partition-layout
+    independent (deterministic hash)."""
+    from airflow_etl_minio_to_postgres_spark.functions.sketch import (
+        kmv_distinct,
+    )
+
+    rows = [("small", v) for v in range(5)] + [
+        ("big", v) for v in range(500)
+    ] * 2  # duplicates must not inflate the estimate
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in kmv_distinct(df, "g", "v", k=32).collect()}
+    assert got["small"].n_tracked == 5
+    assert got["small"].est_distinct == 5.0
+    assert got["big"].n_tracked == 32
+    assert abs(got["big"].est_distinct - 500) / 500 < 0.5
+    re_got = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df.repartition(7), "g", "v", k=32).collect()
+    }
+    assert re_got["big"] == got["big"].est_distinct

@@ -106,3 +106,64 @@ def scd2_merge(
     )
     merged = j.select(F.explode(versions).alias("_v")).select("_v.*")
     return closed.unionByName(merged)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change feed to a snapshot — the Debezium/binlog
+    consumer shape: ``changes`` carries the base's key + payload columns
+    plus ``op`` ('I' insert / 'U' update / 'D' delete) and a
+    monotonically increasing ``seq`` (LSN, commit timestamp).  Per key,
+    the HIGHEST-seq change wins: D removes the row, I/U upsert the
+    payload; keys with no change pass through untouched.
+
+    Scale shape: the latest-change-per-key reduction is one window over
+    the FEED (feed-sized, tiny next to the snapshot); the snapshot then
+    passes through exactly one anti-join against the touched keys and a
+    union with the surviving payloads — the base table is never
+    shuffled beyond that single key join, and never rewritten where
+    untouched.  This is the in-engine core of MERGE INTO; pair with
+    ``sources/files.upsert_parquet`` for the storage side.
+
+    Contract (same family as the as-of tie rule): ``(key, seq)`` pairs
+    are unique in the feed — tied sequence numbers make "latest"
+    undefined.  A defensive deterministic tie-break on (op, payload
+    column order) is applied so identical inputs give identical outputs
+    on any engine, but semantics under ties are the caller's bug.
+    """
+    from pyspark.sql import Window
+
+    payload = [
+        c for c in changes.columns
+        if c not in set(key_cols) | {op_col, seq_col}
+    ]
+    missing = [c for c in payload if c not in base.columns]
+    if missing:
+        raise ValueError(f"apply_cdc: payload columns not in base: {missing}")
+    uncovered = [
+        c for c in base.columns if c not in set(key_cols) | set(payload)
+    ]
+    if uncovered:
+        raise ValueError(
+            "apply_cdc: base columns the feed cannot supply (a partial-"
+            f"column feed would upsert NULLs silently): {uncovered}"
+        )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc(), *payload
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols)
+    survivors = latest.where(F.col(op_col) != "D").select(
+        *key_cols, *payload
+    )
+    untouched = base.join(touched, on=key_cols, how="left_anti")
+    return untouched.unionByName(survivors)

@@ -29,6 +29,7 @@ from airflow_etl_minio_to_postgres_spark.operators.temporal import (
     range_join,
 )
 from airflow_etl_minio_to_postgres_spark.operators.scd import (
+    apply_cdc,
     scd2_init,
     scd2_merge,
 )
@@ -806,6 +807,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+                   AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view consumed TWICE — once as
+    the join input, once inside the scalar max — the
+    common-subplan-reuse test (Spark plans the aggregate once per
+    branch; at scale you'd cache/CTE-materialize the view, noted).  The
+    max is a 1-row broadcast; equality against it returns ALL tied
+    suppliers on both engines (no arbitrary top-1 pick), and the
+    stable-sum revenue makes the tie set itself deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("_mx")))
+    return (
+        rev.crossJoin(mx)
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q7_nation_pair_volume",
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -1277,6 +1318,79 @@ def key_to_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     child = c.select("c_mktsegment", "c_custkey", "c_name")
     # The segment id map is dimension-sized -> broadcast is safe and right.
     return resolve_key_to_id(child, ids, "c_mktsegment", "segment_id", broadcast=True)
+
+
+@register(
+    "customers_cdc_applied",
+    """
+    WITH changes AS (
+        SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+               c_mktsegment, 'U' AS op, 1 AS seq
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 200, c_mktsegment, 'U', 2
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'U', 1
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'D', 2
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT c_custkey + 100000, c_name, c_acctbal, c_mktsegment, 'I', 1
+        FROM customer WHERE c_custkey % 3 = 2
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment, op,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY seq DESC, op DESC,
+                                               c_name, c_acctbal,
+                                               c_mktsegment) AS rn
+            FROM changes
+        ) t WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM latest l
+                      WHERE l.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def customers_cdc_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed application (operators/scd.py apply_cdc) — the
+    Debezium/binlog consumer: a synthesized deterministic feed sends two
+    updates to every keys%3==0 customer (the seq-2 one must win), an
+    update THEN a delete to keys%3==1 (the delete must win — latest-op
+    semantics, not any-op-wins), and inserts new keys for keys%3==2.
+    The snapshot passes through ONE anti-join on touched keys; the
+    latest-per-key reduction windows over the feed only."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    key = F.col("c_custkey")
+
+    def feed(pred, bal, op, seq, keyexpr=key):
+        return c.where(pred).select(
+            keyexpr.alias("c_custkey"),
+            "c_name",
+            bal.alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    bal = F.col("c_acctbal")
+    changes = (
+        feed(key % 3 == 0, bal + 100, "U", 1)
+        .unionByName(feed(key % 3 == 0, bal + 200, "U", 2))
+        .unionByName(feed(key % 3 == 1, bal, "U", 1))
+        .unionByName(feed(key % 3 == 1, bal, "D", 2))
+        .unionByName(feed(key % 3 == 2, bal, "I", 1, keyexpr=key + 100000))
+    )
+    return apply_cdc(c, changes, ["c_custkey"])
 
 
 @register(
@@ -2899,6 +3013,43 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bucket_low,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket equivalent): bucket =
+    floor(value/width) computed in the SCAN stage, so binning is a
+    narrow expression and the only shuffle is the map-side-combined
+    count per bucket — the profiling staple that turns a billion-row
+    column into a handful of rows.  Boundary determinism: value is 2dp
+    and width 25.0, so value/25.0 sits ~1e-13 away from any integer
+    except at exact multiples, where both engines' IEEE division agrees
+    bit-for-bit; sums go through the stable micro-unit idiom."""
+    e = load_table(spark, "events", sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(25.0))
+    return (
+        e.groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * 25.0).cast("double").alias("bucket_low"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("bucket")
     )
 
 

@@ -80,3 +80,44 @@ def test_null_safe_change_detection(spark):
         r.k: r.n for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert n_versions == {1: 2, 2: 2, 3: 1}
+
+
+def test_apply_cdc_latest_op_wins_and_validates_payload(spark):
+    """Per key the highest-seq change wins (update-then-delete deletes;
+    delete-then-reinsert resurrects); untouched keys pass through; a
+    feed missing base columns fails loudly instead of nulling them."""
+    import pytest
+    from airflow_etl_minio_to_postgres_spark.operators.scd import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: U then D -> gone
+            (1, "a", 11.0, "U", 1),
+            (1, "a", 11.0, "D", 2),
+            # key 2: two updates -> seq-2 payload wins
+            (2, "b", 21.0, "U", 1),
+            (2, "b2", 22.0, "U", 2),
+            # key 3: D then I -> resurrected with new payload
+            (3, "c", 30.0, "D", 1),
+            (3, "c2", 33.0, "I", 2),
+            # key 5: pure insert
+            (5, "e", 50.0, "I", 1),
+        ],
+        "k long, name string, bal double, op string, seq long",
+    )
+    got = {
+        r.k: (r.name, r.bal)
+        for r in apply_cdc(base, changes, ["k"]).collect()
+    }
+    assert got == {
+        2: ("b2", 22.0),
+        3: ("c2", 33.0),
+        4: ("d", 40.0),   # untouched
+        5: ("e", 50.0),
+    }
+    with pytest.raises(ValueError, match="cannot supply"):
+        apply_cdc(base, changes.drop("bal"), ["k"])

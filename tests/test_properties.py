@@ -241,3 +241,105 @@ def test_pagerank_dangling_conserves_mass_on_random_graphs(spark, n, edges):
     total = sum(r.pagerank for r in ranks)
     assert abs(total - 1.0) < 1e-9  # mass conserved on ANY directed graph
     assert all(r.pagerank > 0 for r in ranks)
+
+
+_cdc_feed = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),      # key
+        st.integers(min_value=0, max_value=99),     # payload
+        st.sampled_from(["I", "U", "D"]),           # op
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(
+    base_keys=st.sets(st.integers(min_value=0, max_value=6), max_size=5),
+    feed=_cdc_feed,
+)
+@SPARK_SETTINGS
+def test_apply_cdc_matches_sequential_replay(spark, base_keys, feed):
+    """apply_cdc == replaying the feed in seq order over a dict — the
+    whole-operator model check across arbitrary interleavings of
+    insert/update/delete on arbitrary key overlap."""
+    from airflow_etl_minio_to_postgres_spark.operators.scd import apply_cdc
+
+    base_rows = [(k, -1) for k in sorted(base_keys)]
+    feed_rows = [
+        (k, v, op, i) for i, (k, v, op) in enumerate(feed)
+    ]  # seq = arrival order, unique by construction
+    model = {k: v for k, v in base_rows}
+    for k, v, op, _ in feed_rows:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    base = spark.createDataFrame(base_rows or [(0, 0)], "k long, v long")
+    if not base_rows:
+        base = base.limit(0)
+    changes = spark.createDataFrame(
+        feed_rows or [(0, 0, "U", 0)], "k long, v long, op string, seq long"
+    )
+    if not feed_rows:
+        changes = changes.limit(0)
+    got = {r.k: r.v for r in apply_cdc(base, changes, ["k"]).collect()}
+    assert got == model
+
+
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(docs=_span_docs, k=st.integers(min_value=2, max_value=4))
+@SPARK_SETTINGS
+def test_cross_doc_spans_match_brute_force(spark, docs, k):
+    """cross_doc_spans == a per-doc brute-force model: duplicated gram
+    starts (gram in >=2 docs) merged greedily into maximal spans.  Small
+    alphabet makes shared grams common, stressing the merge logic."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        cross_doc_spans,
+    )
+
+    texts = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+    def grams(words):
+        return [
+            (" ".join(words[i : i + k]), i)
+            for i in range(len(words) - k + 1)
+        ]
+
+    gram_docs = {}
+    for i, words in enumerate(docs):
+        for g, _ in grams(words):
+            gram_docs.setdefault(g, set()).add(i)
+    expected = set()
+    for i, words in enumerate(docs):
+        hits = sorted(
+            pos for g, pos in grams(words) if len(gram_docs[g]) >= 2
+        )
+        run = []
+        for pos in hits:
+            if run and pos > run[-1] + k:
+                expected.add((i, run[0], run[-1] - run[0] + k))
+                run = []
+            run.append(pos)
+        if run:
+            expected.add((i, run[0], run[-1] - run[0] + k))
+
+    df = spark.createDataFrame(
+        texts or [(0, "")], "doc_id long, text string"
+    )
+    if not texts:
+        df = df.limit(0)
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in cross_doc_spans(df, k=k, min_docs=2).collect()
+    }
+    assert got == expected

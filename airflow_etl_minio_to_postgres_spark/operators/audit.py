@@ -54,3 +54,90 @@ def assert_min_rows(
             f"audit {name!r}: observed {n} rows < required "
             f"minimum {minimum}"
         )
+
+
+def validate_expectations(
+    df: DataFrame,
+    row_rules: dict[str, "F.Column"],
+    unique_keys: list[str] | None = None,
+) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations shape,
+    in-engine): every ``row_rules`` entry maps a rule name to a per-row
+    VALIDITY predicate; the optional ``unique_keys`` rule asserts the
+    key combination has no duplicates.  Returns one row per rule:
+    (rule, n_rows, n_violations, passed).
+
+    Scale shape: ALL row predicates aggregate in ONE pass — each rule is
+    a ``sum(case)`` column of a single map-side-combined aggregate, so
+    adding a 50th expectation adds an expression, not a scan (contrast
+    one-count-job-per-rule).  The uniqueness rule is the exception — it
+    inherently needs its own (key-grouped, partially-aggregated) pass —
+    and is planned as exactly one extra aggregate, not one per key.
+    The per-rule result frame is metadata-sized; gate pipelines on
+    ``passed`` downstream (same posture as assert_min_rows: fail loud,
+    never silently ship violating data).
+    """
+    agg_cols = [F.count(F.lit(1)).alias("_n")]
+    for name, valid in row_rules.items():
+        agg_cols.append(
+            F.sum((~valid).cast("long")).alias(f"_v_{name}")
+        )
+    base = df.agg(*agg_cols)
+    parts = []
+    for name in row_rules:
+        parts.append(
+            base.select(
+                F.lit(name).alias("rule"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v_{name}").alias("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if unique_keys:
+        dup = df.groupBy(*unique_keys).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        uniq = dup.agg(
+            F.sum("_c").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+            ).alias("n_violations"),
+        ).select(
+            F.lit("unique:" + ",".join(unique_keys)).alias("rule"),
+            F.col("n_rows").cast("long"),
+            F.col("n_violations").cast("long"),
+        )
+        out = out.unionByName(uniq)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def k_anonymity_stats(
+    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy screen a training-data pipeline runs before releasing
+    per-user derived tables: any QI group smaller than ``k`` is a
+    re-identification risk (its members are distinguishable by the QI
+    columns alone).  Returns ONE row: (n_groups, n_risky_groups,
+    n_risky_rows).
+
+    Scale shape: one map-side-combined groupBy on the QI columns, then
+    a 1-row fold over the (group, count) table — group-count-sized, not
+    data-sized.  Remediation (generalize a QI column, suppress the
+    risky rows) is the caller's policy; this operator only measures.
+    """
+    g = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("_c"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_c") < k).cast("long")).alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") < k, F.col("_c"))), F.lit(0)
+        ).cast("long").alias("n_risky_rows"),
+    )

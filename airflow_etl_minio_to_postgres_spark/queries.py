@@ -28,6 +28,10 @@ from airflow_etl_minio_to_postgres_spark.operators.temporal import (
     as_of_join,
     range_join,
 )
+from airflow_etl_minio_to_postgres_spark.operators.audit import (
+    k_anonymity_stats,
+    validate_expectations,
+)
 from airflow_etl_minio_to_postgres_spark.operators.scd import (
     apply_cdc,
     scd2_init,
@@ -3877,6 +3881,80 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
     )
     return renamed
+
+
+@register(
+    "customer_expectations",
+    """
+    WITH base AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v_name,
+               sum(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS v_bal,
+               sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+                        'FURNITURE','HOUSEHOLD','MACHINERY')
+                        THEN 0 ELSE 1 END) AS v_seg
+        FROM customer
+    ),
+    uniq AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS v
+        FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey) t
+    )
+    SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'name_not_null' AS rule, n AS n_rows,
+               CAST(v_name AS BIGINT) AS n_violations FROM base
+        UNION ALL
+        SELECT 'acctbal_non_negative', n, CAST(v_bal AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'known_segment', n, CAST(v_seg AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'unique:c_custkey', n, v FROM uniq
+    ) r
+    """,
+)
+def customer_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (operators/audit.py
+    validate_expectations): three row predicates aggregated in ONE pass
+    (each rule is a sum(case) column, not its own count job) plus the
+    uniqueness rule's single extra key-grouped pass.  The
+    acctbal_non_negative rule FAILS on this data by design — negative
+    balances exist — proving the violation counter counts rather than
+    rubber-stamps."""
+    c = load_table(spark, "customer", sf_dir)
+    return validate_expectations(
+        c,
+        {
+            "name_not_null": F.col("c_name").isNotNull(),
+            "acctbal_non_negative": F.col("c_acctbal") >= 0,
+            "known_segment": F.col("c_mktsegment").isin(
+                "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                "MACHINERY",
+            ),
+        },
+        unique_keys=["c_custkey"],
+    )
+
+
+@register(
+    "customers_k_anonymity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(coalesce(sum(CASE WHEN c < 5 THEN c END), 0) AS BIGINT)
+               AS n_risky_rows
+    FROM (SELECT count(*) AS c FROM customer
+          GROUP BY c_mktsegment, c_nationkey) g
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy screen (operators/audit.py k_anonymity_stats): customers
+    grouped by the (mktsegment, nationkey) quasi-identifier pair; groups
+    under k=5 members are re-identification risks.  One QI groupBy +
+    a 1-row fold over the group counts."""
+    c = load_table(spark, "customer", sf_dir)
+    return k_anonymity_stats(c, ["c_mktsegment", "c_nationkey"], k=5)
 
 
 @register(

@@ -137,3 +137,42 @@ def test_read_parquet_evolving_unions_schema_versions(spark, tmp_path):
     rows = {r["id"]: (r["v1"], r["v2"]) for r in got.collect()}
     # old-schema file surfaces NULL for the later-added column
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_validate_expectations_counts_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (2, None, 3.0)],
+        "k long, name string, bal double",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in validate_expectations(
+            df,
+            {
+                "name_not_null": F.col("name").isNotNull(),
+                "bal_non_negative": F.col("bal") >= 0,
+            },
+            unique_keys=["k"],
+        ).collect()
+    }
+    assert got["name_not_null"] == (3, 1, False)
+    assert got["bal_non_negative"] == (3, 1, False)
+    # both rows of the duplicated key count as violating
+    assert got["unique:k"] == (3, 2, False)
+
+
+def test_k_anonymity_counts_risky_groups(spark):
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        k_anonymity_stats,
+    )
+
+    rows = [("x", 1)] * 5 + [("y", 1)] * 2 + [("z", 2)]
+    df = spark.createDataFrame(rows, "seg string, nat long")
+    r = k_anonymity_stats(df, ["seg", "nat"], k=5).collect()[0]
+    assert (r.n_groups, r.n_risky_groups, r.n_risky_rows) == (3, 2, 3)

@@ -173,3 +173,70 @@ def cosine_scores_pandas_udf(
         return pd.Series(pd.array(np.where(ok, out, None), dtype="Float64"))
 
     return df.select(F.col(id_col), _cos(F.col(vec_col)).alias("cosine"))
+
+
+def chunk_text_udtf(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) twin of
+    ``functions.text.chunk_text`` — the fifth Python crossing in this
+    package (after mapInPandas, applyInPandas, cogrouped applyInPandas,
+    and the scalar pandas_udf): a row fans out into a VARIABLE number of
+    output rows through a generator, consumed via ``LATERAL``.
+
+    Same role as the pandas_udf cosine: the JVM expression form
+    (``chunk_text``: sequence + slice, whole-stage codegen) is the
+    production default; the UDTF form is the template for fan-outs with
+    no expression equivalent (a real tokenizer emitting chunk token
+    ids, a parser emitting AST nodes), oracle-gated against the SAME
+    SQL as the JVM twin to prove the crossing computes identically.
+
+    Tokenization parity is deliberate: ``re.split(r"\\s+", ...,
+    flags=re.ASCII)`` matches Java regex ``\\s`` (ASCII-only
+    ``[ \\t\\n\\x0B\\f\\r]``) — without ``re.ASCII`` Python would also
+    split on unicode spaces and diverge from the JVM twin on non-ASCII
+    whitespace.
+    """
+    from pyspark.sql.functions import udtf
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+
+    # useArrow: rows cross as Arrow record batches (ArrowEvalPythonUDTF,
+    # plan-pinned) — without it the UDTF falls back to pickled
+    # row-at-a-time transfer (BatchEvalPythonUDTF), the slow path this
+    # package bans everywhere else.
+    @udtf(
+        returnType="chunk_id bigint, chunk_text string, n_chunk_tokens bigint",
+        useArrow=True,
+    )
+    class _ChunkText:
+        def eval(self, text):
+            import re
+
+            if text is None:
+                return
+            words = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+            if not (len(words) > 1 or words[0] != ""):
+                return
+            for ci, start in enumerate(range(0, len(words), step)):
+                yield (
+                    ci,
+                    " ".join(words[start : start + chunk_tokens]),
+                    min(chunk_tokens, len(words) - start),
+                )
+
+    spark = df.sparkSession
+    spark.udtf.register("chunk_text_tvf", _ChunkText)
+    return spark.sql(
+        f"""
+        SELECT d.{id_col}, c.chunk_id, c.chunk_text, c.n_chunk_tokens
+        FROM {{d}} d, LATERAL chunk_text_tvf(d.{text_col}) c
+        """,
+        d=df,
+    )

@@ -82,6 +82,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
 from airflow_etl_minio_to_postgres_spark.functions.sketch import kmv_distinct
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     asof_join_cogrouped,
+    chunk_text_udtf,
     cosine_scores_pandas_udf,
     per_group_counts_pandas,
 )
@@ -1913,6 +1914,24 @@ def docs_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     array; no Python, no shuffle."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return chunk_text(d, chunk_tokens=8, overlap=2)
+
+
+@register(
+    "docs_chunk_text_udtf",
+    _ORACLES["docs_chunk_text"],
+)
+def docs_chunk_text_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking through a Spark 4 Python UDTF
+    (functions/pandas_ops.py chunk_text_udtf) — the fifth Python
+    crossing: a LATERAL table function whose generator fans each doc
+    into a variable number of chunk rows, Arrow-batched
+    (ArrowEvalPythonUDTF, plan-pinned — without useArrow it falls back
+    to pickled row transfer).  Identical oracle as docs_chunk_text: two
+    engine paths, one truth; the JVM expression form stays the
+    production default, the UDTF is the template for fan-outs with no
+    expression equivalent (real tokenizers, parsers)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return chunk_text_udtf(d, chunk_tokens=8, overlap=2)
 
 
 @register(

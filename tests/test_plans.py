@@ -257,3 +257,12 @@ def test_q13_on_clause_predicate_keeps_outer_join(spark):
         registry.queries()["q13_order_count_distribution"](spark, SF_SMOKE)
     )
     assert "LeftOuter" in plan
+
+
+def test_chunk_udtf_is_arrow_not_pickled_rows(spark):
+    df = registry.queries()["docs_chunk_text_udtf"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # the UDTF must cross via Arrow record batches; the pickled
+    # row-at-a-time fallback is the slow path banned everywhere else
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan

@@ -852,6 +852,291 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_priority_waiting",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated on the join key AND an outer
+    column (the ship-lag compares against o_orderdate) — a semi-join
+    whose residual condition spans both sides.  The quarter filter is
+    pushed to the orders scan BEFORE the semi-join probe, so only one
+    quarter of orders shuffles."""
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — no join at all;
+    the whole query is the parquet scan's pushed predicates plus one
+    map-side-combined fold.  The canary for pushdown health: every
+    filter (date range, discount band, quantity cap) must reach
+    PushedFilters or the scan reads 10x the rows.  BETWEEN on 2-dp
+    doubles is safe cross-engine: 0.02/0.06 parse to identical doubles
+    everywhere, and the data is exactly representable at 2 dp."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT year(o.o_orderdate) AS yr,
+           100.0 *
+           (CAST(sum(CASE WHEN n.n_name = (SELECT min(n_name) FROM nation)
+                          THEN CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)/1000000)
+           / (CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000)
+               AS mkt_share_pct
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year market share of one supplier nation — a
+    conditional-aggregate RATIO per group (q14's pattern, grouped).
+    The target nation is a 1-row broadcast scalar (min n_name, the q3
+    trick); numerator and denominator ride the SAME aggregate over the
+    same shuffle; both go through exact micro-unit sums so the ratio is
+    bit-stable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    target = F.broadcast(n.agg(F.min("n_name").alias("_target")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    micros = F.round(rev * F.lit(1e6)).cast("long")
+    num = (
+        F.sum(
+            F.when(F.col("n_name") == F.col("_target"), micros).otherwise(
+                F.lit(0)
+            )
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(target)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (F.lit(100.0) * num / stable_sum(rev)).alias("mkt_share_pct")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+           CAST(sum(CAST(round((l.l_extendedprice*(1-l.l_discount)
+                                - 0.1*p.p_retailprice*l.l_quantity)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY 1, 2
+    ORDER BY nation, yr
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over a
+    LIKE-filtered part subset — the widest join graph in the classic
+    set (fact + 4 dimensions, one of them the date source).  The test
+    schema has no partsupp, so supply cost is modeled as
+    0.1 x retailprice x quantity — a fixed-point expression (3 dp x
+    integer) that keeps the micro-unit sum exact.  LIKE '%a%' cannot
+    push as a range but still prunes the broadcast part list before the
+    join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(stable_sum(profit).alias("profit"))
+        .orderBy("nation", "yr")
+    )
+
+
+@register(
+    "q10_returned_revenue_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+    fact filter ('R' pushed to the lineitem scan) -> orders join ->
+    customer + nation broadcast -> wide GROUP BY carrying customer
+    attributes -> TakeOrdered.  The stable revenue sum makes the top-20
+    cut deterministic."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_line_counts",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-bucketed conditional counts over a joined
+    predicate (slow shipments split into high/low priority) — both
+    buckets ride ONE aggregate over one shuffle, never two filtered
+    jobs.  The ship-lag predicate spans both join sides, so it
+    evaluates post-join but before the aggregate prunes."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
     "q7_nation_pair_volume",
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -1855,6 +2140,49 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio_expr(t).alias("punct_ratio"),
         stopword_ratio_expr(t).alias("stopword_ratio"),
         quality_score_expr(t).alias("quality_score"),
+    )
+
+
+@register(
+    "docs_corpus_report",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT substr(sha256(text), 1, 16))
+                AS BIGINT) AS n_exact_dups,
+           sum(least(1.0, greatest(0.0,
+               0.5 * ({_stop_ratio_sql('en')})
+             + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+             - 0.25 * ({_PUNCT_SQL})))) / count(*) AS mean_quality
+    FROM documents
+    """,
+)
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the one-row corpus report a training run
+    records next to its data snapshot: doc/token counts, language and
+    source cardinalities, exact-dup count (via the same 16-byte content
+    hash the dedup family keys on), mean quality.  ONE aggregate pass;
+    the distinct counts ride Spark's Expand-based multi-distinct
+    rewrite, still a single shuffle.  Mean quality is written as
+    explicit sum/count on both engines; its magnitude (~0.5) keeps the
+    double far inside hash precision."""
+    d = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    words = F.split(F.lower(F.trim(t)), "\\s+")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("total_tokens"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.substring(F.sha2(t, 256), 1, 16))
+        ).alias("n_exact_dups"),
+        (F.sum(quality_score_expr(t)) / F.count(F.lit(1))).alias(
+            "mean_quality"
+        ),
     )
 
 

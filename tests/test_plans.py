@@ -266,3 +266,31 @@ def test_chunk_udtf_is_arrow_not_pickled_rows(spark):
     # row-at-a-time fallback is the slow path banned everywhere else
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_q6_all_filters_reach_the_scan(spark):
+    df = registry.queries()["q6_forecast_revenue"](spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    # the pure scan-filter-aggregate: date range, discount band, and
+    # quantity cap must ALL push into the parquet scan
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # 4 of 11 columns read
+
+
+def test_remaining_classic_shapes_never_nested_loop(spark):
+    for name in (
+        "q4_priority_waiting",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue_customers",
+        "q12_priority_line_counts",
+    ):
+        plan = _physical_plan(registry.queries()[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        # q8's 1-row target scalar is the one sanctioned broadcast-NL
+        if name != "q8_market_share":
+            assert "BroadcastNestedLoopJoin" not in plan, name

@@ -3352,7 +3352,8 @@ def multimodal_frame_sample_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*)   AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -3363,7 +3364,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        stable_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -3476,7 +3477,11 @@ def events_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_avg_2h",
     """
     SELECT event_id, event_type, ts,
-           avg(value) OVER (
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)/1000000
+           / count(*) OVER (
                PARTITION BY event_type ORDER BY ts
                RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
            ) AS rolling_avg,
@@ -3493,9 +3498,17 @@ def events_rolling_avg_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch seconds) vs the row-count frames used elsewhere.  One shuffle
     on event_type; the frame bound is data-driven per row, not a fixed
     row count, so bursts widen the window and quiet periods shrink it.
-    Both frame aggregates (avg + count) share one window spec/sort.
+    Both frame aggregates share one window spec/sort.
     Tied timestamps: RANGE frames include ALL peers at the boundary on
-    both engines, so tie order cannot change the frame contents."""
+    both engines, so tie order cannot change the frame contents.
+
+    The average is an exact bigint micro-unit window sum divided by the
+    frame count, NOT avg(double) over the frame: sliding-frame float
+    aggregation is ALGORITHM-dependent (Spark's running add/subtract vs
+    DuckDB's segment tree disagree by ~5e-14 — measured at sf0.1, where
+    it crossed the hash-rounding boundary), and exact integer frame
+    sums remove the wobble entirely — the WINDOWED form of the
+    stable_sum policy."""
     e = load_table(spark, "events", sf_dir)
     # unix_micros, NOT a seconds cast: the frame key must carry the
     # timestamp's full microsecond precision or the boundary drifts from
@@ -3505,11 +3518,16 @@ def events_rolling_avg_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-7200 * 1_000_000, 0)
     )
+    micros = F.round(F.col("value") * F.lit(1e6)).cast("long")
     return e.select(
         "event_id",
         "event_type",
         "ts",
-        F.avg("value").over(w).alias("rolling_avg"),
+        (
+            F.sum(micros).over(w).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_avg"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     )
 
@@ -3520,7 +3538,8 @@ def events_rolling_avg_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN GROUPING(day) = 1 THEN 'hour' ELSE 'day' END AS grain,
            coalesce(hour, day) AS bucket_ts,
            count(*)   AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
     FROM (SELECT date_trunc('hour', ts) AS hour,
                  date_trunc('day', ts)  AS day,
                  value
@@ -3544,7 +3563,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.groupingSets([["hour"], ["day"]], "hour", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            stable_sum(F.col("value")).alias("sum_value"),
             F.grouping("day").alias("_gd"),
         )
         .select(
@@ -4397,7 +4416,8 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*)   AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -4472,7 +4492,8 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*)   AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -4491,7 +4512,15 @@ def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ckpt"),
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # the materialized table carries exact micro-units; convert on read
+    return spark.read.parquet(out).select(
+        "hour",
+        "event_type",
+        "n_events",
+        (F.col("sum_value_micros").cast("double") / F.lit(1e6)).alias(
+            "sum_value"
+        ),
+    )
 
 
 @register(
@@ -4499,7 +4528,9 @@ def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               count(*) AS n, sum(value) AS sv
+               count(*) AS n,
+               CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+                   AS sv
         FROM events GROUP BY 1, 2
     ),
     b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM r),
@@ -4567,7 +4598,10 @@ def events_streaming_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFra
         "hour",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.last(
-            F.col("sum_value") / F.col("n_events"), ignorenulls=True
+            F.col("sum_value_micros").cast("double")
+            / F.lit(1e6)
+            / F.col("n_events"),
+            ignorenulls=True,
         ).over(w).alias("last_avg_value"),
     )
 

@@ -61,19 +61,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation: (hour, event_type) ->
     count + sum(value).  The watermark bounds state; output schema is
-    flattened so batch and stream results are directly comparable."""
+    flattened so batch and stream results are directly comparable.
+
+    The value sum is carried through state as EXACT bigint micro-units
+    (2-dp data) and converted once on emission: double accumulation in
+    streaming state is micro-batch-arrival-order dependent, so the
+    emitted sum would otherwise wobble between a backfill and a live
+    run of the same data — the streaming face of the stable_sum
+    policy."""
+    micros = F.round(F.col("value") * F.lit(1e6)).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(micros).alias("_sv_micros"),
         )
         .select(
             F.col("w.start").alias("hour"),
             "event_type",
             "n_events",
-            "sum_value",
+            (F.col("_sv_micros").cast("double") / F.lit(1e6)).alias(
+                "sum_value"
+            ),
         )
     )
 
@@ -306,11 +316,18 @@ def streaming_rollup_upsert(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # The materialized rollup stores the value sum as EXACT bigint
+        # micro-units: merge-summing double partials across restarts and
+        # micro-batch splits would accumulate order-dependent float
+        # error in the serving table itself; integer partials merge
+        # associatively forever.  Readers convert on the way out.
         partial = batch_df.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6)).cast("long")
+            ).alias("sum_value_micros"),
         )
         if os.path.exists(out_path):
             existing = spark.read.schema(partial.schema).parquet(out_path)
@@ -319,7 +336,7 @@ def streaming_rollup_upsert(
                 .groupBy("hour", "event_type")
                 .agg(
                     F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
+                    F.sum("sum_value_micros").alias("sum_value_micros"),
                 )
             )
         else:

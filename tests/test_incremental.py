@@ -57,7 +57,9 @@ def test_streaming_rollup_merges_across_restarts(spark, tmp_path):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        F.sum(
+            F.round(F.col("value") * F.lit(1e6)).cast("long")
+        ).alias("sum_value_micros"),
     )
     assert got.count() > n_after_first  # purchase rows added new groups
     diff = got.unionByName(expect).groupBy(

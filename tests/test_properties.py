@@ -343,3 +343,55 @@ def test_cross_doc_spans_match_brute_force(spark, docs, k):
         for r in cross_doc_spans(df, k=k, min_docs=2).collect()
     }
     assert got == expected
+
+
+_vec = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+).filter(lambda v: any(v))
+
+
+@given(vecs=st.lists(_vec, min_size=2, max_size=10))
+@SPARK_SETTINGS
+def test_semantic_dedup_matches_numpy_model(spark, vecs):
+    """semantic_dedup == the straight numpy model: assign each vector to
+    its max-cosine centroid (smaller cid on ties), drop any vector with
+    a lower-id same-cell neighbor at cosine >= t.  Small integer grids
+    make exact ties and exact-threshold hits common."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    n_cells = 2
+    t = 0.95
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    cents = list(enumerate(vecs[:n_cells]))
+    assign = {}
+    for i, v in enumerate(vecs):
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+        assign[i] = best[0]
+    expected = set()
+    for i, v in enumerate(vecs):
+        dropped = any(
+            j < i and assign[j] == assign[i] and cos(vecs[j], v) >= t
+            for j in range(len(vecs))
+        )
+        if not dropped:
+            expected.add((i, assign[i]))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.cid)
+        for r in semantic_dedup(df, threshold=t, n_cells=n_cells).collect()
+    }
+    assert got == expected

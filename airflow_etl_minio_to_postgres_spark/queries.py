@@ -2144,6 +2144,56 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_training_order",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) % 4 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(sha256('shard:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                                 AS BIGINT) % 4
+               ORDER BY substr(sha256('order:' || CAST(doc_id AS VARCHAR)), 1, 16),
+                        doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order: every document gets a shard (keyed
+    sha hash mod n_shards — near-uniform, reproducible on any engine or
+    cluster layout, no RNG state to checkpoint) and a position inside
+    its shard (sha-of-id order, the seedless global shuffle) — the step
+    that fixes a training run's data order so it can be resumed,
+    audited, or exactly replayed.  Distinct hash domains ('shard:' vs
+    'order:') keep shard choice and intra-shard order statistically
+    independent.
+
+    Scale shape: shard assignment is a narrow scan-stage expression;
+    the intra-shard ordering is one window per shard partition — at
+    production scale write partitioned-by-shard with
+    ``write_sorted_parquet`` on the order key and the dataloader reads
+    shards sequentially with zero further shuffling."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    key = F.col("doc_id").cast("string")
+    shard = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit("shard:"), key), 256), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    order_key = F.substring(
+        F.sha2(F.concat(F.lit("order:"), key), 256), 1, 16
+    )
+    w = Window.partitionBy(shard).orderBy(order_key, "doc_id")
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
     "docs_corpus_report",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

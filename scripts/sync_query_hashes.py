@@ -111,7 +111,15 @@ def verified_commit(artifact: str) -> str | None:
     commit must be a pure artifact drop — if it also modifies Python
     source, attribution is ambiguous and the artifact is skipped with a
     warning (its entries stay unverified and re-enter the driver window,
-    the safe direction)."""
+    the safe direction).
+
+    On a revert-shaped history (content A -> B -> A) the matching
+    commits form MULTIPLE non-contiguous runs and the two candidate
+    trees differ in code, so no attribution is safe: the artifact is
+    skipped rather than guessed (round-8 advisor finding — the earlier
+    implementation stopped at the first divergence and silently
+    attributed greens to the revert commit's tree, which the driver
+    never ran)."""
     cur = subprocess.check_output(
         ["git", "hash-object", "--", artifact], cwd=REPO, text=True
     ).strip()
@@ -121,21 +129,36 @@ def verified_commit(artifact: str) -> str | None:
     if not commits:
         print(f"skip {artifact}: not committed yet")
         return None
-    chosen = None
-    for c in commits:  # newest -> oldest; keep the last (oldest) match
+    # Scan the FULL history (no early break): collect contiguous runs of
+    # commits whose blob equals the current content.
+    runs: list[list[str]] = []
+    in_run = False
+    for c in commits:  # newest -> oldest
         try:
             blob = subprocess.check_output(
                 ["git", "rev-parse", f"{c}:{artifact}"], cwd=REPO, text=True
             ).strip()
         except subprocess.CalledProcessError:
-            break  # artifact absent before this point
+            in_run = False
+            continue  # artifact absent at this commit
         if blob == cur:
-            chosen = c
-        elif chosen:
-            break  # content diverges further back; stop at oldest match
-    if chosen is None:
+            if in_run:
+                runs[-1].append(c)
+            else:
+                runs.append([c])
+                in_run = True
+        else:
+            in_run = False
+    if not runs:
         print(f"skip {artifact}: working-tree content matches no commit")
         return None
+    if len(runs) > 1:
+        print(
+            f"skip {artifact}: content matches {len(runs)} non-contiguous "
+            f"commit runs (revert-shaped history) — attribution ambiguous"
+        )
+        return None
+    chosen = runs[0][-1]  # oldest commit of the single matching run
     touched = subprocess.check_output(
         ["git", "diff-tree", "--no-commit-id", "--name-only", "-r", chosen],
         cwd=REPO,

@@ -176,3 +176,52 @@ def test_sync_script_green_names_and_artifact_ordering(tmp_path):
         )
     )
     assert mod.green_names(art) == ["good"]
+
+
+def test_verified_commit_rejects_revert_shaped_history(tmp_path, monkeypatch):
+    """Content A -> B -> A: the matching blobs form two non-contiguous
+    runs, the candidate trees differ in code, and attribution must be
+    refused (round-8 advisor finding: the early-break scan attributed
+    greens to the revert commit's tree, which the driver never ran)."""
+    import importlib.util
+    import subprocess
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "sync_query_hashes_t",
+        Path(__file__).resolve().parent.parent / "scripts" / "sync_query_hashes.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "REPO", tmp_path)
+
+    def git(*args):
+        subprocess.check_call(
+            ["git", *args], cwd=tmp_path,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    art = tmp_path / "CORRECTNESS_r01.json"
+
+    art.write_text('{"v": "A"}')
+    git("add", "."); git("commit", "-q", "-m", "drop A")
+    art.write_text('{"v": "B"}')
+    git("add", "."); git("commit", "-q", "-m", "drop B")
+    art.write_text('{"v": "A"}')
+    git("add", "."); git("commit", "-q", "-m", "revert to A")
+
+    assert mod.verified_commit("CORRECTNESS_r01.json") is None
+
+    # Single-run history stays attributable: oldest commit of the run,
+    # even when a later byte-identical touch re-commits the same content.
+    art2 = tmp_path / "CORRECTNESS_r02.json"
+    art2.write_text('{"v": "C"}')
+    git("add", "."); git("commit", "-q", "-m", "drop C")
+    first = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"], cwd=tmp_path, text=True
+    ).strip()
+    chosen = mod.verified_commit("CORRECTNESS_r02.json")
+    assert chosen == first

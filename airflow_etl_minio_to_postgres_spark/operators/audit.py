@@ -76,11 +76,22 @@ def validate_expectations(
     The per-rule result frame is metadata-sized; gate pipelines on
     ``passed`` downstream (same posture as assert_min_rows: fail loud,
     never silently ship violating data).
+
+    NULL contract: a predicate evaluating to NULL (e.g. ``col('bal') >=
+    0`` on a NULL bal) counts as a VIOLATION — a rule that cannot be
+    shown satisfied is not satisfied.  ``sum((~valid).cast('long'))``
+    would silently skip NULL rows, the rubber-stamp direction; a rule
+    that intends to allow NULLs must say so (``valid | col.isNull()``).
     """
+    if not row_rules and not unique_keys:
+        raise ValueError(
+            "validate_expectations: no row_rules and no unique_keys — "
+            "an empty suite would rubber-stamp anything"
+        )
     agg_cols = [F.count(F.lit(1)).alias("_n")]
     for name, valid in row_rules.items():
         agg_cols.append(
-            F.sum((~valid).cast("long")).alias(f"_v_{name}")
+            F.sum(F.when(valid, 0).otherwise(1)).alias(f"_v_{name}")
         )
     base = df.agg(*agg_cols)
     parts = []
@@ -89,12 +100,12 @@ def validate_expectations(
             base.select(
                 F.lit(name).alias("rule"),
                 F.col("_n").alias("n_rows"),
-                F.col(f"_v_{name}").alias("n_violations"),
+                F.col(f"_v_{name}").cast("long").alias("n_violations"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = None
+    for p in parts:
+        out = p if out is None else out.unionByName(p)
     if unique_keys:
         dup = df.groupBy(*unique_keys).agg(
             F.count(F.lit(1)).alias("_c")
@@ -109,7 +120,7 @@ def validate_expectations(
             F.col("n_rows").cast("long"),
             F.col("n_violations").cast("long"),
         )
-        out = out.unionByName(uniq)
+        out = uniq if out is None else out.unionByName(uniq)
     return out.select(
         "rule",
         "n_rows",

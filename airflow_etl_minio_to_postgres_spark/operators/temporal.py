@@ -113,11 +113,27 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ["matched_ts", *[out_names[c] for c in payload]]
+    # The payload travels as ONE struct: per-column last(ignorenulls)
+    # would fill a NULL field of the winning right row from a different
+    # (losing or earlier) row, attaching a Frankenstein payload.  The
+    # struct is non-NULL for every right row (even when all its fields
+    # are NULL), so last() picks whole rows — the winner's NULLs are
+    # preserved, matching DuckDB ASOF JOIN / pandas merge_asof.
+    pay = F.when(
+        F.col(_SIDE) == 0, F.struct(*[F.col(c).alias(c) for c in carried])
+    )
     matched = lhs.unionByName(rhs).select(
         *[c for c in lhs.columns if c not in carried],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last(pay, ignorenulls=True).over(w).alias("_asof_pay"),
     )
-    result = matched.where(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+    result = (
+        matched.where(F.col(_SIDE) == 1)
+        .select(
+            *[c for c in matched.columns if c != "_asof_pay"],
+            *[F.col("_asof_pay")[c].alias(c) for c in carried],
+        )
+        .drop(_SIDE, _TS)
+    )
 
     if tolerance_seconds is not None:
         gap = (

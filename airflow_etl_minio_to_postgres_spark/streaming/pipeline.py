@@ -330,6 +330,25 @@ def streaming_rollup_upsert(
             ).alias("sum_value_micros"),
         )
         if os.path.exists(out_path):
+            # Guard the storage contract BEFORE merging: reading with
+            # ``schema(partial.schema)`` would silently surface NULL for
+            # any renamed/missing on-disk column (e.g. a legacy table
+            # written with double ``sum_value`` before the micro-unit
+            # migration), corrupting merged totals forever.  Fail loudly
+            # instead; migration of legacy tables is a deliberate
+            # one-time rewrite, not something a sink should improvise
+            # mid-stream (round-8 advisor finding).
+            on_disk = {
+                f.name: f.dataType for f in spark.read.parquet(out_path).schema
+            }
+            expected = {f.name: f.dataType for f in partial.schema}
+            if on_disk != expected:
+                raise ValueError(
+                    f"rollup at {out_path!r} has schema {sorted(on_disk)} "
+                    f"but this writer stores {sorted(expected)} (exact "
+                    "bigint micro-units since round 8); migrate the legacy "
+                    "table explicitly before resuming the stream"
+                )
             existing = spark.read.schema(partial.schema).parquet(out_path)
             merged = (
                 existing.unionByName(partial)

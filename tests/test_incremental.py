@@ -178,3 +178,79 @@ def test_k_anonymity_counts_risky_groups(spark):
     df = spark.createDataFrame(rows, "seg string, nat long")
     r = k_anonymity_stats(df, ["seg", "nat"], k=5).collect()[0]
     assert (r.n_groups, r.n_risky_groups, r.n_risky_rows) == (3, 2, 3)
+
+
+def test_validate_expectations_null_predicate_is_a_violation(spark):
+    """NULL contract (round-8 advisor finding): ``bal >= 0`` on a NULL
+    bal is NULL, and must count as a violation — the skip-NULLs form
+    silently passed unverifiable rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k long, bal double"
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in validate_expectations(
+            df, {"bal_non_negative": F.col("bal") >= 0}
+        ).collect()
+    }
+    assert got["bal_non_negative"] == (3, 2, False)
+
+    # opting NULLs back in is the caller's explicit choice
+    got = {
+        r.rule: r.n_violations
+        for r in validate_expectations(
+            df,
+            {"bal_ok_or_null": (F.col("bal") >= 0) | F.col("bal").isNull()},
+        ).collect()
+    }
+    assert got["bal_ok_or_null"] == 1
+
+    # empty suite fails loudly; unique-keys-only suite still works
+    with pytest.raises(ValueError, match="empty suite"):
+        validate_expectations(df, {})
+    got = validate_expectations(df, {}, unique_keys=["k"]).collect()
+    assert [(r.rule, r.n_violations, r.passed) for r in got] == [
+        ("unique:k", 0, True)
+    ]
+
+
+def test_streaming_rollup_refuses_legacy_schema(spark, tmp_path):
+    """Round-8 advisor finding: a rollup table written by the pre-micro-
+    unit code (double ``sum_value``) must fail loudly on resume — reading
+    it with the new schema would surface NULL micro-unit sums and corrupt
+    merged totals silently."""
+    import pyspark.errors
+    import pytest
+
+    events = load_table(spark, "events", SF_SMOKE).select(
+        "ts", "event_type", "value"
+    )
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    events.limit(50).write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)
+
+    # rewrite the rollup in the LEGACY shape (double sum_value)
+    legacy = spark.read.parquet(out).select(
+        "hour", "event_type", "n_events",
+        (F.col("sum_value_micros") / 1e6).alias("sum_value"),
+    )
+    legacy.toPandas().to_parquet(out + "_legacy.parquet")
+    import shutil
+    shutil.rmtree(out)
+    spark.createDataFrame(
+        __import__("pandas").read_parquet(out + "_legacy.parquet")
+    ).write.parquet(out)
+
+    events.write.mode("append").parquet(landing)  # new arrivals
+    with pytest.raises(
+        (pyspark.errors.PySparkException, Exception), match="micro-unit"
+    ):
+        _run_rollup(spark, landing, out, str(tmp_path / "ckpt2"))

@@ -181,3 +181,37 @@ def test_asof_tie_break_picks_max_without_extra_exchange(spark):
 
     with pytest.raises(ValueError, match="tie_break"):
         as_of_join(left, right, on="user_id", tie_break="nope")
+
+
+def test_asof_payload_is_row_consistent(spark):
+    """Round-8 advisor finding: when the winning right row has NULL in
+    one payload column, that NULL must survive — per-column
+    last(ignorenulls) would fill it from a losing/earlier row, attaching
+    a payload no single right row ever had."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 02:00:00"))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            # earlier row: both fields set
+            ("a", _ts("2024-01-01 00:00:00"), 10.0, "old"),
+            # winner (latest <= left ts): v is NULL
+            ("a", _ts("2024-01-01 01:00:00"), None, "new"),
+        ],
+        "k string, ts timestamp, v double, tag string",
+    )
+    row = as_of_join(left, right, on="k").collect()[0]
+    assert row.tag == "new"
+    assert row.v is None  # NOT 10.0 from the losing row
+    assert row.matched_ts == _ts("2024-01-01 01:00:00")
+
+    # tie_break winner must also carry its own NULLs
+    right2 = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 01:00:00"), 5.0, "lo"),
+            ("a", _ts("2024-01-01 01:00:00"), 9.0, None),
+        ],
+        "k string, ts timestamp, v double, tag string",
+    )
+    row = as_of_join(left, right2, on="k", tie_break="v").collect()[0]
+    assert row.v == 9.0 and row.tag is None

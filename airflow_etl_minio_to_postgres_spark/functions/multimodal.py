@@ -214,3 +214,134 @@ def extract_payload_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+def add_image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "ahash",
+    n_cells: int = 64,
+) -> DataFrame:
+    """Perceptual average-hash (classic aHash: nearest-neighbor
+    downsample to a fixed grid, threshold each cell at the global mean)
+    over raw payload bytes, emitted as an ``n_cells``-char bitstring —
+    the multimodal member of the dedup family.
+
+    Cell ``c`` samples the byte at ``floor(c * n_bytes / n_cells)``
+    (nearest-neighbor resize over the byte stream); bit ``c`` is 1 when
+    that byte >= the mean of all sampled bytes.  Because the bits are
+    RELATIVE to the per-payload mean, a uniform intensity shift of the
+    underlying bytes (re-encode, brightness change — here: the
+    uppercase byte shift of the fake text payloads) barely moves the
+    hash, while content-hash dedup AND shingle dedup both see a
+    completely different object.  With real images, :func:`decode_image`
+    -> grayscale resize feeds the same thresholding; this byte-domain
+    form is the codec-free path that runs everywhere.
+
+    Expression-only — hex + substr + conv in the scan stage, no Python
+    crossing, no shuffle; whole-stage codegen keeps all ``n_cells``
+    samples in one pass over the row.  Degenerate payloads (empty or
+    uniform bytes) hash to all ones — every sample equals the mean, and
+    aHash's >= threshold is inclusive.  Pillow-free by construction.
+    """
+    hexs = F.upper(F.hex(F.col(payload_col)))
+    n = F.length(F.col(payload_col))
+    samples = [
+        F.coalesce(
+            F.conv(
+                F.substr(
+                    hexs,
+                    ((F.lit(c) * n) / F.lit(n_cells)).cast("long") * 2 + 1,
+                    F.lit(2),
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(0),
+        )
+        for c in range(n_cells)
+    ]
+    tmp = df.withColumn("_ah_s", F.array(*samples)).withColumn(
+        "_ah_m",
+        F.aggregate(
+            "_ah_s", F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double")
+        / F.lit(float(n_cells)),
+    )
+    bits = F.array_join(
+        F.transform(
+            "_ah_s",
+            lambda x: F.when(
+                x.cast("double") >= F.col("_ah_m"), F.lit("1")
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    return tmp.withColumn(out_col, bits).drop("_ah_s", "_ah_m")
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    n_cells: int = 64,
+) -> DataFrame:
+    """Perceptually-near payload pairs: banded equi-join candidates +
+    exact Hamming verification over aHash bitstrings — the simhash
+    pipeline shape applied to the multimodal column, never an all-pairs
+    scan.
+
+    Pigeonhole: with ``n_bands`` chunks, any pair within Hamming
+    distance < ``n_bands`` shares an identical chunk, so for
+    ``max_hamming < n_bands`` (the default 7 < 8) the result is EXACTLY
+    the brute-force truth at that threshold; beyond it recall is
+    best-effort.  Returns (id_a, id_b, hamming), ``id_a < id_b``.
+    """
+    band_len = n_cells // n_bands
+    banded = df.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.substring(hash_col, b * band_len + 1, band_len),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    pairs = (
+        banded.select(
+            F.col(id_col).alias("id_a"),
+            F.col(hash_col).alias("_ha"),
+            "band_key",
+        )
+        .join(
+            banded.select(
+                F.col(id_col).alias("id_b"),
+                F.col(hash_col).alias("_hb"),
+                "band_key",
+            ),
+            "band_key",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = None
+    for i in range(n_cells):
+        term = (
+            F.substring("_ha", i + 1, 1) != F.substring("_hb", i + 1, 1)
+        ).cast("int")
+        ham = term if ham is None else ham + term
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

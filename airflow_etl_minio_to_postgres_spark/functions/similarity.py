@@ -386,12 +386,135 @@ def ann_topk_sign_lsh(
     )
 
 
+def _nearest_centroid_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Argmax-cosine cell id for ``vec`` against a LITERAL centroid list,
+    as one expression: max of (cosine, -cid) structs — highest cosine
+    wins, ties break to the smallest cid (the ivf_assign contract).
+
+    This is the scale-defining choice of :func:`kmeans_centroids`: with
+    centroids as plan literals the assignment is a narrow map — no
+    corpus crossJoin, no per-vector window shuffle — so one k-means
+    iteration touches the corpus exactly once."""
+    candidates = [
+        F.struct(
+            F.coalesce(
+                cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cvec])),
+                F.lit(float("-inf")),  # zero-norm row: any cell, det.
+            ).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cvec in centroids
+    ]
+    return (-F.array_max(F.array(*candidates))["nc"]).cast("long")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    centroid trainer SemDeDup/IVF were stubbing (first-n-by-id).
+    Returns ``(cid, cvec array<double>, n_members)``, directly pluggable
+    into :func:`semantic_dedup` / :func:`ivf_assign`.
+
+    Deterministic end-to-end, no RNG (the kmv_distinct /
+    docs_training_order recipe):
+
+    * init — the ``n_cells`` vectors with the smallest
+      ``sha256('kmeans-init:' || id)`` (a seedless uniform sample;
+      first-n-by-id would bias toward whatever the id order encodes),
+      cid assigned in that same sha order;
+    * assignment — argmax cosine with cid as tie-break
+      (:func:`_nearest_centroid_expr`), a pure expression;
+    * update — per-cell per-dim mean accumulated as EXACT bigint
+      micro-units (``sum(round(x*1e6))::long / n / 1e6`` — the
+      stable_sum policy), so the new centroids are bit-identical on any
+      partition layout and in the DuckDB oracle; the ~1e-6 value
+      quantization is noise at clustering granularity.  Component sums
+      stay inside int64 up to ~9e12 members per cell.  Cells that lose
+      every member keep their previous centroid (n_members = 0);
+    * a FIXED iteration count, not a convergence test — float
+      convergence thresholds are where cross-engine drift hides.
+
+    Scale shape, per iteration: ONE corpus scan -> narrow assignment
+    expression -> map-side-combined groupBy collapsing to ``n_cells``
+    rows of ``dim`` integer sums.  The driver holds only the centroid
+    matrix (n_cells x dim — metadata, the Spark MLlib KMeans pattern)
+    and re-broadcasts it as literals next iteration; nothing data-sized
+    ever reaches the driver.  The init top-k is a TakeOrdered (partial
+    per-partition top-k), not a global sort."""
+    corpus = df.select(id_col, vec_col)
+    if dim is None:
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("kmeans_centroids: empty corpus")
+        dim = probe["d"]
+    init_key = F.sha2(
+        F.concat(F.lit("kmeans-init:"), F.col(id_col).cast("string")), 256
+    )
+    seeds = (
+        corpus.select(id_col, vec_col, init_key.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans_centroids: empty corpus")
+    centroids = [
+        (cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(seeds)
+    ]
+    counts = {cid: 0 for cid, _ in centroids}
+    for _ in range(n_iters):
+        stats = (
+            corpus.select(
+                _nearest_centroid_expr(F.col(vec_col), centroids).alias(
+                    "cid"
+                ),
+                vec_col,
+            )
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(
+                        F.round(
+                            F.element_at(F.col(vec_col), i + 1).cast(
+                                "double"
+                            )
+                            * 1e6
+                        ).cast("long")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # n_cells rows — metadata-sized, like MLlib
+        )
+        new = {
+            int(r["cid"]): [r[f"_s{i}"] / r["_n"] / 1e6 for i in range(dim)]
+            for r in stats
+        }
+        counts = {cid: 0 for cid, _ in centroids}
+        counts.update({int(r["cid"]): int(r["_n"]) for r in stats})
+        centroids = [(cid, new.get(cid, cvec)) for cid, cvec in centroids]
+    return df.sparkSession.createDataFrame(
+        [(cid, cvec, counts[cid]) for cid, cvec in centroids],
+        "cid long, cvec array<double>, n_members long",
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -410,10 +533,10 @@ def semantic_dedup(
     ``sum(|cell|^2)``, controlled by choosing ``n_cells`` proportional
     to corpus size (SemDeDup runs web-scale with ~100k k-means
     clusters; the paper's policy).  Centroids are BROADCAST for
-    assignment (stub: first ``n_cells`` vectors by id, deterministic so
-    the SQL oracle reproduces it — production swaps in k-means||
-    centroids, the plumbing is identical); the within-cell pair join is
-    an equi-join on cid.  Known recall edge, straight from the paper: a
+    assignment; pass ``centroids=kmeans_centroids(df, ...)`` for
+    trained cells (the default is a deterministic stub — first
+    ``n_cells`` vectors by id — kept as the fast path and for the SQL
+    oracle); the within-cell pair join is an equi-join on cid.  Known recall edge, straight from the paper: a
     near-dup pair split across a cell boundary is not compared —
     nprobe>1 assignment or merged boundary cells mitigate.  The greedy
     min-id keep policy is one anti-join, no iteration (transitive
@@ -428,9 +551,15 @@ def semantic_dedup(
     )
 
     corpus = _persist_tracked(df.select(id_col, vec_col))
-    centroids = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is None:
+        # fast path: deterministic stub (first n_cells vectors by id);
+        # pass centroids=kmeans_centroids(df, ...) for trained cells —
+        # same (cid, cvec) contract, identical downstream plan.
+        centroids = corpus.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        centroids = centroids.select("cid", "cvec")
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     # cellv feeds BOTH sides of the pair join and the final anti-join:
     # persist so cell assignment (a window over a broadcast cross) runs

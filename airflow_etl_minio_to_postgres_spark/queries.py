@@ -63,6 +63,8 @@ from airflow_etl_minio_to_postgres_spark.functions.graph import (
     transitive_dedup,
 )
 from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+    add_image_ahash,
+    ahash_near_dup_pairs,
     attach_payload,
     extract_payload_features,
     sample_frame_offsets,
@@ -73,6 +75,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
     ivf_topk,
+    kmeans_centroids,
     knn_join,
     label_centroids,
     quantize_int8,
@@ -3284,6 +3287,94 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
+    """Unrolled-CTE DuckDB twin of functions/similarity.py
+    kmeans_centroids (the docs_pagerank precedent for fixed-iteration
+    algorithms): sha-ordered init, argmax-cosine assignment with cid
+    tie-break, exact bigint micro-unit mean update, empty cells keep
+    their previous centroid."""
+    cos = (
+        f"list_sum(list_transform(range(0, {dim}),"
+        " i -> embedding[i+1]::DOUBLE * cvec[i+1]))"
+        " / (sqrt(list_sum(list_transform(embedding,"
+        " x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
+    )
+    init_key = "sha256('kmeans-init:' || CAST(vec_id AS VARCHAR))"
+    ctes = [
+        f"""c0 AS (
+        SELECT row_number() OVER (ORDER BY {init_key}, vec_id) - 1 AS cid,
+               list_transform(embedding, x -> x::DOUBLE) AS cvec,
+               0 AS n_members
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY {init_key}, vec_id LIMIT {n_cells}) seed
+    )"""
+    ]
+    for k in range(1, n_iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""a{k} AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN c{p} c) t
+        WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""u{k} AS (
+        SELECT cid, d.i AS dim,
+               sum(CAST(round(embedding[d.i+1]::DOUBLE * 1e6) AS BIGINT))
+                   AS s,
+               count(*) AS n
+        FROM a{k} CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) d
+        GROUP BY cid, d.i
+    )"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+        SELECT c{p}.cid, coalesce(m.cvec, c{p}.cvec) AS cvec,
+               coalesce(m.n, 0) AS n_members
+        FROM c{p} LEFT JOIN (
+            SELECT cid, max(n) AS n, list(s / n / 1e6 ORDER BY dim) AS cvec
+            FROM u{k} GROUP BY cid) m USING (cid)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid, d.i AS dim, cvec[d.i+1] AS mean_val,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM c{n_iters} CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) d
+    """
+    )
+
+
+@register("emb_kmeans_centroids", _kmeans_oracle_sql(4, 2, 64))
+def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (functions/similarity.py
+    kmeans_centroids): 4 cells, 2 fixed iterations over the embeddings
+    table, emitted LONG as (cid, dim, mean_val, n_members).  Seedless
+    sha-keyed init and exact micro-unit mean updates make every
+    centroid component bit-identical across partition layouts and in
+    the unrolled-CTE oracle; per iteration the corpus is scanned ONCE
+    (literal-centroid argmax expression + map-side-combined groupBy to
+    n_cells rows — the MLlib driver-held-centroid pattern).  Trains the
+    cells SemDeDup/IVF previously stubbed: pass the wide (cid, cvec)
+    result straight into semantic_dedup(centroids=...)."""
+    c = kmeans_centroids(
+        load_table(spark, "embeddings", sf_dir), n_cells=4, n_iters=2, dim=64
+    )
+    return c.select(
+        "cid",
+        F.posexplode("cvec").alias("dim", "mean_val"),
+        "n_members",
+    ).select("cid", F.col("dim").cast("long").alias("dim"), "mean_val",
+             "n_members")
+
+
 @register(
     "emb_knn_join",
     f"""
@@ -3389,6 +3480,85 @@ def multimodal_frame_sample_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop; whole-stage codegen, no Python boundary."""
     docs = load_table(spark, "documents", sf_dir)
     return sample_frame_offsets_expr(attach_payload(docs), num_frames=4)
+
+
+_AHASH_BYTE = (
+    "(strpos('0123456789ABCDEF', substr(h, 2*((c*n)//64)+1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(h, 2*((c*n)//64)+2, 1)) - 1)"
+)
+
+_AHASH_HAMMING = (
+    "CAST(list_sum(list_transform(range(0, 64),"
+    " i -> CASE WHEN substr(ha, i+1, 1) != substr(hb, i+1, 1)"
+    " THEN 1 ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_ahash_near_dup_pairs",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(trim(text)) FROM documents
+    ),
+    hx AS (
+        SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS n
+        FROM base
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), c -> {_AHASH_BYTE}) AS sm
+        FROM hx
+    ),
+    ah AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(sm, x -> CASE WHEN x >= list_sum(sm)/64.0
+                                           THEN '1' ELSE '0' END),
+                   'string_agg', '') AS ahash
+        FROM s
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b.i AS band, substr(ahash, b.i*8+1, 8) AS chunk
+        FROM ah, (SELECT unnest(range(0, 8)) AS i) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, nb.doc_id AS id_b,
+                        a.ahash AS ha, nb.ahash AS hb
+        FROM bands a JOIN bands nb
+          ON a.band = nb.band AND a.chunk = nb.chunk
+         AND a.doc_id < nb.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b, {_AHASH_HAMMING} AS hamming FROM cand
+    ) v
+    WHERE hamming <= 7
+    """,
+)
+def multimodal_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the multimodal payload column
+    (functions/multimodal.py add_image_ahash + ahash_near_dup_pairs):
+    the corpus is each document's payload plus a "re-encoded" copy
+    (id+1e6) whose bytes carry a near-uniform intensity shift (the
+    uppercase byte shift standing in for a brightness change) — a copy
+    that exact content-hash dedup AND the shingle family both miss,
+    but whose mean-relative aHash stays within Hamming 7.  Banded
+    equi-join candidates (8 bands x 8 bits, pigeonhole-complete at
+    threshold 7) + exact Hamming verification; the hash itself is
+    expression-only in the scan stage — no Python, no decode, Pillow-
+    free."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = d.select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper(F.trim("text")).alias("text"),
+        )
+    )
+    hashed = add_image_ahash(attach_payload(corpus))
+    return ahash_near_dup_pairs(hashed, max_hamming=7, n_bands=8)
 
 
 # ---------------------------------------------------------------------------

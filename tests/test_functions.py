@@ -640,3 +640,118 @@ def test_kmv_distinct_exact_below_k_and_close_above(spark):
         for r in kmv_distinct(df.repartition(7), "g", "v", k=32).collect()
     }
     assert re_got["big"] == got["big"].est_distinct
+
+
+def test_kmeans_centroids_beat_stub_cells_for_semantic_dedup(spark):
+    """Quality comparison, kmeans vs the first-n-by-id stub: 3 planted
+    clusters on orthogonal axes with deterministic sinusoidal noise and
+    4 planted near-dup pairs.  The stub's centroids are ids 0-2 — all
+    from cluster 0 — so cluster-2 assignment is noise-dominated and the
+    (20, 120) pair splits across cells (the paper's recall edge);
+    trained centroids keep every pair within one cell.  Fully
+    deterministic: no RNG anywhere, assertions are exact."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    DIM = 8
+    rows = []
+    for i in range(30):
+        axis = i // 10
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        for d in range(DIM):
+            v[d] += 0.5 * math.sin(3.7 * i + 1.3 * d)
+        rows.append((i, v))
+    planted = []
+    for s in (4, 15, 20, 25):
+        dup = list(rows[s][1])
+        if s == 20:
+            dup[1] -= 0.04  # flips the stub's noise-dominated argmax
+        else:
+            dup[(s + 1) % DIM] += 0.05
+        rows.append((100 + s, dup))
+        planted.append(100 + s)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stub_ids = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.995, n_cells=3).collect()
+    }
+    km = kmeans_centroids(df, n_cells=3, n_iters=3, dim=DIM)
+    km_ids = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.995, n_cells=3, centroids=km
+        ).collect()
+    }
+    # trained cells catch every planted dup; the stub misses the
+    # boundary-split pair (its dup survives as a false negative)
+    assert not set(planted) & km_ids
+    assert 120 in stub_ids
+    assert not (set(planted) - {120}) & stub_ids
+    # neither path drops a non-planted vector at this threshold
+    assert {i for i, _ in rows[:30]} <= km_ids
+    assert {i for i, _ in rows[:30]} <= stub_ids
+
+
+def test_kmeans_centroids_bit_identical_across_partitionings(spark):
+    """The determinism contract: exact bigint micro-unit mean updates
+    make every centroid component bit-identical on any partition layout
+    (double addition is not associative; integer addition is)."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r.cid, tuple(r.cvec), r.n_members)
+        for r in kmeans_centroids(emb, n_cells=4, n_iters=2).collect()
+    )
+    b = sorted(
+        (r.cid, tuple(r.cvec), r.n_members)
+        for r in kmeans_centroids(
+            emb.repartition(7), n_cells=4, n_iters=2
+        ).collect()
+    )
+    assert a == b  # exact equality, no tolerance
+
+
+def test_image_ahash_catches_brightness_shift_misses_distinct(spark):
+    """Near-dup-image fixture: a uniformly intensity-shifted copy of a
+    payload (every 'pixel' byte +16 — a brightness change / re-encode)
+    keeps a near-identical mean-relative aHash and is caught by the
+    banded pair join, while content-hash equality misses it and a
+    genuinely different payload stays unmatched."""
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+        ahash_near_dup_pairs,
+    )
+
+    base = bytes(((i * 37) % 200) for i in range(256))          # "image" A
+    shifted = bytes(b + 16 for b in base)                       # A, brighter
+    other = bytes(((i * 91) % 251) for i in range(256))         # unrelated B
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)],
+        "doc_id long, payload binary",
+    )
+    hashed = add_image_ahash(df)
+    hs = {r.doc_id: r.ahash for r in hashed.collect()}
+    assert len(hs[1]) == 64 and set(hs[1]) <= {"0", "1"}
+    # exact content hash differs — byte-level dedup is blind here
+    assert base != shifted
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ahash_near_dup_pairs(hashed, max_hamming=7).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert not any(3 in p for p in pairs)
+    # degenerate payload contract: all samples equal the mean, and the
+    # inclusive >= threshold yields all ones — deterministic, no crash
+    empty = add_image_ahash(
+        spark.createDataFrame([(9, b"")], "doc_id long, payload binary")
+    ).collect()[0]
+    assert empty.ahash == "1" * 64

@@ -211,6 +211,48 @@ def main() -> None:
 
     sidecar.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
     print(f"QUERY_HASHES.json: {len(merged)} total records")
+    write_rotation_spill()
+
+
+def write_rotation_spill() -> None:
+    """Emit ``ROTATION_SPILL_r{next}.json`` — the COMPUTED prediction of
+    the next driver window, replacing round 8's narrated spill list
+    (SURVEY prose said "8 entries spill" while the judge reconstructed
+    9; the set must come from the same code the rotation runs, not from
+    prose).  Records the 50-slot window, every DUE entry (current code
+    hash unverified: new, edited, or transitively bumped), the due
+    entries that do NOT fit (the spill), and the stale tail (entries
+    outside the window whose latest green round lags)."""
+    from airflow_etl_minio_to_postgres_spark import queries as reg
+
+    nxt = max(rnd for _, rnd in artifacts_ascending()) + 1
+    hist = reg._verification_history()
+    green = reg._recorded_green_hashes()
+    order = list(reg.queries())
+    window = order[:50]
+    eff = {n: reg._effective_round(n, hist, green) for n in order}
+    due = [n for n in order if eff[n] == 0]
+    spilled = [n for n in due if n not in set(window)]
+    stale_tail = {
+        n: hist.get(n, 0)
+        for n in order[50:]
+        if eff[n] != 0 and hist.get(n, 0) < nxt - 2
+    }
+    out = {
+        "for_round": nxt,
+        "window": window,
+        "due": due,
+        "spilled_due": spilled,
+        "stale_tail_outside_window": dict(
+            sorted(stale_tail.items(), key=lambda kv: (kv[1], kv[0]))
+        ),
+    }
+    p = REPO / f"ROTATION_SPILL_r{nxt}.json"
+    p.write_text(json.dumps(out, indent=1) + "\n")
+    print(
+        f"{p.name}: {len(due)} due, {len(spilled)} spilled, "
+        f"{len(stale_tail)} stale outside window"
+    )
 
 
 if __name__ == "__main__":

@@ -298,12 +298,48 @@ def ahash_near_dup_pairs(
     ``max_hamming < n_bands`` (the default 7 < 8) the result is EXACTLY
     the brute-force truth at that threshold; beyond it recall is
     best-effort.  Returns (id_a, id_b, hamming), ``id_a < id_b``.
+
+    Scale shape — sized for LOW-ENTROPY hashes, where band buckets get
+    hot (a near-uniform corpus concentrates whole bands on the all-ones
+    chunk; measured ~15M candidate pairs from 10k payloads at sf0.1):
+    the bitstring is packed ONCE into two 32-bit longs, so per-candidate
+    verification is two xor+bit_counts instead of ``n_cells`` substring
+    compares, and multi-band duplicates are eliminated by a FIRST-
+    MATCHING-BAND predicate (recompute each band's chunk equality from
+    the packed halves — pure integer expressions) rather than a
+    dropDuplicates shuffle of the full candidate set.  One exchange
+    total (the band-key join); the candidate stream never re-shuffles.
     """
+    if n_cells != 64 or n_bands != 8:
+        raise ValueError("packed verification expects 64 bits / 8 bands")
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
     band_len = n_cells // n_bands
-    banded = df.select(
-        id_col,
-        hash_col,
-        F.explode(
+    # Persist the packed hashes BEFORE fanning out to bands and join
+    # sides: without the boundary, Catalyst's projection collapse
+    # inlines the full 64-sample hash expression into every reference
+    # (two halves + eight band chunks x two join sides — measured 375 s
+    # vs ~10 s at sf0.1).  Same signature-table pattern as the MinHash
+    # and SimHash pipelines.
+    base = _persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.col(hash_col),
+            F.conv(F.substring(hash_col, 1, 32), 2, 10)
+            .cast("long")
+            .alias("_hi"),
+            F.conv(F.substring(hash_col, 33, 32), 2, 10)
+            .cast("long")
+            .alias("_lo"),
+        )
+    )
+    packed = base.select(
+        F.col(id_col),
+        "_hi",
+        "_lo",
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -314,34 +350,43 @@ def ahash_near_dup_pairs(
                     for b in range(n_bands)
                 ]
             )
-        ).alias("band_key"),
+        ).alias("_band", "band_key"),
     )
-    pairs = (
-        banded.select(
-            F.col(id_col).alias("id_a"),
-            F.col(hash_col).alias("_ha"),
-            "band_key",
-        )
-        .join(
-            banded.select(
-                F.col(id_col).alias("id_b"),
-                F.col(hash_col).alias("_hb"),
-                "band_key",
-            ),
-            "band_key",
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .dropDuplicates(["id_a", "id_b"])
+
+    def _chunk(col: str, b: int):
+        # band b lives in _hi (b<4) or _lo (b>=4), MSB-first
+        src = F.col(col + ("_hi" if b < 4 else "_lo"))
+        return F.shiftright(src, 24 - 8 * (b % 4)).bitwiseAND(F.lit(255))
+
+    a = packed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_hi").alias("a_hi"),
+        F.col("_lo").alias("a_lo"),
+        "_band",
+        "band_key",
     )
-    ham = None
-    for i in range(n_cells):
-        term = (
-            F.substring("_ha", i + 1, 1) != F.substring("_hb", i + 1, 1)
-        ).cast("int")
-        ham = term if ham is None else ham + term
+    b_side = packed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_hi").alias("b_hi"),
+        F.col("_lo").alias("b_lo"),
+        "_band",
+        "band_key",
+    ).drop("_band")
+    cand = a.join(b_side, "band_key").where(F.col("id_a") < F.col("id_b"))
+    first_match = None
+    for b in range(n_bands):
+        eq = _chunk("a", b) == _chunk("b", b)
+        first_match = (
+            F.when(eq, F.lit(b))
+            if first_match is None
+            else first_match.when(eq, F.lit(b))
+        )
+    ham = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
     return (
-        pairs.withColumn("hamming", ham.cast("long"))
+        cand.where(F.col("_band") == first_match)
+        .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -294,3 +294,60 @@ def test_remaining_classic_shapes_never_nested_loop(spark):
         # q8's 1-row target scalar is the one sanctioned broadcast-NL
         if name != "q8_market_share":
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kmeans_iteration_is_one_exchange_no_python(spark):
+    """One k-means iteration = narrow literal-centroid assignment + a
+    map-side-combined groupBy collapsing to n_cells rows: exactly ONE
+    hash-partitioning Exchange, no crossJoin, no per-vector window, no
+    Python crossing."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        _nearest_centroid_expr,
+    )
+
+    emb = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = [(0, [0.1] * 64), (1, [-0.1] * 64)]
+    stats = (
+        emb.select(
+            _nearest_centroid_expr(F.col("embedding"), cents).alias("cid"),
+            "embedding",
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _physical_plan(stats)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_ahash_hash_is_scan_stage_pairs_join_is_hash_join(spark):
+    """The aHash itself is a pure scan-stage expression (zero exchanges,
+    zero Python); the pair join is an equi (hash) join on the band key —
+    never a nested-loop — and verification adds no further shuffle
+    beyond the one join exchange pair."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+        ahash_near_dup_pairs,
+        attach_payload,
+    )
+
+    docs = registry.load_table(spark, "documents", SF_SMOKE)
+    hashed = add_image_ahash(attach_payload(docs))
+    hplan = _physical_plan(hashed)
+    assert "Exchange" not in hplan
+    assert "Python" not in hplan
+
+    pairs = ahash_near_dup_pairs(hashed)
+    pplan = _physical_plan(pairs)
+    assert "BroadcastNestedLoop" not in pplan
+    assert "CartesianProduct" not in pplan
+    # the candidate stream is never re-shuffled after the band join:
+    # no exchange keyed on the pair ids (the old dropDuplicates shape)
+    assert "Exchange hashpartitioning [id_a" not in pplan.replace("#", " #")
+    assert "Python" not in pplan

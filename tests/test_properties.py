@@ -395,3 +395,103 @@ def test_semantic_dedup_matches_numpy_model(spark, vecs):
         for r in semantic_dedup(df, threshold=t, n_cells=n_cells).collect()
     }
     assert got == expected
+
+
+@given(vecs=st.lists(_vec, min_size=2, max_size=12), n_iters=st.integers(1, 3))
+@SPARK_SETTINGS
+def test_kmeans_centroids_match_numpy_model(spark, vecs, n_iters):
+    """kmeans_centroids == the straight Python model: sha-ordered init,
+    argmax-cosine assignment (smaller cid on ties), exact micro-unit
+    mean update, empty cells keep the previous centroid.  Small integer
+    grids make exact cosine ties common, exercising the deterministic
+    tie-break; comparison is EXACT (the determinism contract)."""
+    import hashlib
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    n_cells = 2
+    dim = 3
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(float(x) * x for x in a))
+            * math.sqrt(sum(float(x) * x for x in b))
+        )
+
+    ids = list(range(len(vecs)))
+    order = sorted(
+        ids,
+        key=lambda i: (
+            hashlib.sha256(f"kmeans-init:{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    cents = {
+        cid: [float(x) for x in vecs[i]]
+        for cid, i in enumerate(order[:n_cells])
+    }
+    counts = {cid: 0 for cid in cents}
+    for _ in range(n_iters):
+        cells = {}
+        for i in ids:
+            best = max(
+                cents.items(), key=lambda c: (cos(vecs[i], c[1]), -c[0])
+            )[0]
+            cells.setdefault(best, []).append(i)
+        counts = {cid: 0 for cid in cents}
+        for cid in cents:
+            members = cells.get(cid)
+            counts[cid] = len(members or [])
+            if members:
+                cents[cid] = [
+                    sum(round(float(vecs[i][d]) * 1e6) for i in members)
+                    / len(members)
+                    / 1e6
+                    for d in range(dim)
+                ]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.cid: (list(r.cvec), r.n_members)
+        for r in kmeans_centroids(
+            df, n_cells=n_cells, n_iters=n_iters
+        ).collect()
+    }
+    expected = {cid: (cents[cid], counts[cid]) for cid in cents}
+    assert got == expected
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6
+    )
+)
+@SPARK_SETTINGS
+def test_image_ahash_matches_python_model(spark, payloads):
+    """add_image_ahash == the straight Python model: cell c samples the
+    byte at floor(c*n/64), bit = sample >= mean (inclusive), degenerate
+    payloads all-ones.  Random binaries exercise every byte value and
+    the short-payload position-collapse path."""
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+    )
+
+    def model(b: bytes) -> str:
+        n = len(b)
+        samples = [b[(c * n) // 64] if n else 0 for c in range(64)]
+        mean = sum(samples) / 64.0
+        return "".join("1" if x >= mean else "0" for x in samples)
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.ahash for r in add_image_ahash(df).collect()}
+    assert got == {i: model(p) for i, p in enumerate(payloads)}

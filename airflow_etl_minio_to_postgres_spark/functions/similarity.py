@@ -133,9 +133,9 @@ def ivf_topk(
     """IVF-style ANN: partition the corpus into cells around centroids,
     search only the query's cell (nprobe=1).
 
-    Centroid "training" is a deterministic stub — the first ``n_cells``
-    corpus vectors by id (production: k-means/k-means||; the serving-path
-    plumbing is identical).  At scale the corpus is written partitioned by
+    Centroid "training" here is a deterministic stub — the first
+    ``n_cells`` corpus vectors by id (train real cells with
+    :func:`kmeans_centroids`; the serving-path plumbing is identical).  At scale the corpus is written partitioned by
     cell, making this a partition-pruned scan + tiny top-k.
     """
     centroids = df.where(F.col(id_col) < n_cells).select(

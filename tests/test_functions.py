@@ -755,3 +755,26 @@ def test_image_ahash_catches_brightness_shift_misses_distinct(spark):
         spark.createDataFrame([(9, b"")], "doc_id long, payload binary")
     ).collect()[0]
     assert empty.ahash == "1" * 64
+
+
+def test_kmeans_centroids_edge_cases(spark):
+    """n_cells larger than the corpus degrades to one centroid per
+    vector; dim is inferred when omitted; an empty corpus fails loudly."""
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = kmeans_centroids(df, n_cells=5, n_iters=2).collect()
+    assert len(got) == 2  # only as many cells as vectors exist
+    assert sorted(r.n_members for r in got) == [1, 1]
+    assert all(len(r.cvec) == 2 for r in got)  # dim inferred
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_centroids(empty, n_cells=2, n_iters=1)

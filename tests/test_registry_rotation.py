@@ -225,3 +225,43 @@ def test_verified_commit_rejects_revert_shaped_history(tmp_path, monkeypatch):
     ).strip()
     chosen = mod.verified_commit("CORRECTNESS_r02.json")
     assert chosen == first
+
+
+def test_rotation_spill_sidecar_derivation(tmp_path, monkeypatch):
+    """write_rotation_spill derives its sidecar from the LIVE registry:
+    window == the first 50 queries() entries, due == the effective-
+    round-0 set, spilled == due minus window.  Regenerated into a temp
+    dir at test time (the committed sidecar goes stale the moment the
+    next driver artifact lands — that is why the round-start ritual
+    reruns the sync script)."""
+    import importlib.util
+    import json
+    import shutil
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "sync_query_hashes_s", root / "scripts" / "sync_query_hashes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # round inference needs at least one artifact in REPO
+    art = sorted(root.glob("CORRECTNESS_r*.json"))[-1]
+    shutil.copy(art, tmp_path / art.name)
+    monkeypatch.setattr(mod, "REPO", tmp_path)
+    mod.write_rotation_spill()
+
+    out = list(tmp_path.glob("ROTATION_SPILL_r*.json"))
+    assert len(out) == 1
+    data = json.loads(out[0].read_text())
+    order = list(registry.queries())
+    assert data["window"] == order[:DRIVER_WINDOW]
+    hist = registry._verification_history()
+    green = registry._recorded_green_hashes()
+    due = [
+        n for n in order if registry._effective_round(n, hist, green) == 0
+    ]
+    assert data["due"] == due
+    assert data["spilled_due"] == [
+        n for n in due if n not in set(order[:DRIVER_WINDOW])
+    ]

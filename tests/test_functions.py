@@ -778,3 +778,25 @@ def test_kmeans_centroids_edge_cases(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         kmeans_centroids(empty, n_cells=2, n_iters=1)
+
+
+def test_semantic_dedup_trained_path_on_testdata(spark):
+    """Integration guard for semantic_dedup(centroids=kmeans_centroids):
+    on the real embeddings table the trained path must run end-to-end,
+    keep the (id, cid) contract, cover every vector exactly once, and
+    assign cids only from the trained cell set."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cents = kmeans_centroids(emb, n_cells=4, n_iters=2, dim=64)
+    out = semantic_dedup(emb, threshold=0.999, n_cells=4, centroids=cents)
+    rows = out.collect()
+    # at 0.999 on this corpus nothing is near-identical: all survive
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    cids = {r.cid for r in cents.collect()}
+    assert {r.cid for r in rows} <= cids

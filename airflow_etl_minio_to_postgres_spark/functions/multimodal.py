@@ -251,7 +251,16 @@ def add_image_ahash(
             F.conv(
                 F.substr(
                     hexs,
-                    ((F.lit(c) * n) / F.lit(n_cells)).cast("long") * 2 + 1,
+                    # long math: length() is int, and c * n overflows
+                    # 32-bit (ANSI ARITHMETIC_OVERFLOW) once the payload
+                    # reaches ~2^31/(n_cells-1) bytes (~34 MB at 64
+                    # cells) — real image/video payloads get there.
+                    (
+                        (F.lit(c).cast("long") * n.cast("long"))
+                        / F.lit(n_cells)
+                    ).cast("long")
+                    * 2
+                    + 1,
                     F.lit(2),
                 ),
                 16,

@@ -262,6 +262,13 @@ def _effective_round(name: str, hist: dict[str, int], green: dict | None) -> int
     return rnd
 
 
+# The driver checks the first DRIVER_WINDOW entries of queries() each
+# round.  Single source of truth for the rotation, the spill sidecar
+# (scripts/sync_query_hashes.py), and the rotation-contract tests — a
+# silently divergent copy mispredicts the due/spilled sets.
+DRIVER_WINDOW = 50
+
+
 def _driver_order(entries: dict) -> dict:
     """Primary key: effective round (0 = needs verification).  Among
     needs-verification entries: never-checked first (they must never ship
@@ -3287,12 +3294,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
-    """Unrolled-CTE DuckDB twin of functions/similarity.py
-    kmeans_centroids (the docs_pagerank precedent for fixed-iteration
-    algorithms): sha-ordered init, argmax-cosine assignment with cid
-    tie-break, exact bigint micro-unit mean update, empty cells keep
-    their previous centroid."""
+def _kmeans_ctes(
+    n_cells: int, n_iters: int, dim: int, source: str = "embeddings"
+) -> list[str]:
+    """CTE chain for the unrolled DuckDB twin of
+    functions/similarity.py kmeans_centroids (the docs_pagerank
+    precedent for fixed-iteration algorithms): sha-ordered init,
+    argmax-cosine assignment with cid tie-break, exact bigint
+    micro-unit mean update, empty cells keep their previous centroid.
+    ``source`` is any table/CTE with (vec_id, embedding); the final CTE
+    is ``c{n_iters}`` holding (cid, cvec, n_members) — composable into
+    larger oracles (emb_semantic_dedup_trained)."""
     cos = (
         f"list_sum(list_transform(range(0, {dim}),"
         " i -> embedding[i+1]::DOUBLE * cvec[i+1]))"
@@ -3306,7 +3318,7 @@ def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
         SELECT row_number() OVER (ORDER BY {init_key}, vec_id) - 1 AS cid,
                list_transform(embedding, x -> x::DOUBLE) AS cvec,
                0 AS n_members
-        FROM (SELECT vec_id, embedding FROM embeddings
+        FROM (SELECT vec_id, embedding FROM {source}
               ORDER BY {init_key}, vec_id LIMIT {n_cells}) seed
     )"""
     ]
@@ -3318,7 +3330,7 @@ def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
             SELECT e.vec_id, e.embedding, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {cos} DESC, c.cid) AS rn
-            FROM embeddings e CROSS JOIN c{p} c) t
+            FROM {source} e CROSS JOIN c{p} c) t
         WHERE rn = 1
     )"""
         )
@@ -3341,9 +3353,15 @@ def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
             FROM u{k} GROUP BY cid) m USING (cid)
     )"""
         )
+    return ctes
+
+
+def _kmeans_oracle_sql(n_cells: int, n_iters: int, dim: int) -> str:
+    """Full DuckDB twin of kmeans_centroids over the embeddings table,
+    emitted LONG as (cid, dim, mean_val, n_members)."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_kmeans_ctes(n_cells, n_iters, dim))
         + f"""
     SELECT cid, d.i AS dim, cvec[d.i+1] AS mean_val,
            CAST(n_members AS BIGINT) AS n_members
@@ -3373,6 +3391,76 @@ def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
     ).select("cid", F.col("dim").cast("long").alias("dim"), "mean_val",
              "n_members")
+
+
+def _semantic_dedup_trained_sql(
+    n_cells: int, n_iters: int, threshold: float
+) -> str:
+    """DuckDB twin of the TRAINED SemDeDup composition: the unrolled
+    k-means CTE chain runs over the perturbed corpus, its final
+    centroids feed cell assignment, and the within-cell greedy min-id
+    drop policy mirrors functions/similarity.py semantic_dedup."""
+    ctes = _kmeans_ctes(n_cells, n_iters, _EMB_DIM, source="corpus")
+    return (
+        "WITH "
+        + _EMB_PERTURBED_SQL
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    corp AS (SELECT vec_id, embedding AS v FROM corpus),
+    cent AS (SELECT cid, cvec FROM c{n_iters}),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    cellv AS (
+        SELECT a.vec_id, a.cid, c.v FROM assigned a JOIN corp c USING (vec_id)
+    ),
+    pairs AS (
+        SELECT bb.vec_id AS dropped_id,
+               aa.v AS v_a, bb.v AS v_b
+        FROM cellv aa JOIN cellv bb
+          ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT dropped_id AS vec_id FROM pairs
+        WHERE {_COS_AB_SQL} >= {threshold}
+    )
+    SELECT vec_id, cid FROM cellv
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+    )
+
+
+@register(
+    "emb_semantic_dedup_trained", _semantic_dedup_trained_sql(4, 2, 0.95)
+)
+def emb_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition SemDeDup actually prescribes (Abbas et al. 2023:
+    trained k-means cells, not arbitrary ones): kmeans_centroids trains
+    4 cells over the perturbed corpus and feeds semantic_dedup via
+    ``centroids=`` — the path a real user runs, oracle-checked
+    end-to-end (training + assignment + within-cell greedy drop).  The
+    stub-cell entry (emb_semantic_dedup) stays as the fast path; this
+    entry pins that trained cells flow through the identical downstream
+    plan bit-exactly.  The corpus is persisted ONCE and shared by the
+    trainer's per-iteration scans and the dedup's pair join."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    corpus = _persist_tracked(_emb_perturbed_input(spark, sf_dir))
+    cents = kmeans_centroids(
+        corpus, n_cells=4, n_iters=2, dim=_EMB_DIM
+    )
+    return semantic_dedup(corpus, threshold=0.95, centroids=cents)
 
 
 @register(

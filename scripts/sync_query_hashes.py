@@ -123,8 +123,14 @@ def verified_commit(artifact: str) -> str | None:
     cur = subprocess.check_output(
         ["git", "hash-object", "--", artifact], cwd=REPO, text=True
     ).strip()
+    # --full-history: default history simplification can drop the
+    # side-branch commits of a revert that landed via merge, collapsing
+    # an A->B->A history into one contiguous run — exactly the shape the
+    # runs-detection below exists to refuse (round-9 advisor finding).
     commits = subprocess.check_output(
-        ["git", "log", "--format=%H", "--", artifact], cwd=REPO, text=True
+        ["git", "log", "--full-history", "--format=%H", "--", artifact],
+        cwd=REPO,
+        text=True,
     ).split()
     if not commits:
         print(f"skip {artifact}: not committed yet")
@@ -229,13 +235,13 @@ def write_rotation_spill() -> None:
     hist = reg._verification_history()
     green = reg._recorded_green_hashes()
     order = list(reg.queries())
-    window = order[:50]
+    window = order[: reg.DRIVER_WINDOW]
     eff = {n: reg._effective_round(n, hist, green) for n in order}
     due = [n for n in order if eff[n] == 0]
     spilled = [n for n in due if n not in set(window)]
     stale_tail = {
         n: hist.get(n, 0)
-        for n in order[50:]
+        for n in order[reg.DRIVER_WINDOW:]
         if eff[n] != 0 and hist.get(n, 0) < nxt - 2
     }
     out = {

@@ -757,6 +757,29 @@ def test_image_ahash_catches_brightness_shift_misses_distinct(spark):
     assert empty.ahash == "1" * 64
 
 
+def test_image_ahash_large_payload_no_overflow(spark):
+    """A payload past 2^31/(n_cells-1) bytes (~34 MB at 64 cells) must
+    hash, not raise: the sample-index arithmetic is long math, so
+    `c * length(payload)` can't hit 32-bit ANSI ARITHMETIC_OVERFLOW on
+    real image/video-sized binaries (round-9 advisor finding).  Verified
+    against the straight Python model, not just for absence of error."""
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+    )
+
+    n = 35_000_000  # > 2^31 / 63 ≈ 34.09 MB — overflows int32 at c=63
+    payload = bytes((i % 251) for i in range(997)) * (n // 997 + 1)
+    payload = payload[:n]
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    got = add_image_ahash(df).collect()[0].ahash
+    samples = [payload[c * n // 64] for c in range(64)]
+    mean = sum(samples) / 64.0
+    want = "".join("1" if s >= mean else "0" for s in samples)
+    assert got == want
+
+
 def test_kmeans_centroids_edge_cases(spark):
     """n_cells larger than the corpus degrades to one centroid per
     vector; dim is inferred when omitted; an empty corpus fails loudly."""

@@ -447,8 +447,20 @@ def test_kmeans_centroids_match_numpy_model(spark, vecs, n_iters):
             members = cells.get(cid)
             counts[cid] = len(members or [])
             if members:
+                # Spark's F.round is half-AWAY-FROM-ZERO, not Python
+                # round()'s banker's half-to-even — model it explicitly
+                # so widening _vec to fractional components that land on
+                # .5 micro-units can't make the exact assertion flaky.
+                def micro(x: float) -> int:
+                    s = float(x) * 1e6
+                    return (
+                        int(math.floor(s + 0.5))
+                        if s >= 0
+                        else -int(math.floor(-s + 0.5))
+                    )
+
                 cents[cid] = [
-                    sum(round(float(vecs[i][d]) * 1e6) for i in members)
+                    sum(micro(vecs[i][d]) for i in members)
                     / len(members)
                     / 1e6
                     for d in range(dim)

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from airflow_etl_minio_to_postgres_spark import queries as registry
 
-DRIVER_WINDOW = 50
+# Imported from the registry so the sidecar script, the tests, and the
+# rotation itself cannot drift apart on the window size.
+DRIVER_WINDOW = registry.DRIVER_WINDOW
 
 
 def test_order_is_a_permutation_of_the_registry():

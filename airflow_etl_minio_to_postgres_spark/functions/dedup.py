@@ -855,6 +855,70 @@ def decontaminate(
     return corpus.join(flagged, on=id_col, how="left_anti")
 
 
+def salted_band_sides(
+    fan: DataFrame,
+    id_col: str,
+    key: str = "band_key",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Self-join sides over a banded signature fan-out, with hot band
+    buckets split across salted sub-groups — the shared skew mechanism
+    of the banded dedup family (SimHash, aHash; any (id, band_key)
+    candidate generator).
+
+    A band-key self-join puts a bucket of ``m`` rows into ONE hash-join
+    group: ``m^2`` candidate comparisons on a single task.  Low-entropy
+    corpora make buckets hot (near-uniform payloads concentrate whole
+    bands on one chunk — measured ~15M candidates from 10k payloads at
+    sf0.1 for aHash), so one straggler task grinds while the rest of
+    the cluster idles.  With ``max_bucket_size`` set, buckets larger
+    than the cap are split: the LEFT side is salted into
+    ``ceil(m/cap)`` sub-groups by ``pmod(xxhash64(id), n_salt)`` and
+    the RIGHT side is replicated into every sub-group, so each join
+    group does at most ``cap * m`` comparisons and the hot bucket
+    spreads over ``n_salt`` tasks.  EXACT: every (a, b) pair of a
+    bucket meets in exactly one sub-group (a's), so candidate
+    multiplicity per shared band is unchanged — downstream first-
+    matching-band predicates / dropDuplicates behave identically and
+    results are bit-identical to the unsalted plan.
+
+    The oversized-bucket directory is a broadcast (an aggregate keyed
+    by band_key, filtered to buckets > cap — hot buckets are FEW by
+    nature; a corpus where most buckets are hot needs exact dedup run
+    first, not a bigger join).  Replication cost is
+    ``m * ceil(m/cap)`` rows per hot bucket — quadratic-over-cap, the
+    price of exact recall; for degenerate multiplicities (millions of
+    identical payloads) run exact dedup upstream, which removes the
+    bucket entirely.  ``None`` returns the fan-out untouched with the
+    bare band key — the zero-overhead default.
+    """
+    if max_bucket_size is None:
+        return fan, fan, [key]
+    cap = int(max_bucket_size)
+    if cap < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    hot = (
+        fan.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .where(F.col("_bc") > cap)
+        .select(
+            key,
+            F.ceil(F.col("_bc") / F.lit(cap)).cast("int").alias("_ns"),
+        )
+    )
+    with_ns = fan.join(F.broadcast(hot), key, "left").withColumn(
+        "_ns", F.coalesce(F.col("_ns"), F.lit(1))
+    )
+    a_fan = with_ns.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
+    ).drop("_ns")
+    b_fan = with_ns.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+    ).drop("_ns")
+    return a_fan, b_fan, [key, "_salt"]
+
+
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, expression-only)
 # ---------------------------------------------------------------------------
@@ -912,6 +976,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: banded candidate generation + exact
     Hamming verification.
@@ -924,6 +989,10 @@ def simhash_near_dup_pairs(
     differing bits hit every chunk generates no candidate.  Returns
     (id_a, id_b, hamming) with ``id_a < id_b`` and
     ``hamming <= max_hamming``.
+
+    ``max_bucket_size`` bounds hot-band-bucket skew via
+    :func:`salted_band_sides` (exact — results are bit-identical to the
+    unsalted plan; only task-level work distribution changes).
     """
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
@@ -947,17 +1016,22 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_key"),
     )
+    a_fan, b_fan, join_keys = salted_band_sides(
+        banded, id_col, "band_key", max_bucket_size
+    )
     pairs = (
-        banded.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_key"
+        a_fan.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sig_a"),
+            *join_keys,
         )
         .join(
-            banded.select(
+            b_fan.select(
                 F.col(id_col).alias("id_b"),
                 F.col("simhash").alias("sig_b"),
-                "band_key",
+                *join_keys,
             ),
-            "band_key",
+            join_keys,
         )
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")

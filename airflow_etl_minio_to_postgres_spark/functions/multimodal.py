@@ -245,22 +245,18 @@ def add_image_ahash(
     aHash's >= threshold is inclusive.  Pillow-free by construction.
     """
     hexs = F.upper(F.hex(F.col(payload_col)))
-    n = F.length(F.col(payload_col))
+    # long math: length() is int, and c * n overflows 32-bit (ANSI
+    # ARITHMETIC_OVERFLOW) once the payload reaches ~2^31/(n_cells-1)
+    # bytes (~34 MB at 64 cells) — real image/video payloads get there.
+    # One cast here widens every c * n product via int->long promotion
+    # without growing the 64-sample expression tree per sample.
+    n = F.length(F.col(payload_col)).cast("long")
     samples = [
         F.coalesce(
             F.conv(
                 F.substr(
                     hexs,
-                    # long math: length() is int, and c * n overflows
-                    # 32-bit (ANSI ARITHMETIC_OVERFLOW) once the payload
-                    # reaches ~2^31/(n_cells-1) bytes (~34 MB at 64
-                    # cells) — real image/video payloads get there.
-                    (
-                        (F.lit(c).cast("long") * n.cast("long"))
-                        / F.lit(n_cells)
-                    ).cast("long")
-                    * 2
-                    + 1,
+                    ((F.lit(c) * n) / F.lit(n_cells)).cast("long") * 2 + 1,
                     F.lit(2),
                 ),
                 16,
@@ -296,6 +292,7 @@ def ahash_near_dup_pairs(
     max_hamming: int = 7,
     n_bands: int = 8,
     n_cells: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptually-near payload pairs: banded equi-join candidates +
     exact Hamming verification over aHash bitstrings — the simhash
@@ -318,11 +315,21 @@ def ahash_near_dup_pairs(
     the packed halves — pure integer expressions) rather than a
     dropDuplicates shuffle of the full candidate set.  One exchange
     total (the band-key join); the candidate stream never re-shuffles.
+
+    ``max_bucket_size`` bounds hot-band-bucket SKEW via the shared
+    :func:`...functions.dedup.salted_band_sides` mechanism: oversized
+    buckets are split across salted sub-groups (left side salted, right
+    side replicated), so one near-uniform bucket spreads over
+    ``ceil(m/cap)`` tasks instead of grinding on one.  EXACT — each
+    pair still meets exactly once per shared band, so the first-
+    matching-band predicate and the final result are bit-identical to
+    the unsalted plan; only task-level distribution changes.
     """
     if n_cells != 64 or n_bands != 8:
         raise ValueError("packed verification expects 64 bits / 8 bands")
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         _persist_tracked,
+        salted_band_sides,
     )
 
     band_len = n_cells // n_bands
@@ -367,21 +374,23 @@ def ahash_near_dup_pairs(
         src = F.col(col + ("_hi" if b < 4 else "_lo"))
         return F.shiftright(src, 24 - 8 * (b % 4)).bitwiseAND(F.lit(255))
 
-    a = packed.select(
+    a_fan, b_fan, join_keys = salted_band_sides(
+        packed, id_col, "band_key", max_bucket_size
+    )
+    a = a_fan.select(
         F.col(id_col).alias("id_a"),
         F.col("_hi").alias("a_hi"),
         F.col("_lo").alias("a_lo"),
         "_band",
-        "band_key",
+        *join_keys,
     )
-    b_side = packed.select(
+    b_side = b_fan.select(
         F.col(id_col).alias("id_b"),
         F.col("_hi").alias("b_hi"),
         F.col("_lo").alias("b_lo"),
-        "_band",
-        "band_key",
-    ).drop("_band")
-    cand = a.join(b_side, "band_key").where(F.col("id_a") < F.col("id_b"))
+        *join_keys,
+    )
+    cand = a.join(b_side, join_keys).where(F.col("id_a") < F.col("id_b"))
     first_match = None
     for b in range(n_bands):
         eq = _chunk("a", b) == _chunk("b", b)

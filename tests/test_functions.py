@@ -757,6 +757,92 @@ def test_image_ahash_catches_brightness_shift_misses_distinct(spark):
     assert empty.ahash == "1" * 64
 
 
+def test_salted_band_sides_bounds_hot_buckets_exactly_once(spark):
+    """The shared skew mechanism (functions/dedup.py salted_band_sides):
+    a 200-row hot bucket is split into salted sub-groups whose LEFT side
+    is bounded (~cap per group), the self-join still produces every
+    in-bucket pair EXACTLY once, and cold buckets pass through
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        salted_band_sides,
+    )
+
+    rows = [(i, "hot") for i in range(200)]
+    rows += [(1000 + i, f"cold{i}") for i in range(10)]
+    fan = spark.createDataFrame(rows, "doc_id long, band_key string")
+    a, b, keys = salted_band_sides(fan, "doc_id", "band_key", 16)
+    assert keys == ["band_key", "_salt"]
+    # left-side group bound: cap plus hash-unevenness slack
+    max_a = (
+        a.groupBy(*keys).count().agg(F.max("count")).first()[0]
+    )
+    assert max_a <= 32
+    pairs = (
+        a.select(F.col("doc_id").alias("id_a"), *keys)
+        .join(b.select(F.col("doc_id").alias("id_b"), *keys), keys)
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    got = [tuple(r) for r in pairs.select("id_a", "id_b").collect()]
+    assert len(got) == len(set(got)) == 200 * 199 // 2  # exactly once
+
+    # identity path: no cap -> untouched fan, bare key
+    a0, b0, k0 = salted_band_sides(fan, "doc_id", "band_key", None)
+    assert a0 is fan and b0 is fan and k0 == ["band_key"]
+
+
+def test_ahash_and_simhash_salted_results_bit_identical(spark):
+    """max_bucket_size changes task-level distribution ONLY: on a
+    low-entropy fixture (120 identical payloads — every band bucket
+    hot) the salted aHash pair join returns the identical pair set,
+    including all m(m-1)/2 hamming-0 pairs; same for SimHash over
+    repeated texts."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+        ahash_near_dup_pairs,
+    )
+
+    m = 120
+    rows = [(i, b"\x00" * 64) for i in range(m)]
+    rows += [
+        (1000 + i, bytes(((j * (i + 3) + 7 * i) % 251) for j in range(256)))
+        for i in range(5)
+    ]
+    hashed = add_image_ahash(
+        spark.createDataFrame(rows, "doc_id long, payload binary")
+    )
+    exact = sorted(
+        tuple(r) for r in ahash_near_dup_pairs(hashed, max_hamming=7).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in ahash_near_dup_pairs(
+            hashed, max_hamming=7, max_bucket_size=16
+        ).collect()
+    )
+    assert exact == salted
+    assert len([p for p in exact if p[2] == 0]) >= m * (m - 1) // 2
+
+    texts = [(i, "the same repeated sentence again and again") for i in range(40)]
+    texts += [(100 + i, f"unique document number {i} with its own words") for i in range(4)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    s_exact = sorted(
+        tuple(r) for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    )
+    s_salted = sorted(
+        tuple(r)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, max_bucket_size=8
+        ).collect()
+    )
+    assert s_exact == s_salted
+    assert len(s_exact) >= 40 * 39 // 2
+
+
 def test_image_ahash_large_payload_no_overflow(spark):
     """A payload past 2^31/(n_cells-1) bytes (~34 MB at 64 cells) must
     hash, not raise: the sample-index arithmetic is long math, so

@@ -410,6 +410,74 @@ def _nearest_centroid_expr(
     return (-F.array_max(F.array(*candidates))["nc"]).cast("long")
 
 
+def _assign_broadcast(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Argmax-cosine cell assignment against a BROADCAST centroid
+    table — the large-``n_cells`` twin of :func:`_nearest_centroid_expr`.
+
+    The literal form embeds n_cells x dim constants in the plan; at
+    SemDeDup-paper scale (~100k cells) that explodes plan size and
+    codegen.  Here centroids travel as a broadcast table instead: a
+    constant-key equi-join (BroadcastHashJoin, never a nested-loop —
+    the build side is one bucket, the probe streams the corpus) fans
+    each vector out to n_cells scored rows, and a map-side-combinable
+    ``max(struct(sim, -cid))`` groupBy collapses them back to one row
+    per vector.  The fan-out rows of a vector never leave their
+    partition before the partial aggregate, so the shuffle carries ONE
+    row per vector — the assignment costs one corpus-sized exchange
+    per iteration, the price of not inlining the centroids.  Tie-break
+    and zero-norm semantics are IDENTICAL to the literal form (same
+    cosine_expr, same (sim, -cid) struct ordering), so both forms
+    assign bit-identically.  Returns (id, cid, vec)."""
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(cid, [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid long, cvec array<double>",
+    )
+    # The fan-out key is constant-by-construction but written as
+    # pmod(col, 1) on BOTH sides: literal keys get constant-folded —
+    # Catalyst rewrites the equi-condition into a probe-side filter and
+    # the join degrades to BroadcastNestedLoopJoin.  Non-foldable keys
+    # keep a HashedRelation build + streamed probe (BroadcastHashJoin);
+    # the per-row pmod is noise.
+    scored = (
+        corpus.withColumn("_k", F.pmod(F.col(id_col), F.lit(1)))
+        .join(
+            F.broadcast(
+                cent.withColumn("_k", F.pmod(F.col("cid"), F.lit(1)))
+            ),
+            "_k",
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.struct(
+                F.coalesce(
+                    cosine_expr(F.col(vec_col), F.col("cvec")),
+                    F.lit(float("-inf")),
+                ).alias("s"),
+                (-F.col("cid")).alias("nc"),
+            ).alias("_cand"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("_cand").alias("_m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(
+            id_col,
+            (-F.col("_m")["nc"]).cast("long").alias("cid"),
+            vec_col,
+        )
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_cells: int = 4,
@@ -417,6 +485,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    literal_centroid_limit: int = 256,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the
     centroid trainer SemDeDup/IVF were stubbing (first-n-by-id).
@@ -442,13 +511,18 @@ def kmeans_centroids(
     * a FIXED iteration count, not a convergence test — float
       convergence thresholds are where cross-engine drift hides.
 
-    Scale shape, per iteration: ONE corpus scan -> narrow assignment
-    expression -> map-side-combined groupBy collapsing to ``n_cells``
-    rows of ``dim`` integer sums.  The driver holds only the centroid
-    matrix (n_cells x dim — metadata, the Spark MLlib KMeans pattern)
-    and re-broadcasts it as literals next iteration; nothing data-sized
-    ever reaches the driver.  The init top-k is a TakeOrdered (partial
-    per-partition top-k), not a global sort."""
+    Scale shape, per iteration: ONE corpus scan -> assignment ->
+    map-side-combined groupBy collapsing to ``n_cells`` rows of ``dim``
+    integer sums.  Assignment has two bit-identical forms, selected by
+    ``literal_centroid_limit``: up to the limit, centroids are inlined
+    as plan literals (:func:`_nearest_centroid_expr` — a narrow map,
+    zero exchanges); above it, they travel as a broadcast table
+    (:func:`_assign_broadcast` — plan size stays O(1) in n_cells, one
+    corpus exchange per iteration), which is the SemDeDup-paper regime
+    of ~100k cells.  The driver holds only the centroid matrix
+    (n_cells x dim — metadata, the Spark MLlib KMeans pattern); nothing
+    data-sized ever reaches the driver.  The init top-k is a
+    TakeOrdered (partial per-partition top-k), not a global sort."""
     corpus = df.select(id_col, vec_col)
     if dim is None:
         probe = corpus.select(F.size(vec_col).alias("d")).first()
@@ -471,13 +545,25 @@ def kmeans_centroids(
     ]
     counts = {cid: 0 for cid, _ in centroids}
     for _ in range(n_iters):
-        stats = (
-            corpus.select(
+        if len(centroids) <= literal_centroid_limit:
+            # literal form: assignment is a narrow map, ZERO exchanges
+            # before the n_cells-row aggregate
+            assigned = corpus.select(
                 _nearest_centroid_expr(F.col(vec_col), centroids).alias(
                     "cid"
                 ),
                 vec_col,
             )
+        else:
+            # broadcast form: plan size stays O(1) in n_cells at the
+            # cost of one corpus-sized exchange per iteration — the
+            # SemDeDup-paper regime (~100k cells) where inlining
+            # centroids as literals would explode the plan
+            assigned = _assign_broadcast(
+                corpus, centroids, id_col, vec_col
+            ).select("cid", vec_col)
+        stats = (
+            assigned
             .groupBy("cid")
             .agg(
                 F.count(F.lit(1)).alias("_n"),

@@ -324,6 +324,38 @@ def test_kmeans_iteration_is_one_exchange_no_python(spark):
     assert "Python" not in plan
 
 
+def test_kmeans_broadcast_assignment_parity_and_plan(spark):
+    """The large-n_cells assignment form (_assign_broadcast): (1) PLAN —
+    centroids arrive via BroadcastHashJoin (constant-key equi-join),
+    never a nested-loop/cartesian, and the argmax is a map-side-
+    combinable aggregate, not a per-vector window; (2) PARITY — trained
+    centroids are bit-identical whichever form runs, pinned by forcing
+    the broadcast form via literal_centroid_limit=0 against the default
+    literal form."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        _assign_broadcast,
+        kmeans_centroids,
+    )
+
+    emb = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = [(0, [0.1] * 64), (1, [-0.1] * 64), (2, [0.2] * 64)]
+    assigned = _assign_broadcast(emb, cents, "vec_id", "embedding")
+    plan = _physical_plan(assigned)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+    literal = kmeans_centroids(emb, n_cells=3, n_iters=2, dim=64)
+    broadcast = kmeans_centroids(
+        emb, n_cells=3, n_iters=2, dim=64, literal_centroid_limit=0
+    )
+    lit_rows = sorted(tuple(r) for r in literal.collect())
+    bc_rows = sorted(tuple(r) for r in broadcast.collect())
+    assert lit_rows == bc_rows  # exact, including every centroid double
+
+
 def test_ahash_hash_is_scan_stage_pairs_join_is_hash_join(spark):
     """The aHash itself is a pure scan-stage expression (zero exchanges,
     zero Python); the pair join is an equi (hash) join on the band key —

@@ -370,6 +370,49 @@ def streaming_rollup_upsert(
     )
 
 
+def migrate_legacy_rollup(spark: SparkSession, out_path: str) -> int:
+    """One-shot migration of a pre-micro-unit rollup table (double
+    ``sum_value``) to the exact bigint ``sum_value_micros`` storage
+    contract that :func:`streaming_rollup_upsert`'s schema guard
+    enforces — the deliberate rewrite the guard's error message points
+    at, instead of the sink improvising a conversion mid-stream.
+
+    Idempotent: an already-migrated table is left untouched.  The
+    conversion is ``round(sum_value * 1e6)`` — the same quantization
+    the writer applies per value, so post-migration totals merge with
+    new micro-unit partials on equal footing (legacy DOUBLE totals
+    carry whatever float error they accumulated before migration; that
+    error is frozen, not compounded, from here on).  Rollup tables are
+    dimension-scale by construction, so the read-rewrite (and the
+    returned row count) is metadata-sized work.  Returns the number of
+    rows migrated (0 when already migrated)."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _rewrite_in_place,
+    )
+
+    df = spark.read.parquet(out_path)
+    names = set(df.columns)
+    if "sum_value_micros" in names:
+        return 0
+    if "sum_value" not in names:
+        raise ValueError(
+            f"rollup at {out_path!r} has columns {sorted(names)} — "
+            "neither the legacy (sum_value) nor the current "
+            "(sum_value_micros) contract; refusing to guess"
+        )
+    migrated = df.select(
+        F.col("hour").cast("timestamp").alias("hour"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value") * F.lit(1e6))
+        .cast("long")
+        .alias("sum_value_micros"),
+    )
+    n = migrated.count()
+    _rewrite_in_place(migrated, out_path)
+    return n
+
+
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream -> stateful counts -> final value per user (max of cumulative
     emissions, robust to multi-batch splits of the input).

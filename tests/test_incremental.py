@@ -254,3 +254,65 @@ def test_streaming_rollup_refuses_legacy_schema(spark, tmp_path):
         (pyspark.errors.PySparkException, Exception), match="micro-unit"
     ):
         _run_rollup(spark, landing, out, str(tmp_path / "ckpt2"))
+
+
+def test_migrate_legacy_rollup_roundtrip(spark, tmp_path):
+    """The one-shot migration the guard's error message prescribes:
+    a legacy double-sum_value table converts to bigint micro-units,
+    the previously-refused stream then resumes cleanly, merged totals
+    equal the full recompute, and re-running the migration is a
+    no-op."""
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        migrate_legacy_rollup,
+    )
+
+    events = load_table(spark, "events", SF_SMOKE).select(
+        "ts", "event_type", "value"
+    )
+    first = events.where(F.col("event_type") != "purchase")
+    second = events.where(F.col("event_type") == "purchase")
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    first.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)
+
+    # devolve the table to the LEGACY shape (double sum_value)
+    legacy = spark.read.parquet(out).select(
+        "hour", "event_type", "n_events",
+        (F.col("sum_value_micros") / 1e6).alias("sum_value"),
+    ).toPandas()
+    import shutil
+    shutil.rmtree(out)
+    spark.createDataFrame(legacy).write.parquet(out)
+
+    n = migrate_legacy_rollup(spark, out)
+    assert n == len(legacy) > 0
+    assert migrate_legacy_rollup(spark, out) == 0  # idempotent
+
+    second.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)  # guard now passes
+
+    got = spark.read.parquet(out)
+    expect = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * F.lit(1e6)).cast("long")
+        ).alias("sum_value_micros"),
+    )
+    diff = (
+        got.unionByName(expect)
+        .groupBy("hour", "event_type", "n_events", "sum_value_micros")
+        .count()
+        .where(F.col("count") != 2)
+    )
+    assert diff.count() == 0  # exact multiset match, values included
+
+    # neither contract on disk -> loud refusal
+    weird = str(tmp_path / "weird")
+    spark.range(3).write.parquet(weird)
+    with pytest.raises(ValueError, match="refusing to guess"):
+        migrate_legacy_rollup(spark, weird)

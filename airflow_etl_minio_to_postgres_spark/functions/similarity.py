@@ -129,18 +129,24 @@ def ivf_topk(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells around centroids,
     search only the query's cell (nprobe=1).
 
-    Centroid "training" here is a deterministic stub — the first
-    ``n_cells`` corpus vectors by id (train real cells with
-    :func:`kmeans_centroids`; the serving-path plumbing is identical).  At scale the corpus is written partitioned by
-    cell, making this a partition-pruned scan + tiny top-k.
+    Default centroid "training" is a deterministic stub — the first
+    ``n_cells`` corpus vectors by id; pass
+    ``centroids=kmeans_centroids(df, ...)`` for trained cells (same
+    (cid, cvec) contract, identical serving plan).  At scale the corpus
+    is written partitioned by cell, making this a partition-pruned scan
+    + tiny top-k.
     """
-    centroids = df.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is None:
+        centroids = df.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    else:
+        centroids = centroids.select("cid", "cvec")
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     corpus = df.join(assigned, on=id_col)
     q = corpus.where(F.col(id_col) == query_id).select(

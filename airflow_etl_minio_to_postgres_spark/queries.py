@@ -3463,6 +3463,60 @@ def emb_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, threshold=0.95, centroids=cents)
 
 
+def _ivf_topk_trained_sql(n_cells: int, n_iters: int, k: int) -> str:
+    """DuckDB twin of the trained-cell IVF serving path: the unrolled
+    k-means CTE chain over the embeddings table feeds cell assignment,
+    then the query's cell is scanned for the cosine top-k."""
+    ctes = _kmeans_ctes(n_cells, n_iters, _EMB_DIM)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT cid, cvec FROM c{n_iters}),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qc AS (
+        SELECT a.cid AS qcid, c.v AS qv
+        FROM assigned a JOIN corp c USING (vec_id)
+        WHERE a.vec_id = 0
+    )
+    SELECT corp.vec_id, {_COS_VQ_SQL} AS cosine
+    FROM corp JOIN assigned USING (vec_id), qc
+    WHERE assigned.cid = qc.qcid AND corp.vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+    )
+
+
+@register("emb_ivf_topk_trained", _ivf_topk_trained_sql(4, 2, 5))
+def emb_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-cell IVF serving path: kmeans_centroids trains 4
+    cells over the embeddings table and feeds ivf_topk via
+    ``centroids=`` — closing the loop the stub-cell entry
+    (emb_ivf_topk) leaves open, exactly as emb_semantic_dedup_trained
+    does for SemDeDup.  Oracle-checked end-to-end: training, cell
+    assignment, and the query-cell cosine top-k.  At scale the trained
+    assignment is the partition key the corpus is written under, so
+    serving is a partition-pruned scan."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = kmeans_centroids(e, n_cells=4, n_iters=2, dim=_EMB_DIM)
+    return ivf_topk(e, query_id=0, k=5, centroids=cents)
+
+
 @register(
     "emb_knn_join",
     f"""

@@ -97,13 +97,23 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "cid",
     centroid_vec: str = "cvec",
+    nprobe: int = 1,
+    rank_col: str | None = None,
 ) -> DataFrame:
-    """IVF cell assignment: each vector joins its nearest centroid
-    (max cosine, centroid id as the deterministic tie-break).
+    """IVF cell assignment: each vector joins its ``nprobe`` nearest
+    centroids (max cosine, centroid id as the deterministic tie-break).
 
     Shape at scale: corpus x n_cells narrow map against BROADCAST centroids
-    + a per-vector top-1 window — no corpus shuffle beyond the window's own
-    (vector-id-partitioned, perfectly balanced).  Returns (id, cid).
+    + a per-vector top-nprobe window — no corpus shuffle beyond the window's
+    own (vector-id-partitioned, perfectly balanced).  Returns (id, cid)
+    with up to ``nprobe`` rows per id; ``nprobe`` defaults to 1 (one
+    row per id, the classic assignment).  nprobe > 1 is the standard
+    mitigation for the cell-boundary recall edge: a vector near a
+    boundary lands in BOTH flanking cells, so a near-dup pair split
+    across the boundary still shares a cell downstream.  ``rank_col``
+    additionally exposes the 1-based probe rank (1 = primary cell) for
+    callers that need to distinguish the nearest cell from the extra
+    probes.
     """
     from pyspark.sql import Window
 
@@ -115,11 +125,14 @@ def ivf_assign(
         cosine_expr(F.col(vec_col), F.col(centroid_vec)).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id))
-    return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, centroid_id)
+    ranked = sims.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= F.lit(int(nprobe))
     )
+    cols = [id_col, centroid_id]
+    if rank_col is not None:
+        ranked = ranked.withColumn(rank_col, F.col("_rn").cast("long"))
+        cols.append(rank_col)
+    return ranked.select(*cols)
 
 
 def ivf_topk(
@@ -607,6 +620,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -628,11 +642,16 @@ def semantic_dedup(
     assignment; pass ``centroids=kmeans_centroids(df, ...)`` for
     trained cells (the default is a deterministic stub — first
     ``n_cells`` vectors by id — kept as the fast path and for the SQL
-    oracle); the within-cell pair join is an equi-join on cid.  Known recall edge, straight from the paper: a
-    near-dup pair split across a cell boundary is not compared —
-    nprobe>1 assignment or merged boundary cells mitigate.  The greedy
-    min-id keep policy is one anti-join, no iteration (transitive
-    chains collapse to the smallest id per chain *within a cell*).
+    oracle); the within-cell pair join is an equi-join on cid.  Known
+    recall edge, straight from the paper: a near-dup pair split across
+    a cell boundary is not compared — pass ``nprobe > 1`` to mitigate:
+    each vector then joins its nprobe nearest cells for PAIR DISCOVERY
+    (a boundary vector sits in both flanking cells, so the split pair
+    meets), multiplying candidate volume by at most nprobe^2 while the
+    returned row per survivor still carries its PRIMARY cell.  The
+    greedy min-id keep policy is one anti-join, no iteration
+    (transitive chains collapse to the smallest id per chain *within a
+    shared cell*).
 
     Determinism: assignment tie-breaks on cid (inside
     :func:`ivf_assign`); the drop set is a pure predicate over exact
@@ -652,7 +671,10 @@ def semantic_dedup(
         )
     else:
         centroids = centroids.select("cid", "cvec")
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col,
+        nprobe=nprobe, rank_col="_cell_rank",
+    )
     # cellv feeds BOTH sides of the pair join and the final anti-join:
     # persist so cell assignment (a window over a broadcast cross) runs
     # once, not three times.
@@ -670,7 +692,11 @@ def semantic_dedup(
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
-    return cellv.join(dropped, id_col, "left_anti").select(id_col, "cid")
+    return (
+        cellv.where(F.col("_cell_rank") == 1)
+        .join(dropped, id_col, "left_anti")
+        .select(id_col, "cid")
+    )
 
 
 def label_centroids(

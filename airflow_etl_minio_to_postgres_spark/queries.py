@@ -3294,6 +3294,58 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_semantic_dedup_nprobe",
+    "WITH "
+    + _EMB_PERTURBED_SQL
+    + f""",
+    corp AS (SELECT vec_id, embedding AS v FROM corpus),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid, rn FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn <= 2
+    ),
+    cellv AS (
+        SELECT a.vec_id, a.cid, a.rn, c.v
+        FROM assigned a JOIN corp c USING (vec_id)
+    ),
+    pairs AS (
+        SELECT bb.vec_id AS dropped_id,
+               aa.v AS v_a, bb.v AS v_b
+        FROM cellv aa JOIN cellv bb
+          ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT dropped_id AS vec_id FROM pairs
+        WHERE {_COS_AB_SQL} >= 0.95
+    )
+    SELECT vec_id, cid FROM cellv
+    WHERE rn = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def emb_semantic_dedup_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with nprobe=2 multi-cell assignment — the documented
+    mitigation for the paper's cell-boundary recall edge: each vector
+    joins its TWO nearest cells for pair discovery, so a near-dup pair
+    split across a boundary still meets in the flanking cell, while
+    survivors keep their primary cell id.  Candidate volume grows by at
+    most nprobe^2; the oracle replays multi-assignment (rn <= 2), the
+    any-shared-cell pair join, and the primary-cell survivor output."""
+    return semantic_dedup(
+        _emb_perturbed_input(spark, sf_dir),
+        threshold=0.95,
+        n_cells=8,
+        nprobe=2,
+    )
+
+
 def _kmeans_ctes(
     n_cells: int, n_iters: int, dim: int, source: str = "embeddings"
 ) -> list[str]:

@@ -889,7 +889,42 @@ def test_kmeans_centroids_edge_cases(spark):
         kmeans_centroids(empty, n_cells=2, n_iters=1)
 
 
-def test_semantic_dedup_trained_path_on_testdata(spark):
+def test_semantic_dedup_nprobe_catches_boundary_pair(spark):
+    """The SemDeDup cell-boundary recall edge and its mitigation: a
+    near-identical pair whose members assign to DIFFERENT primary cells
+    (each hugging one side of the boundary) is invisible at nprobe=1 —
+    never compared — but meets in a shared flanking cell at nprobe=2
+    and the higher id is dropped.  Survivors always carry their primary
+    cell id."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),        # stub centroid of cell 0
+        (1, [0.0, 1.0]),        # stub centroid of cell 1
+        (10, [0.72, 0.70]),     # boundary pair, primary cell 0
+        (11, [0.70, 0.72]),     # boundary pair, primary cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    p1 = {
+        (r.vec_id, r.cid)
+        for r in semantic_dedup(df, threshold=0.95, n_cells=2).collect()
+    }
+    # nprobe=1: the pair never shares a cell -> both survive
+    assert {(10, 0), (11, 1)} <= p1
+
+    p2 = {
+        (r.vec_id, r.cid)
+        for r in semantic_dedup(
+            df, threshold=0.95, n_cells=2, nprobe=2
+        ).collect()
+    }
+    assert (10, 0) in p2          # keeper, PRIMARY cell id
+    assert not any(v == 11 for v, _ in p2)  # boundary dup dropped
+    # centroids themselves: 0 and 1 are near-orthogonal, both survive
+    assert {(0, 0), (1, 1)} <= p2
     """Integration guard for semantic_dedup(centroids=kmeans_centroids):
     on the real embeddings table the trained path must run end-to-end,
     keep the (id, cid) contract, cover every vector exactly once, and

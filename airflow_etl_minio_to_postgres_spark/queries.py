@@ -116,6 +116,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     stream_static_enrichment,
     stream_stream_attribution,
     streaming_dedup,
+    streaming_near_dup_dedup,
     streaming_rollup_upsert,
 )
 from airflow_etl_minio_to_postgres_spark.schemas import TESTDATA_SCHEMAS
@@ -2604,6 +2605,74 @@ def docs_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_input(spark, sf_dir)
     dups = near_dup_pairs(corpus).select(F.col("id_b").alias("doc_id"))
     return corpus.select("doc_id").join(dups, on="doc_id", how="left_anti")
+
+
+@register(
+    "docs_streaming_near_dup_dedup",
+    _NEAR_DUP_CTES
+    + """,
+    surv1 AS (
+        SELECT doc_id FROM base WHERE doc_id < 1000000
+          AND doc_id NOT IN (SELECT id_b FROM pairs
+                             WHERE jaccard >= 0.5 AND id_a < 1000000
+                               AND id_b < 1000000)
+    ),
+    sym AS (
+        SELECT id_a AS x, id_b AS y FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS x, id_a AS y FROM pairs WHERE jaccard >= 0.5
+    ),
+    drop2 AS (
+        SELECT DISTINCT x AS doc_id FROM sym
+        WHERE x >= 1000000 AND y IN (SELECT doc_id FROM surv1)
+        UNION
+        SELECT id_b FROM pairs
+        WHERE jaccard >= 0.5 AND id_a >= 1000000 AND id_b >= 1000000
+    )
+    SELECT doc_id FROM surv1
+    UNION ALL
+    SELECT doc_id FROM base
+    WHERE doc_id >= 1000000
+      AND doc_id NOT IN (SELECT doc_id FROM drop2)
+    """,
+)
+def docs_streaming_near_dup_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-batch streaming near-dup dedup (streaming/pipeline.py
+    streaming_near_dup_dedup): the corpus arrives as TWO deterministic
+    micro-batches — originals first, the perturbed near-dup copies
+    second — so the second batch's drops are decided against the
+    PERSISTED signature store of first-batch survivors, exercising the
+    accept-on-first-sight contract end-to-end (intra-batch pairwise
+    greedy + store-always-wins).  The oracle replays both policies in
+    SQL over the same pair list: batch-1 survivors are the batch
+    near-dup dedup of the originals; a batch-2 doc is dropped iff it
+    pairs with a batch-1 SURVIVOR (either direction — the store wins
+    regardless of id order) or with a smaller-id batch-2 doc."""
+    base = tempfile.mkdtemp(prefix="stream_neardup_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    corpus = _near_dup_input(spark, sf_dir)
+
+    def run_batch() -> None:
+        s = spark.readStream.schema("doc_id long, text string").parquet(
+            landing
+        )
+        q = streaming_near_dup_dedup(s, out, store, ckpt)
+        q.awaitTermination()
+
+    corpus.where(F.col("doc_id") < 1000000).write.mode("append").parquet(
+        landing
+    )
+    run_batch()
+    corpus.where(F.col("doc_id") >= 1000000).write.mode("append").parquet(
+        landing
+    )
+    run_batch()
+    return spark.read.parquet(out).select("doc_id")
 
 
 # Transitive-closure clustering oracle: the same MinHash-LSH pair CTEs,

@@ -370,6 +370,154 @@ def streaming_rollup_upsert(
     )
 
 
+def streaming_near_dup_dedup(
+    raw_stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+):
+    """Cross-batch NEAR-duplicate dedup — accept-on-first-sight MinHash
+    LSH over a continuously ingested corpus: each micro-batch drops
+    documents that near-duplicate an already-ACCEPTED document (from
+    the persistent signature store) or a smaller-id document in the
+    same batch, appends the survivors' rows to ``out_path`` and their
+    signatures to the store.  The streaming member of the dedup family:
+    ``streaming_dedup`` is its exact-key sibling; this one catches the
+    boilerplate-shifted and lightly-edited copies exact keys miss.
+
+    Policies, chosen to match the batch operators so the composition is
+    oracle-checkable: intra-batch uses near_dup_pairs' pairwise greedy
+    (drop the higher id of every qualifying pair); cross-batch, the
+    store always wins (an accepted document can never be retroactively
+    dropped — the append-only property a downstream training run
+    needs).  Documents shorter than the shingle width carry no
+    signature and always survive (near_dup_pairs' documented
+    exclusion).
+
+    Scale shape per batch: ONE signature pass over the batch
+    (_minhash_table's explode->aggregate), band equi-joins batch-vs-
+    batch and batch-vs-store (never all-pairs), exact-Jaccard verify
+    against stored shingle sets.  The store is bucketed by band at
+    production scale (write partitioned by band_key prefix) so the
+    cross join prunes to matching buckets; its growth is one signature
+    row per ACCEPTED doc — the deduped corpus, not the raw stream.
+    Batch-split sensitivity is inherent to streaming greedy dedup (a
+    doc dropped intra-batch never enters the store, so A~B, B~C chains
+    can resolve differently under different splits); with deterministic
+    batches the result is exactly reproducible, which is what the
+    oracle entry pins.  Returns the started StreamingQuery."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _minhash_table,
+        band_keys_expr,
+        jaccard_expr,
+    )
+
+    rows_per_band = num_hashes // num_bands
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = _minhash_table(
+            batch_df, text_col, id_col, num_hashes, shingle_k
+        ).persist()
+        banded = sig.select(
+            F.col(id_col),
+            F.explode(
+                band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
+            ).alias("band_key"),
+        )
+        # intra-batch: pairwise greedy, drop the higher id of each pair
+        cand = (
+            banded.select(F.col(id_col).alias("id_a"), "band_key")
+            .join(
+                banded.select(F.col(id_col).alias("id_b"), "band_key"),
+                "band_key",
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sig.select(id_col, "shingles")
+        dropped_intra = (
+            cand.join(
+                sets.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "id_b",
+            )
+            .where(
+                jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+                >= F.lit(threshold)
+            )
+            .select(F.col("id_b").alias(id_col))
+        )
+        dropped = dropped_intra
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            store_banded = store.select(
+                F.col(id_col).alias("_sid"),
+                F.explode(
+                    band_keys_expr(
+                        F.col("minhash"), num_bands, rows_per_band
+                    )
+                ).alias("band_key"),
+            )
+            cross = (
+                banded.join(store_banded, "band_key")
+                .select(id_col, "_sid")
+                .dropDuplicates([id_col, "_sid"])
+                .join(sets, id_col)
+                .join(
+                    store.select(
+                        F.col(id_col).alias("_sid"),
+                        F.col("shingles").alias("sh_s"),
+                    ),
+                    "_sid",
+                )
+                .where(
+                    jaccard_expr(F.col("shingles"), F.col("sh_s"))
+                    >= F.lit(threshold)
+                )
+                .select(id_col)
+            )
+            dropped = dropped.unionByName(cross)
+        # Materialize the drop set BEFORE any write: its plan reads the
+        # store, and the store-append below must not race a pending
+        # store scan (file listings are snapshotted at DataFrame
+        # creation, but an eager boundary makes the ordering explicit
+        # rather than incidental).  The drop set is id-only.
+        dropped_ids = dropped.distinct().persist()
+        dropped_ids.count()
+        batch_df.join(dropped_ids, id_col, "left_anti").write.mode(
+            "append"
+        ).parquet(out_path)
+        sig.join(dropped_ids, id_col, "left_anti").write.mode(
+            "append"
+        ).parquet(store_path)
+        dropped_ids.unpersist()
+        sig.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def migrate_legacy_rollup(spark: SparkSession, out_path: str) -> int:
     """One-shot migration of a pre-micro-unit rollup table (double
     ``sum_value``) to the exact bigint ``sum_value_micros`` storage

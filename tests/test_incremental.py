@@ -256,6 +256,56 @@ def test_streaming_rollup_refuses_legacy_schema(spark, tmp_path):
         _run_rollup(spark, landing, out, str(tmp_path / "ckpt2"))
 
 
+def test_streaming_near_dup_store_wins_and_short_docs_survive(spark, tmp_path):
+    """The accept-on-first-sight contract of streaming_near_dup_dedup:
+    (1) an accepted doc wins over a later near-dup even when the
+    newcomer has a SMALLER id (cross-batch drops are store-ordered, not
+    id-ordered); (2) a doc shorter than the shingle width has no
+    signature and always survives; (3) the signature store holds
+    exactly the accepted signed docs."""
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        streaming_near_dup_dedup,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        s = spark.readStream.schema("doc_id long, text string").parquet(
+            landing
+        )
+        q = streaming_near_dup_dedup(s, out, store, ckpt)
+        q.awaitTermination()
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    b1 = [(500, text), (600, "completely different words about spark engines here")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(landing)
+    run_batch()
+
+    b2 = [
+        (3, text + " extra"),   # near-dups accepted 500; smaller id, still dropped
+        (700, "tiny doc"),      # < shingle width: no signature, survives
+        (800, "a fresh unrelated document mentioning training data pipelines"),
+    ]
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(landing)
+    run_batch()
+
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert accepted == [500, 600, 700, 800]
+    stored = sorted(
+        r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+    )
+    assert stored == [500, 600, 800]  # 700 has no signature
+
+
 def test_migrate_legacy_rollup_roundtrip(spark, tmp_path):
     """The one-shot migration the guard's error message prescribes:
     a legacy double-sum_value table converts to bigint micro-units,

@@ -143,16 +143,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells around centroids,
-    search only the query's cell (nprobe=1).
+    search the query's ``nprobe`` nearest cells (classic IVF serving:
+    the CORPUS is partitioned once — one cell per vector — and recall
+    is tuned per query by probing more cells).
 
     Default centroid "training" is a deterministic stub — the first
     ``n_cells`` corpus vectors by id; pass
     ``centroids=kmeans_centroids(df, ...)`` for trained cells (same
     (cid, cvec) contract, identical serving plan).  At scale the corpus
     is written partitioned by cell, making this a partition-pruned scan
-    + tiny top-k.
+    (``nprobe`` partitions) + tiny top-k.
     """
     if centroids is None:
         centroids = df.where(F.col(id_col) < n_cells).select(
@@ -162,12 +165,15 @@ def ivf_topk(
         centroids = centroids.select("cid", "cvec")
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     corpus = df.join(assigned, on=id_col)
-    q = corpus.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_query_vec"), F.col("cid").alias("_qcid")
-    )
+    qrow = df.where(F.col(id_col) == query_id)
+    probes = ivf_assign(
+        qrow, centroids, id_col, vec_col, nprobe=nprobe
+    ).select("cid")
+    q = qrow.select(F.col(vec_col).alias("_query_vec"))
     return (
-        corpus.crossJoin(F.broadcast(q))
-        .where((F.col("cid") == F.col("_qcid")) & (F.col(id_col) != query_id))
+        corpus.join(F.broadcast(probes), "cid", "semi")
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
         .select(
             id_col,
             cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),

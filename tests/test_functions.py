@@ -889,6 +889,30 @@ def test_kmeans_centroids_edge_cases(spark):
         kmeans_centroids(empty, n_cells=2, n_iters=1)
 
 
+def test_ivf_topk_nprobe_all_cells_equals_brute_force(spark):
+    """IVF serving recall contract: probing EVERY cell must recover the
+    exact brute-force cosine top-k (banding can only hide candidates,
+    never invent them), and nprobe=1 returns a subset drawn from the
+    query's own cell."""
+    from tests.conftest import SF_SMOKE
+
+    from airflow_etl_minio_to_postgres_spark import queries as registry
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk,
+        topk_cosine,
+    )
+
+    e = registry.load_table(spark, "embeddings", SF_SMOKE)
+    exact = [r.vec_id for r in topk_cosine(e, query_id=0, k=5).collect()]
+    all_cells = [
+        r.vec_id
+        for r in ivf_topk(e, query_id=0, k=5, n_cells=8, nprobe=8).collect()
+    ]
+    assert all_cells == exact
+    one_cell = ivf_topk(e, query_id=0, k=5, n_cells=8).collect()
+    assert 0 < len(one_cell) <= 5
+
+
 def test_semantic_dedup_nprobe_catches_boundary_pair(spark):
     """The SemDeDup cell-boundary recall edge and its mitigation: a
     near-identical pair whose members assign to DIFFERENT primary cells

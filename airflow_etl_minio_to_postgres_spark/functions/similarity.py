@@ -183,6 +183,44 @@ def ivf_topk(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of ``functions/dedup.py decontaminate`` exactly as
+    :func:`semantic_dedup` complements the lexical dedup family: drop
+    every corpus vector whose cosine to ANY benchmark vector reaches
+    ``threshold``.  Paraphrased eval questions share no n-grams with
+    the benchmark text, but their embeddings sit at cosine ~1 — the
+    leak the gram screen cannot see.
+
+    EXACT by design, not LSH-bucketed: a missed leak silently inflates
+    eval scores, so recall is the contract here (same reasoning as the
+    gram screen's exact containment).  Scale shape mirrors the lexical
+    twin: the benchmark is BROADCAST (eval suites are small by nature
+    — thousands of rows against a corpus of billions), flag discovery
+    is a narrow corpus x |benchmark| fan-out with the threshold filter
+    applied before anything shuffles, the flagged-id set is tiny, and
+    AQE converts the final anti-join to a broadcast — the corpus is
+    never shuffled end-to-end.  A forced broadcast of the flagged side
+    is deliberately NOT used (the lexical twin's rationale: an
+    adversarially contaminated corpus could flag a large fraction)."""
+    flagged = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(
+            F.broadcast(benchmark.select(F.col(vec_col).alias("_bv")))
+        )
+        .where(cosine_expr(F.col(vec_col), F.col("_bv")) >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes: NumPy PCG64 with a fixed seed,
     components rounded to 6 decimals so the SAME float literals embed

@@ -79,6 +79,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     knn_join,
     label_centroids,
     quantize_int8,
+    semantic_decontaminate,
     semantic_dedup,
     topk_cosine,
 )
@@ -3412,6 +3413,57 @@ def emb_semantic_dedup_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         n_cells=8,
         nprobe=2,
+    )
+
+
+_COS_VBV_SQL = (
+    "list_sum(list_transform(range(0, len(embedding)),"
+    " i -> embedding[i+1] * bv[i+1]))"
+    " / (sqrt(list_sum(list_transform(embedding, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(bv, x -> x * x))))"
+)
+
+
+@register(
+    "emb_semantic_decontaminate",
+    "WITH "
+    + _EMB_PERTURBED_SQL
+    + f""",
+    bench AS (
+        SELECT list_transform(embedding, x -> x::DOUBLE) AS bv
+        FROM embeddings WHERE vec_id % 29 = 0
+    ),
+    flagged AS (
+        SELECT DISTINCT vec_id FROM corpus, bench
+        WHERE {_COS_VBV_SQL} >= 0.95
+    )
+    SELECT vec_id FROM corpus
+    WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+    """,
+)
+def emb_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (functions/similarity.py
+    semantic_decontaminate): every 29th original embedding stands in as
+    the benchmark suite; the perturbed corpus then loses both the
+    benchmark members themselves (cosine 1) and their planted
+    re-encoded copies (cosine ~1) — the paraphrase-shaped leak the
+    lexical gram screen (docs_decontaminate) cannot see.  Exact by
+    design (no LSH recall gap — a missed leak inflates eval scores);
+    benchmark broadcast, corpus never shuffled."""
+    corpus = _emb_perturbed_input(spark, sf_dir)
+    bench = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") % 29 == 0)
+        .select(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("embedding")
+        )
+    )
+    return semantic_decontaminate(corpus, bench, threshold=0.95).select(
+        "vec_id"
     )
 
 

@@ -472,6 +472,48 @@ def rate_sample(
     return df.where(hash_uniform_expr(id_col, salt) < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual/domain
+    sampling policy (p_g proportional to n_g^alpha) pretraining
+    pipelines use to keep large sources from drowning small ones:
+    group ``g`` is kept at rate ``(n_min / n_g)^(1-alpha)``, the
+    closed form that makes EXPECTED kept counts proportional to
+    ``n_g^alpha`` while the smallest group keeps everything (maximum
+    data retention — no group is upsampled).  ``alpha=1`` keeps the
+    raw mixture; ``alpha=0`` flattens to uniform expected counts.
+    Unlike :func:`rate_sample` with hand-set rates (docs_domain_mix),
+    the rates here are DERIVED from the observed group counts.
+
+    Deterministic end-to-end: counts are exact, the per-group rate is
+    rounded to 9 decimals so the engine and the SQL oracle compare the
+    same double against the same sha-derived uniform grid
+    (:func:`hash_uniform_expr`), and the keep decision is a pure
+    function of (id, salt) — identical on any layout, rerun, or
+    engine.  Scale shape: one map-side-combined count aggregate to
+    |groups| rows, a 1-row global min folded in, rates BROADCAST back,
+    and the corpus itself is touched by ONE narrow filter — never
+    shuffled."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)), 9
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(hash_uniform_expr(id_col, salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

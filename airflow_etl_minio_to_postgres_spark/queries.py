@@ -103,6 +103,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     repetition_signals,
     stopword_ratio_expr,
     stratified_cap,
+    temperature_mix,
     tfidf_top_terms,
     token_count_expr,
     unigram_logprob,
@@ -4525,6 +4526,37 @@ def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical sample on rerun or engine change."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return rate_sample(d, F.expr(_MIX_RATE_SQL))
+
+
+@register(
+    "docs_temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (
+        SELECT lang,
+               round(pow(nmin::DOUBLE / n::DOUBLE, {1.0 - 0.7!r}), 9) AS rate
+        FROM c, m
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE CAST(('0x' || substr(sha256('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)::DOUBLE / 4294967296.0 < rate
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (functions/text.py
+    temperature_mix, alpha=0.7) over the genuinely skewed ``lang``
+    column (en is ~3x every other language at all SFs): per-language
+    keep rates DERIVED from the observed counts — ``(n_min/n_g)^0.3``
+    — so expected kept counts follow ``n_g^0.7`` (the multilingual
+    sampling policy: the dominant language is damped, the smallest
+    kept whole).  The data-dependent complement of docs_domain_mix's
+    hand-set rates; one count aggregate + broadcast rates + one narrow
+    corpus filter, the corpus never shuffles.  The oracle re-derives
+    counts, rates (rounded to 9 decimals so both engines compare
+    identical doubles), and the sha-uniform keep decision."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return temperature_mix(d, group_col="lang", alpha=0.7)
 
 
 @register(

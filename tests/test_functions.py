@@ -889,6 +889,46 @@ def test_kmeans_centroids_edge_cases(spark):
         kmeans_centroids(empty, n_cells=2, n_iters=1)
 
 
+def test_temperature_mix_matches_python_model_and_flattens(spark):
+    """temperature_mix == the straight Python model (exact counts,
+    (n_min/n_g)^(1-alpha) rates rounded to 9 decimals, sha-uniform keep
+    decision), and the kept mixture is flatter than the raw one: the
+    smallest group keeps rate 1.0 while larger groups are damped."""
+    import hashlib
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(400)]
+    rows += [(1000 + i, "mid") for i in range(100)]
+    rows += [(2000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    alpha = 0.5
+    counts = {"big": 400, "mid": 100, "small": 25}
+    nmin = 25
+    rates = {
+        g: round((nmin / n) ** (1.0 - alpha), 9) for g, n in counts.items()
+    }
+
+    def u(i: int) -> float:
+        h = hashlib.sha256(f"temp:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    expected = {
+        (i, g) for (i, g) in rows if u(i) < rates[g]
+    }
+    got = {
+        (r.doc_id, r.source)
+        for r in temperature_mix(df, alpha=alpha).collect()
+    }
+    assert got == expected
+    kept = {g: sum(1 for _, gg in got if gg == g) for g in counts}
+    assert kept["small"] == 25  # smallest group fully retained
+    # flattened: big/small ratio drops from 16x toward ~4x (sqrt)
+    assert kept["big"] < 0.5 * counts["big"]
+
+
 def test_ivf_topk_nprobe_all_cells_equals_brute_force(spark):
     """IVF serving recall contract: probing EVERY cell must recover the
     exact brute-force cosine top-k (banding can only hide candidates,

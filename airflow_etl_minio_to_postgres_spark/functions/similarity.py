@@ -21,7 +21,7 @@ any multiply, matching DuckDB's behavior on ``FLOAT[]`` lists.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -177,6 +177,75 @@ def ivf_topk(
         .select(
             id_col,
             cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF serving layout the :func:`ivf_topk`
+    docstring prescribes: the corpus written as parquet PARTITIONED BY
+    cell id, so a query's probe set becomes a partition-pruned scan —
+    at 100 TB the difference between reading ``nprobe`` directories
+    and reading everything.  One assignment pass (broadcast centroids,
+    per-vector top-1 window), one partitioned write; re-running
+    overwrites (idempotent index rebuild)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    (
+        df.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve a cosine top-k from a :func:`write_ivf_index` layout: the
+    query's ``nprobe`` nearest cells are chosen DRIVER-SIDE against the
+    (metadata-sized) centroid table, and the scan carries
+    ``cid IN (probes)`` — Spark prunes to exactly those partition
+    directories (visible as PartitionFilters in the plan; pinned in
+    tests), so the corpus read is proportional to the probed cells,
+    not the index.  Tie-break (max cosine, then smallest cid) matches
+    :func:`ivf_assign` exactly, so results are identical to running
+    :func:`ivf_topk` over the unindexed corpus."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    scored = []
+    for row in centroids.select("cid", "cvec").collect():
+        cv = [float(x) for x in row["cvec"]]
+        num = sum(a * b for a, b in zip(q, cv))
+        den = qn * math.sqrt(sum(x * x for x in cv))
+        sim = (num / den) if den else float("-inf")
+        scored.append((sim, -int(row["cid"])))
+    probes = [-nc for _, nc in sorted(scored, reverse=True)[: int(nprobe)]]
+    corpus = spark.read.parquet(path).where(F.col("cid").isin(probes))
+    if exclude_id is not None:
+        corpus = corpus.where(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        corpus.select(
+            id_col,
+            cosine_expr(F.col(vec_col), qcol).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -75,6 +75,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
     ivf_topk,
+    ivf_topk_indexed,
     kmeans_centroids,
     knn_join,
     label_centroids,
@@ -82,6 +83,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     semantic_decontaminate,
     semantic_dedup,
     topk_cosine,
+    write_ivf_index,
 )
 from airflow_etl_minio_to_postgres_spark.functions.sketch import kmv_distinct
 from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
@@ -3165,9 +3167,7 @@ _COS_VC_SQL = (
 )
 
 
-@register(
-    "emb_ivf_topk",
-    f"""
+_IVF_TOPK_STUB_SQL = f"""
     WITH corp AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         FROM embeddings
@@ -3194,11 +3194,40 @@ _COS_VC_SQL = (
     WHERE assigned.cid = qc.qcid AND corp.vec_id != 0
     ORDER BY cosine DESC, vec_id
     LIMIT 5
-    """,
-)
+    """
+
+
+@register("emb_ivf_topk", _IVF_TOPK_STUB_SQL)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load_table(spark, "embeddings", sf_dir), query_id=0, k=5, n_cells=8
+    )
+
+
+@register("emb_ivf_topk_indexed", _IVF_TOPK_STUB_SQL)
+def emb_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED IVF serving path (functions/similarity.py
+    write_ivf_index + ivf_topk_indexed): the corpus is written
+    partitioned by cell, the query's probe cells are chosen driver-side
+    against the metadata-sized centroid table, and the scan carries
+    ``cid IN (probes)`` so Spark prunes to the probed partition
+    directories — the layout every ivf docstring prescribes for 100 TB,
+    now driver-checked against the IDENTICAL oracle as the unindexed
+    emb_ivf_topk (bit-equal results prove index build + pruned serve
+    lose nothing)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    path = os.path.join(base, "index")
+    write_ivf_index(e, cents, path)
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk_indexed(
+        spark, path, cents, qv, k=5, nprobe=1, exclude_id=0
     )
 
 

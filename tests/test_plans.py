@@ -324,6 +324,49 @@ def test_kmeans_iteration_is_one_exchange_no_python(spark):
     assert "Python" not in plan
 
 
+def test_ivf_index_serving_is_partition_pruned(spark, tmp_path):
+    """The materialized IVF layout (write_ivf_index + ivf_topk_indexed):
+    the serving scan must carry the probe set as PartitionFilters —
+    Spark reads only the probed cell directories, never the whole index
+    — and results must equal the unindexed ivf_topk exactly."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    e = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "index")
+    write_ivf_index(e, cents, path)
+    # one directory per cell on disk
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("cid=")
+    ), "expected cid= partition directories"
+
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    served = ivf_topk_indexed(
+        spark, path, cents, qv, k=5, nprobe=2, exclude_id=0
+    )
+    import re
+
+    plan = _physical_plan(served)
+    assert re.search(r"PartitionFilters: \[cid#\d+ IN \(", plan), plan
+    unindexed = ivf_topk(e, query_id=0, k=5, n_cells=8, nprobe=2)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in unindexed.collect()
+    ]
+
+
 def test_kmeans_broadcast_assignment_parity_and_plan(spark):
     """The large-n_cells assignment form (_assign_broadcast): (1) PLAN —
     centroids arrive via BroadcastHashJoin (constant-key equi-join),

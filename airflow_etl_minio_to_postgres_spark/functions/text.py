@@ -498,7 +498,14 @@ def temperature_mix(
     engine.  Scale shape: one map-side-combined count aggregate to
     |groups| rows, a 1-row global min folded in, rates BROADCAST back,
     and the corpus itself is touched by ONE narrow filter — never
-    shuffled."""
+    shuffled.
+
+    Rows with a NULL ``group_col`` are EXCLUDED from the result (no
+    mixture weight is defined for an unknown group, and the rate join
+    is an equi-join, where NULL matches nothing — the SQL oracle's
+    ``USING`` join agrees); ``coalesce`` the group to a sentinel
+    upstream if unlabeled rows should participate as their own
+    group."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(

@@ -506,9 +506,16 @@ def temperature_mix(
     ``USING`` join agrees); ``coalesce`` the group to a sentinel
     upstream if unlabeled rows should participate as their own
     group."""
+    from pyspark.sql import Window
+
+    # n_min as a global window over the COUNTS frame (|groups| rows),
+    # not a second aggregate branch off `counts`: an unpersisted reuse
+    # would make Catalyst re-derive both branches from the scan — TWO
+    # full corpus passes to learn counts + min instead of one.
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    nmin = counts.agg(F.min("_n").alias("_nmin"))
-    rates = counts.crossJoin(F.broadcast(nmin)).select(
+    rates = counts.withColumn(
+        "_nmin", F.min("_n").over(Window.partitionBy())
+    ).select(
         group_col,
         F.round(
             F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)), 9

@@ -324,6 +324,28 @@ def test_kmeans_iteration_is_one_exchange_no_python(spark):
     assert "Python" not in plan
 
 
+def test_temperature_mix_two_scans_no_corpus_shuffle(spark):
+    """temperature_mix's scale contract: exactly TWO corpus scans (one
+    to learn group counts, one filtered by the broadcast rates — the
+    irreducible minimum for a data-dependent rate filter; the global
+    min folds as a window over the tiny counts frame, NOT a third
+    scan), and the corpus itself is never shuffled or fed to Python."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        temperature_mix,
+    )
+
+    d = registry.load_table(spark, "documents", SF_SMOKE).select(
+        "doc_id", "lang"
+    )
+    plan = _physical_plan(temperature_mix(d, "lang", 0.7))
+    assert plan.count("FileScan") == 2
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_index_serving_is_partition_pruned(spark, tmp_path):
     """The materialized IVF layout (write_ivf_index + ivf_topk_indexed):
     the serving scan must carry the probe set as PartitionFilters —

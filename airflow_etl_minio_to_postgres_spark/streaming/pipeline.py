@@ -406,7 +406,9 @@ def streaming_near_dup_dedup(
     against stored shingle sets.  The store is bucketed by band at
     production scale (write partitioned by band_key prefix) so the
     cross join prunes to matching buckets; its growth is one signature
-    row per ACCEPTED doc — the deduped corpus, not the raw stream.
+    row per ACCEPTED doc — the deduped corpus, not the raw stream —
+    and the one-file-per-batch append fragmentation is housekept with
+    ``sources/files.py compact_parquet`` between stream restarts.
     Batch-split sensitivity is inherent to streaming greedy dedup (a
     doc dropped intra-batch never enters the store, so A~B, B~C chains
     can resolve differently under different splits); with deterministic

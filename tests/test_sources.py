@@ -384,3 +384,4 @@ def test_read_file_dispatches_jsonl_and_orc(spark, tmp_path):
     oc = str(tmp_path / "y.orc")
     write_orc(df, oc)
     assert read_file(spark, oc, schema=schema).collect()[0]["id"] == 7
+

@@ -507,3 +507,41 @@ def test_image_ahash_matches_python_model(spark, payloads):
     )
     got = {r.doc_id: r.ahash for r in add_image_ahash(df).collect()}
     assert got == {i: model(p) for i, p in enumerate(payloads)}
+
+
+@given(
+    keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    cap=st.integers(1, 6),
+)
+@SPARK_SETTINGS
+def test_salted_band_sides_every_pair_exactly_once(spark, keys, cap):
+    """salted_band_sides exactness under arbitrary bucket shapes: for
+    ANY key multiset and ANY cap, the salted self-join yields every
+    in-bucket (id_a < id_b) pair EXACTLY once — the invariant that
+    makes downstream first-matching-band predicates and dropDuplicates
+    behave identically to the unsalted plan."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        salted_band_sides,
+    )
+
+    rows = [(i, f"k{k}") for i, k in enumerate(keys)]
+    fan = spark.createDataFrame(rows, "doc_id long, band_key string")
+    a, b, jk = salted_band_sides(fan, "doc_id", "band_key", cap)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in a.select(F.col("doc_id").alias("id_a"), *jk)
+        .join(b.select(F.col("doc_id").alias("id_b"), *jk), jk)
+        .where(F.col("id_a") < F.col("id_b"))
+        .collect()
+    )
+    expected = []
+    by_key: dict = {}
+    for i, k in enumerate(keys):
+        by_key.setdefault(k, []).append(i)
+    for members in by_key.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                expected.append((members[x], members[y]))
+    assert got == sorted(expected)  # exactly once, none lost, none extra

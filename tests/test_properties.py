@@ -545,3 +545,89 @@ def test_salted_band_sides_every_pair_exactly_once(spark, keys, cap):
             for y in range(x + 1, len(members)):
                 expected.append((members[x], members[y]))
     assert got == sorted(expected)  # exactly once, none lost, none extra
+
+
+@given(
+    groups=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+@SPARK_SETTINGS
+def test_temperature_mix_matches_model_on_arbitrary_groups(
+    spark, groups, alpha
+):
+    """temperature_mix == the straight model for ANY group multiset and
+    alpha: exact counts, (n_min/n_g)^(1-alpha) rates rounded to 9
+    decimals, sha-uniform keep decision — including the alpha=1 raw
+    mixture (all rates 1.0) and alpha=0 uniform-expected-counts
+    extremes."""
+    import hashlib
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        temperature_mix,
+    )
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts: dict[str, int] = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    nmin = min(counts.values())
+    rates = {g: round((nmin / n) ** (1.0 - alpha), 9) for g, n in counts.items()}
+
+    def u(i: int) -> float:
+        h = hashlib.sha256(f"temp:{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    expected = {(i, g) for i, g in rows if u(i) < rates[g]}
+    got = {
+        (r.doc_id, r.source)
+        for r in temperature_mix(df, "source", alpha).collect()
+    }
+    assert got == expected
+    if alpha == 1.0:
+        assert got == set(rows)  # raw mixture: nothing dropped
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=120), min_size=2, max_size=8
+    ),
+    max_hamming=st.integers(0, 7),
+)
+@SPARK_SETTINGS
+def test_ahash_banded_pairs_equal_brute_force(spark, payloads, max_hamming):
+    """Pigeonhole completeness of the banded aHash pair join: for
+    max_hamming < n_bands (8) the banded candidates + packed
+    verification must equal the BRUTE-FORCE all-pairs truth at that
+    threshold, on arbitrary binaries (degenerate all-ones hashes,
+    short payloads, exact dups included)."""
+    from airflow_etl_minio_to_postgres_spark.functions.multimodal import (
+        add_image_ahash,
+        ahash_near_dup_pairs,
+    )
+
+    def model_hash(b: bytes) -> str:
+        n = len(b)
+        samples = [b[(c * n) // 64] if n else 0 for c in range(64)]
+        mean = sum(samples) / 64.0
+        return "".join("1" if x >= mean else "0" for x in samples)
+
+    hashes = {i: model_hash(p) for i, p in enumerate(payloads)}
+    expect = sorted(
+        (a, b, sum(x != y for x, y in zip(hashes[a], hashes[b])))
+        for a in hashes
+        for b in hashes
+        if a < b
+        and sum(x != y for x, y in zip(hashes[a], hashes[b])) <= max_hamming
+    )
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = sorted(
+        tuple(r)
+        for r in ahash_near_dup_pairs(
+            add_image_ahash(df), max_hamming=max_hamming
+        ).collect()
+    )
+    assert got == expect

@@ -413,7 +413,12 @@ def streaming_near_dup_dedup(
     doc dropped intra-batch never enters the store, so A~B, B~C chains
     can resolve differently under different splits); with deterministic
     batches the result is exactly reproducible, which is what the
-    oracle entry pins.  Returns the started StreamingQuery."""
+    oracle entry pins.  Restart caveat (same as incremental_silver /
+    the rollup upsert): a crash between the survivor append and the
+    checkpoint commit replays the batch, appending its survivors
+    twice — a table format with transactional MERGE keyed on batch_id
+    is the production hardening.  Returns the started
+    StreamingQuery."""
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         _minhash_table,
         band_keys_expr,

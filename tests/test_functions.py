@@ -791,6 +791,12 @@ def test_salted_band_sides_bounds_hot_buckets_exactly_once(spark):
     a0, b0, k0 = salted_band_sides(fan, "doc_id", "band_key", None)
     assert a0 is fan and b0 is fan and k0 == ["band_key"]
 
+    # nonsensical cap fails loudly, not with a zero-salt divide
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        salted_band_sides(fan, "doc_id", "band_key", 0)
+
 
 def test_ahash_and_simhash_salted_results_bit_identical(spark):
     """max_bucket_size changes task-level distribution ONLY: on a

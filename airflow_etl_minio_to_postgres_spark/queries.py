@@ -3596,6 +3596,31 @@ def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_members")
 
 
+@register("emb_kmeans_centroids_bcast", _kmeans_oracle_sql(4, 2, 64))
+def emb_kmeans_centroids_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROADCAST assignment form of kmeans_centroids driven through
+    the oracle gate: ``literal_centroid_limit=0`` forces every
+    iteration's assignment through the constant-key BroadcastHashJoin +
+    map-side-combined max(struct) argmax (the ~100k-cell plan shape)
+    instead of inlined literal centroids — against the IDENTICAL
+    unrolled-CTE oracle as emb_kmeans_centroids, so bit-equal centroids
+    prove the two forms interchangeable at the driver level, not just
+    in pytest."""
+    c = kmeans_centroids(
+        load_table(spark, "embeddings", sf_dir),
+        n_cells=4,
+        n_iters=2,
+        dim=64,
+        literal_centroid_limit=0,
+    )
+    return c.select(
+        "cid",
+        F.posexplode("cvec").alias("dim", "mean_val"),
+        "n_members",
+    ).select("cid", F.col("dim").cast("long").alias("dim"), "mean_val",
+             "n_members")
+
+
 def _semantic_dedup_trained_sql(
     n_cells: int, n_iters: int, threshold: float
 ) -> str:
@@ -3839,9 +3864,7 @@ _AHASH_HAMMING = (
 )
 
 
-@register(
-    "multimodal_ahash_near_dup_pairs",
-    f"""
+_AHASH_PAIRS_SQL = f"""
     WITH base AS (
         SELECT doc_id, lower(trim(text)) AS t FROM documents
         UNION ALL
@@ -3879,8 +3902,10 @@ _AHASH_HAMMING = (
         SELECT id_a, id_b, {_AHASH_HAMMING} AS hamming FROM cand
     ) v
     WHERE hamming <= 7
-    """,
-)
+    """
+
+
+@register("multimodal_ahash_near_dup_pairs", _AHASH_PAIRS_SQL)
 def multimodal_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over the multimodal payload column
     (functions/multimodal.py add_image_ahash + ahash_near_dup_pairs):
@@ -3904,6 +3929,33 @@ def multimodal_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     )
     hashed = add_image_ahash(attach_payload(corpus))
     return ahash_near_dup_pairs(hashed, max_hamming=7, n_bands=8)
+
+
+@register("multimodal_ahash_near_dup_pairs_salted", _AHASH_PAIRS_SQL)
+def multimodal_ahash_near_dup_pairs_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-bucket-salted aHash pair join driven through the oracle
+    gate: ``max_bucket_size=512`` splits oversized band buckets across
+    salted sub-groups (functions/dedup.py salted_band_sides — the
+    cluster-scale skew mitigation) against the IDENTICAL oracle as the
+    unsalted entry, so bit-equal pairs prove salting changes task
+    distribution ONLY — and at bench scale this entry exercises the
+    salted plan on the measured hot-bucket worst case (the low-entropy
+    sf0.1 documents corpus)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = d.select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.upper(F.trim("text")).alias("text"),
+        )
+    )
+    hashed = add_image_ahash(attach_payload(corpus))
+    return ahash_near_dup_pairs(
+        hashed, max_hamming=7, n_bands=8, max_bucket_size=512
+    )
 
 
 # ---------------------------------------------------------------------------

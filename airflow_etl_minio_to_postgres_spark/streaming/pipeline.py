@@ -26,6 +26,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -472,8 +473,18 @@ def streaming_near_dup_dedup(
             .select(F.col("id_b").alias(id_col))
         )
         dropped = dropped_intra
-        if os.path.exists(store_path):
+        # Engine-side existence probe, NOT os.path.exists: the store is
+        # written with plain appends (object-store compatible), and a
+        # driver-local check on a URI path (s3a://, even file://) returns
+        # False forever — every batch would silently skip the cross-batch
+        # screen and near-dups of ACCEPTED docs would stream through.
+        # Silent recall loss is the one failure mode a dedup gate must
+        # not have; read-and-catch asks the filesystem Spark writes to.
+        try:
             store = spark.read.parquet(store_path)
+        except AnalysisException:  # first batch: no store yet
+            store = None
+        if store is not None:
             store_banded = store.select(
                 F.col(id_col).alias("_sid"),
                 F.explode(

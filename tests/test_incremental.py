@@ -306,6 +306,46 @@ def test_streaming_near_dup_store_wins_and_short_docs_survive(spark, tmp_path):
     assert stored == [500, 600, 800]  # 700 has no signature
 
 
+def test_streaming_near_dup_store_check_is_engine_side(spark, tmp_path):
+    """The store existence probe must ask the filesystem Spark writes
+    to, not the driver's local one: with a URI store path (file://
+    here, s3a:// in production) os.path.exists returns False forever,
+    so every batch would silently skip the cross-batch screen — a
+    near-dup of an ACCEPTED doc streams through with no error.  Pin
+    the drop across batches under a file:// store path."""
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        streaming_near_dup_dedup,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    store = "file://" + str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        s = spark.readStream.schema("doc_id long, text string").parquet(
+            landing
+        )
+        q = streaming_near_dup_dedup(s, out, store, ckpt)
+        q.awaitTermination()
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).write.mode("append").parquet(landing)
+    run_batch()
+
+    spark.createDataFrame(
+        [(2, text + " extra")], "doc_id long, text string"
+    ).write.mode("append").parquet(landing)
+    run_batch()
+
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert accepted == [1]  # 2 near-dups the stored 1 — dropped
+
+
 def test_migrate_legacy_rollup_roundtrip(spark, tmp_path):
     """The one-shot migration the guard's error message prescribes:
     a legacy double-sum_value table converts to bigint micro-units,

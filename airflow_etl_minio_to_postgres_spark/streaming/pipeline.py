@@ -312,8 +312,18 @@ def streaming_rollup_upsert(
     StreamingQuery.
     """
     from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
         _rewrite_in_place,
     )
+
+    # Normalize ONCE, before the first batch: the existence check below
+    # is os.path-based, so a file:// URI would read as absent, the merge
+    # would be skipped, and the rewrite would REPLACE the rollup with
+    # just this batch's partials — silent data loss.  _local_path
+    # resolves file:// and refuses object-store URIs loudly (this sink
+    # is local-FS-only by construction: the rewrite swaps directories
+    # with os.replace).
+    out_path = _local_path(out_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

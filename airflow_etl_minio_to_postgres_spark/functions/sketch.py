@@ -53,13 +53,14 @@ def kmv_distinct(
     estimate — are identical on any engine and any partition layout;
     the DuckDB oracle reproduces the estimator end-to-end.
 
-    NULL contract (current edge, queued fix): a NULL ``value_col``
+    NULL contract: NULL values are excluded from the sketch (an
+    explicit ``isNotNull`` filter before hashing).  Without it a NULL
     hashes to a NULL fraction, which Spark's window sorts FIRST while
-    SQL engines default NULLS LAST — so a group containing NULLs would
-    burn a sketch slot engine-dependently.  Filter NULLs upstream until
-    the explicit ``isNotNull`` guard lands (round-11 queue; deferred
-    only because the rotation window was exactly full at round-10
-    close).
+    SQL engines default NULLS LAST — a slot would burn
+    engine-dependently.  This matches ``count(DISTINCT x)`` SQL
+    semantics, which also ignores NULLs; a group whose values are ALL
+    NULL therefore produces no output row, same as ``GROUP BY`` over an
+    inner ``WHERE x IS NOT NULL``.
     """
     from pyspark.sql import Window
 
@@ -75,6 +76,7 @@ def kmv_distinct(
     )
     dv = (
         df.select(group_col, value_col)
+        .where(F.col(value_col).isNotNull())
         .distinct()
         .select(F.col(group_col), frac.alias("_frac"))
     )

@@ -83,12 +83,11 @@ def validate_expectations(
     would silently skip NULL rows, the rubber-stamp direction; a rule
     that intends to allow NULLs must say so (``valid | col.isNull()``).
 
-    Empty-input edge (current, queued fix): on a ZERO-row frame the
-    violation sums aggregate to NULL, so ``n_violations`` and ``passed``
-    surface as NULL rather than 0/True — gate empty-feed detection with
-    :func:`assert_min_rows` (the intended collapse canary) until the
-    ``coalesce(..., 0)`` lands (round-11 queue; deferred only because
-    the rotation window was exactly full at round-10 close).
+    Empty-input contract: a ZERO-row frame has zero violations by
+    definition, so every rule reports (n_rows=0, n_violations=0,
+    passed=True) — the violation sums are ``coalesce``d to 0 on both
+    the row-rule and uniqueness branches.  Detecting a collapsed feed
+    is :func:`assert_min_rows`' job, not a NULL tri-state here.
     """
     if not row_rules and not unique_keys:
         raise ValueError(
@@ -98,7 +97,9 @@ def validate_expectations(
     agg_cols = [F.count(F.lit(1)).alias("_n")]
     for name, valid in row_rules.items():
         agg_cols.append(
-            F.sum(F.when(valid, 0).otherwise(1)).alias(f"_v_{name}")
+            F.coalesce(
+                F.sum(F.when(valid, 0).otherwise(1)), F.lit(0)
+            ).alias(f"_v_{name}")
         )
     base = df.agg(*agg_cols)
     parts = []
@@ -118,9 +119,12 @@ def validate_expectations(
             F.count(F.lit(1)).alias("_c")
         )
         uniq = dup.agg(
-            F.sum("_c").alias("n_rows"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("n_violations"),
         ).select(
             F.lit("unique:" + ",".join(unique_keys)).alias("rule"),

@@ -4025,7 +4025,8 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_user_kmv_distinct",
     """
-    WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH dv AS (SELECT DISTINCT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL),
     h AS (
         SELECT event_type,
                CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 13))

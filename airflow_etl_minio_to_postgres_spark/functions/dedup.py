@@ -897,6 +897,13 @@ def salted_band_sides(
     cap = int(max_bucket_size)
     if cap < 1:
         raise ValueError("max_bucket_size must be >= 1")
+    # Three consumers derive from the fan-out (the hot-bucket directory
+    # and both join sides); without a persist boundary the banded
+    # explode — the family's most expensive upstream stage on exactly
+    # the low-entropy corpora salting targets — recomputes three times.
+    # Same _persist_tracked boundary as the signature tables;
+    # release_caches() frees it.
+    fan = _persist_tracked(fan)
     hot = (
         fan.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_bc"))

@@ -378,7 +378,9 @@ def compact_parquet(
     return _rewrite_in_place(df, path)
 
 
-def _rewrite_in_place(df: DataFrame, path: str) -> str:
+def _rewrite_in_place(
+    df: DataFrame, path: str, extra_files: dict[str, str] | None = None
+) -> str:
     """Overwriting a location the plan also READS would delete its own
     input; stage to a sibling tmp location, then swap — fully distributed
     (no driver-side collect), one extra rename on local FS / object copy on
@@ -387,7 +389,14 @@ def _rewrite_in_place(df: DataFrame, path: str) -> str:
     Crash safety: the old data is renamed aside (``__rewrite_old``) before
     the staged copy is promoted, and deleted only last — every failure
     point leaves at least one complete copy under the target name or a
-    clearly-marked sibling, never an empty target with orphaned data."""
+    clearly-marked sibling, never an empty target with orphaned data.
+
+    ``extra_files`` (name -> text content) are written into the staged
+    directory BEFORE the swap, so they become visible atomically with
+    the data they describe — the hook the streaming rollup uses to
+    commit its replay marker in the same rename as the merged table.
+    Names must start with ``_`` or ``.`` (Spark's parquet reader ignores
+    such files; anything else would corrupt the table)."""
     import shutil
 
     path = _local_path(path)
@@ -395,6 +404,14 @@ def _rewrite_in_place(df: DataFrame, path: str) -> str:
     old = path.rstrip("/") + "__rewrite_old"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
+    for name, content in (extra_files or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(
+                f"extra file {name!r} must start with '_' or '.' so the "
+                "parquet reader ignores it"
+            )
+        with open(os.path.join(tmp, name), "w", encoding="utf-8") as f:
+            f.write(content)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.replace(path, old)

@@ -26,7 +26,6 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -39,6 +38,39 @@ from airflow_etl_minio_to_postgres_spark.sources.catalog import (
 )
 
 _sink_counter = itertools.count()
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe on the filesystem SPARK writes to (Hadoop
+    FileSystem API), never the driver's local one: ``os.path.exists``
+    on a URI path (``s3a://``, even ``file://``) returns False forever,
+    and a broad read-and-catch treats ANY ``AnalysisException`` (schema
+    corruption, momentarily unreadable dir, misconfigured path) as
+    "absent" — the silent-skip failure mode a dedup screen must not
+    have (round-10 advisor finding).  This asks the exact question:
+    does the path exist on the session's filesystem for that scheme."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _commit_token(checkpoint_path: str) -> str:
+    """Deterministic short token identifying a checkpoint lineage.
+
+    Micro-batch ids are only unique WITHIN one checkpoint: a stream
+    restarted against a fresh checkpoint restarts at batch 0, so an
+    idempotence key of bare ``batch_id`` would collide with (and
+    silently clobber or skip) work done under a previous checkpoint.
+    Keying every commit on ``(checkpoint token, batch_id)`` makes
+    replay detection exact per lineage.  Deleting a checkpoint while
+    keeping its outputs remains undefined behavior, as in any
+    Structured Streaming pipeline — the token is derived from the
+    checkpoint PATH, so a recreated checkpoint at the same path reuses
+    ids."""
+    import zlib
+
+    return format(zlib.crc32(checkpoint_path.encode("utf-8")), "08x")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,19 +308,46 @@ def incremental_silver(
     reference's daily re-run (``dags/dag_etl_minio_to_postgres.py:248``).
 
     ``foreachBatch`` reuses the exact batch plan, so stream and batch silver
-    are byte-identical for the same input; the checkpoint makes restarts
-    exactly-once at the batch level.  Returns the started StreamingQuery.
+    are byte-identical for the same input.
+
+    Replay safety: the checkpoint makes restarts exactly-once at the
+    batch level, but a crash BETWEEN the parquet append and the
+    checkpoint commit replays the batch — with a bare append that
+    duplicated its rows.  The sink instead writes each batch into its
+    own ``_commit_id`` partition with dynamic partition overwrite: a
+    replayed batch REWRITES exactly its own partition (same checkpoint
+    lineage + batch id → same commit id), so the table converges to the
+    exactly-once result regardless of where the crash landed.  The
+    ``_commit_id`` column doubles as per-batch lineage on read; select
+    the data columns to ignore it.  Returns the started StreamingQuery.
     """
-    from airflow_etl_minio_to_postgres_spark.plans.medallion import build_silver
+    token = _commit_token(checkpoint_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        build_silver(batch_df).write.mode("append").parquet(out_path)
+        _silver_process_batch(batch_df, batch_id, out_path, token)
 
     return (
         raw_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _silver_process_batch(
+    batch_df: DataFrame, batch_id: int, out_path: str, token: str
+) -> None:
+    """One :func:`incremental_silver` micro-batch — module-level so the
+    replay contract (same batch twice == once) is directly testable."""
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import build_silver
+
+    (
+        build_silver(batch_df)
+        .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_id")
+        .parquet(out_path)
     )
 
 
@@ -305,11 +364,17 @@ def streaming_rollup_upsert(
     and sum are decomposable, so merged state is exactly the batch
     aggregate over all arrived data.  The read-merge-rewrite is
     dimension-scale work (the ROLLUP is small even when the stream is
-    not — that is the point of a rollup); a restart replays at batch
-    granularity from the checkpoint, with the same caveat as
-    :func:`incremental_silver` — a table format with transactional MERGE
-    (keyed on batch_id) is the production hardening.  Returns the started
-    StreamingQuery.
+    not — that is the point of a rollup).
+
+    Replay safety: a merge is NOT idempotent (re-merging a batch's
+    partials double-counts), so the sink records the last-merged
+    ``(checkpoint token, batch_id)`` in a ``_last_batch`` marker file
+    written INSIDE the staged directory and promoted by the same
+    ``os.replace`` as the merged table — marker and data commit
+    atomically together.  A batch whose id is already covered by the
+    marker (crash landed between the rewrite and the checkpoint
+    commit) is a no-op on replay.  A legacy table without a marker
+    merges normally and gains one.  Returns the started StreamingQuery.
     """
     from airflow_etl_minio_to_postgres_spark.sources.files import (
         _local_path,
@@ -324,60 +389,83 @@ def streaming_rollup_upsert(
     # is local-FS-only by construction: the rewrite swaps directories
     # with os.replace).
     out_path = _local_path(out_path)
+    token = _commit_token(checkpoint_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # The materialized rollup stores the value sum as EXACT bigint
-        # micro-units: merge-summing double partials across restarts and
-        # micro-batch splits would accumulate order-dependent float
-        # error in the serving table itself; integer partials merge
-        # associatively forever.  Readers convert on the way out.
-        partial = batch_df.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.round(F.col("value") * F.lit(1e6)).cast("long")
-            ).alias("sum_value_micros"),
-        )
-        if os.path.exists(out_path):
-            # Guard the storage contract BEFORE merging: reading with
-            # ``schema(partial.schema)`` would silently surface NULL for
-            # any renamed/missing on-disk column (e.g. a legacy table
-            # written with double ``sum_value`` before the micro-unit
-            # migration), corrupting merged totals forever.  Fail loudly
-            # instead; migration of legacy tables is a deliberate
-            # one-time rewrite, not something a sink should improvise
-            # mid-stream (round-8 advisor finding).
-            on_disk = {
-                f.name: f.dataType for f in spark.read.parquet(out_path).schema
-            }
-            expected = {f.name: f.dataType for f in partial.schema}
-            if on_disk != expected:
-                raise ValueError(
-                    f"rollup at {out_path!r} has schema {sorted(on_disk)} "
-                    f"but this writer stores {sorted(expected)} (exact "
-                    "bigint micro-units since round 8); migrate the legacy "
-                    "table explicitly before resuming the stream"
-                )
-            existing = spark.read.schema(partial.schema).parquet(out_path)
-            merged = (
-                existing.unionByName(partial)
-                .groupBy("hour", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value_micros").alias("sum_value_micros"),
-                )
-            )
-        else:
-            merged = partial
-        _rewrite_in_place(merged, out_path)
+        _rollup_process_batch(batch_df, batch_id, out_path, token)
 
     return (
         raw_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _rollup_process_batch(
+    batch_df: DataFrame, batch_id: int, out_path: str, token: str
+) -> None:
+    """One :func:`streaming_rollup_upsert` micro-batch — module-level so
+    the replay contract (an already-merged batch is a no-op) is directly
+    testable.  ``out_path`` must already be local-FS-normalized."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _rewrite_in_place,
+    )
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(out_path, "_last_batch")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            last_token, _, last_id = f.read().strip().partition(":")
+        if last_token == token and batch_id <= int(last_id):
+            return  # crash-replayed batch: already merged, no-op
+    # The materialized rollup stores the value sum as EXACT bigint
+    # micro-units: merge-summing double partials across restarts and
+    # micro-batch splits would accumulate order-dependent float
+    # error in the serving table itself; integer partials merge
+    # associatively forever.  Readers convert on the way out.
+    partial = batch_df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * F.lit(1e6)).cast("long")
+        ).alias("sum_value_micros"),
+    )
+    if os.path.exists(out_path):
+        # Guard the storage contract BEFORE merging: reading with
+        # ``schema(partial.schema)`` would silently surface NULL for
+        # any renamed/missing on-disk column (e.g. a legacy table
+        # written with double ``sum_value`` before the micro-unit
+        # migration), corrupting merged totals forever.  Fail loudly
+        # instead; migration of legacy tables is a deliberate
+        # one-time rewrite, not something a sink should improvise
+        # mid-stream (round-8 advisor finding).
+        on_disk = {
+            f.name: f.dataType for f in spark.read.parquet(out_path).schema
+        }
+        expected = {f.name: f.dataType for f in partial.schema}
+        if on_disk != expected:
+            raise ValueError(
+                f"rollup at {out_path!r} has schema {sorted(on_disk)} "
+                f"but this writer stores {sorted(expected)} (exact "
+                "bigint micro-units since round 8); migrate the legacy "
+                "table explicitly before resuming the stream"
+            )
+        existing = spark.read.schema(partial.schema).parquet(out_path)
+        merged = (
+            existing.unionByName(partial)
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_micros").alias("sum_value_micros"),
+            )
+        )
+    else:
+        merged = partial
+    _rewrite_in_place(
+        merged, out_path,
+        extra_files={"_last_batch": f"{token}:{batch_id}"},
     )
 
 
@@ -392,12 +480,13 @@ def streaming_near_dup_dedup(
     num_hashes: int = 8,
     num_bands: int = 4,
     shingle_k: int = 3,
+    store_partitions: int = 64,
 ):
     """Cross-batch NEAR-duplicate dedup — accept-on-first-sight MinHash
     LSH over a continuously ingested corpus: each micro-batch drops
     documents that near-duplicate an already-ACCEPTED document (from
     the persistent signature store) or a smaller-id document in the
-    same batch, appends the survivors' rows to ``out_path`` and their
+    same batch, writes the survivors' rows to ``out_path`` and their
     signatures to the store.  The streaming member of the dedup family:
     ``streaming_dedup`` is its exact-key sibling; this one catches the
     boilerplate-shifted and lightly-edited copies exact keys miss.
@@ -411,132 +500,55 @@ def streaming_near_dup_dedup(
     signature and always survive (near_dup_pairs' documented
     exclusion).
 
-    Scale shape per batch: ONE signature pass over the batch
-    (_minhash_table's explode->aggregate), band equi-joins batch-vs-
-    batch and batch-vs-store (never all-pairs), exact-Jaccard verify
-    against stored shingle sets.  The store is bucketed by band at
-    production scale (write partitioned by band_key prefix) so the
-    cross join prunes to matching buckets; its growth is one signature
-    row per ACCEPTED doc — the deduped corpus, not the raw stream —
-    and the one-file-per-batch append fragmentation is housekept with
-    ``sources/files.py compact_parquet`` between stream restarts.
+    Store layout (the 100 TB shape): one row per ACCEPTED doc per LSH
+    band — (band_key, doc shingles) — written as parquet PARTITIONED BY
+    ``band_bucket`` (``xxhash64(band_key) mod store_partitions``) so
+    the per-batch cross-batch screen reads ONLY the partitions that can
+    contain the batch's band keys: the batch's bucket set is collected
+    driver-side (bounded by ``store_partitions`` — metadata-sized, the
+    ``ivf_topk_indexed`` probe pattern) and the scan carries
+    ``band_bucket IN (...)`` as PartitionFilters (plan-pinned in
+    tests).  A hash bucket, not a raw band-key prefix, because raw
+    minhash-value prefixes have unbounded cardinality and skew.  The
+    store grows by ``num_bands`` rows per accepted doc — the DEDUPED
+    corpus, not the raw stream — and the one-file-per-batch
+    fragmentation is housekept with ``sources/files.py
+    compact_parquet`` between stream restarts.
+
+    Replay safety: every write is keyed by a ``_commit_id`` partition
+    (checkpoint token + batch id) and uses dynamic partition overwrite,
+    and the store read EXCLUDES the current commit id — so a batch
+    replayed after a crash between the appends and the checkpoint
+    commit recomputes the identical drop set (its own half-committed
+    rows are invisible to it) and rewrites exactly its own partitions:
+    a no-op, not a duplication.
+
     Batch-split sensitivity is inherent to streaming greedy dedup (a
     doc dropped intra-batch never enters the store, so A~B, B~C chains
     can resolve differently under different splits); with deterministic
     batches the result is exactly reproducible, which is what the
-    oracle entry pins.  Restart caveat (same as incremental_silver /
-    the rollup upsert): a crash between the survivor append and the
-    checkpoint commit replays the batch, appending its survivors
-    twice — a table format with transactional MERGE keyed on batch_id
-    is the production hardening.  Returns the started
+    oracle entry pins.  Scale shape per batch: ONE signature pass over
+    the batch (_minhash_table's explode->aggregate), band equi-joins
+    batch-vs-batch and batch-vs-pruned-store (never all-pairs), exact
+    Jaccard verify against stored shingle sets.  Returns the started
     StreamingQuery."""
-    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
-        _minhash_table,
-        band_keys_expr,
-        jaccard_expr,
-    )
-
-    rows_per_band = num_hashes // num_bands
+    token = _commit_token(checkpoint_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sig = _minhash_table(
-            batch_df, text_col, id_col, num_hashes, shingle_k
-        ).persist()
-        banded = sig.select(
-            F.col(id_col),
-            F.explode(
-                band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
-            ).alias("band_key"),
+        _near_dup_process_batch(
+            batch_df,
+            batch_id,
+            out_path=out_path,
+            store_path=store_path,
+            token=token,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            shingle_k=shingle_k,
+            store_partitions=store_partitions,
         )
-        # intra-batch: pairwise greedy, drop the higher id of each pair
-        cand = (
-            banded.select(F.col(id_col).alias("id_a"), "band_key")
-            .join(
-                banded.select(F.col(id_col).alias("id_b"), "band_key"),
-                "band_key",
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        sets = sig.select(id_col, "shingles")
-        dropped_intra = (
-            cand.join(
-                sets.select(
-                    F.col(id_col).alias("id_a"),
-                    F.col("shingles").alias("sh_a"),
-                ),
-                "id_a",
-            )
-            .join(
-                sets.select(
-                    F.col(id_col).alias("id_b"),
-                    F.col("shingles").alias("sh_b"),
-                ),
-                "id_b",
-            )
-            .where(
-                jaccard_expr(F.col("sh_a"), F.col("sh_b"))
-                >= F.lit(threshold)
-            )
-            .select(F.col("id_b").alias(id_col))
-        )
-        dropped = dropped_intra
-        # Engine-side existence probe, NOT os.path.exists: the store is
-        # written with plain appends (object-store compatible), and a
-        # driver-local check on a URI path (s3a://, even file://) returns
-        # False forever — every batch would silently skip the cross-batch
-        # screen and near-dups of ACCEPTED docs would stream through.
-        # Silent recall loss is the one failure mode a dedup gate must
-        # not have; read-and-catch asks the filesystem Spark writes to.
-        try:
-            store = spark.read.parquet(store_path)
-        except AnalysisException:  # first batch: no store yet
-            store = None
-        if store is not None:
-            store_banded = store.select(
-                F.col(id_col).alias("_sid"),
-                F.explode(
-                    band_keys_expr(
-                        F.col("minhash"), num_bands, rows_per_band
-                    )
-                ).alias("band_key"),
-            )
-            cross = (
-                banded.join(store_banded, "band_key")
-                .select(id_col, "_sid")
-                .dropDuplicates([id_col, "_sid"])
-                .join(sets, id_col)
-                .join(
-                    store.select(
-                        F.col(id_col).alias("_sid"),
-                        F.col("shingles").alias("sh_s"),
-                    ),
-                    "_sid",
-                )
-                .where(
-                    jaccard_expr(F.col("shingles"), F.col("sh_s"))
-                    >= F.lit(threshold)
-                )
-                .select(id_col)
-            )
-            dropped = dropped.unionByName(cross)
-        # Materialize the drop set BEFORE any write: its plan reads the
-        # store, and the store-append below must not race a pending
-        # store scan (file listings are snapshotted at DataFrame
-        # creation, but an eager boundary makes the ordering explicit
-        # rather than incidental).  The drop set is id-only.
-        dropped_ids = dropped.distinct().persist()
-        dropped_ids.count()
-        batch_df.join(dropped_ids, id_col, "left_anti").write.mode(
-            "append"
-        ).parquet(out_path)
-        sig.join(dropped_ids, id_col, "left_anti").write.mode(
-            "append"
-        ).parquet(store_path)
-        dropped_ids.unpersist()
-        sig.unpersist()
 
     return (
         raw_stream.writeStream.foreachBatch(_sink)
@@ -544,6 +556,237 @@ def streaming_near_dup_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dup_store_scan(
+    spark: SparkSession,
+    store_path: str,
+    buckets: list[int] | None = None,
+    exclude_commit: str | None = None,
+) -> DataFrame:
+    """Scan of the persistent near-dup signature store, pruned to the
+    band buckets that can match (``band_bucket IN (...)`` — a partition
+    filter, so unprobed directories are never listed or read) and
+    excluding a replaying batch's own half-committed partition.  Raises
+    loudly on a pre-partitioned legacy store (flat ``(doc_id, minhash,
+    shingles)`` rows) — reading it as absent would silently skip the
+    cross-batch screen; migrate with
+    :func:`migrate_legacy_near_dup_store`."""
+    store = spark.read.parquet(store_path)
+    required = {"band_key", "band_bucket", "_commit_id"}
+    if not required <= set(store.columns):
+        raise ValueError(
+            f"near-dup store at {store_path!r} has columns "
+            f"{sorted(store.columns)} but this reader needs "
+            f"{sorted(required)} (band-partitioned layout since round "
+            "11); run migrate_legacy_near_dup_store before resuming"
+        )
+    if exclude_commit is not None:
+        store = store.where(F.col("_commit_id") != F.lit(exclude_commit))
+    if buckets is not None:
+        store = store.where(
+            F.col("band_bucket").isin([int(b) for b in buckets])
+        )
+    return store
+
+
+def _near_dup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    out_path: str,
+    store_path: str,
+    token: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    store_partitions: int = 64,
+) -> None:
+    """One :func:`streaming_near_dup_dedup` micro-batch — module-level
+    so the replay contract (same batch twice == once) is directly
+    testable without killing a live stream."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _minhash_table,
+        band_keys_expr,
+        jaccard_expr,
+    )
+
+    spark = batch_df.sparkSession
+    commit_id = f"{token}-{batch_id}"
+    rows_per_band = num_hashes // num_bands
+    bucket_of = F.pmod(
+        F.xxhash64(F.col("band_key")), F.lit(int(store_partitions))
+    ).cast("int")
+    sig = _minhash_table(
+        batch_df, text_col, id_col, num_hashes, shingle_k
+    ).persist()
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    sets = sig.select(id_col, "shingles")
+    # intra-batch: pairwise greedy, drop the higher id of each pair
+    cand = (
+        banded.select(F.col(id_col).alias("id_a"), "band_key")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band_key"),
+            "band_key",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dropped = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "id_b",
+        )
+        .where(
+            jaccard_expr(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+    )
+    if _fs_exists(spark, store_path):
+        # The batch's bucket set: bounded by store_partitions, so this
+        # collect is metadata-sized whatever the batch size — the same
+        # driver-side probe-selection shape as ivf_topk_indexed.
+        buckets = sorted(
+            r[0]
+            for r in banded.select(bucket_of.alias("b"))
+            .distinct()
+            .collect()
+        )
+        store_banded = near_dup_store_scan(
+            spark, store_path, buckets, exclude_commit=commit_id
+        ).select(
+            F.col(id_col).alias("_sid"),
+            "band_key",
+            F.col("shingles").alias("sh_s"),
+        )
+        cross = (
+            banded.join(store_banded, "band_key")
+            # one row per (batch doc, stored doc) candidate; sh_s is a
+            # function of _sid, so keeping the first duplicate is exact
+            .dropDuplicates([id_col, "_sid"])
+            .join(sets, id_col)
+            .where(
+                jaccard_expr(F.col("shingles"), F.col("sh_s"))
+                >= F.lit(threshold)
+            )
+            .select(id_col)
+        )
+        dropped = dropped.unionByName(cross)
+    # Materialize the drop set BEFORE any write: its plan reads the
+    # store, and the store write below must not race a pending store
+    # scan (file listings are snapshotted at DataFrame creation, but an
+    # eager boundary makes the ordering explicit rather than
+    # incidental).  The drop set is id-only.
+    dropped_ids = dropped.distinct().persist()
+    dropped_ids.count()
+    (
+        batch_df.join(dropped_ids, id_col, "left_anti")
+        .withColumn("_commit_id", F.lit(commit_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_id")
+        .parquet(out_path)
+    )
+    (
+        banded.join(dropped_ids, id_col, "left_anti")
+        .join(sets, id_col)
+        .withColumn("band_bucket", bucket_of)
+        .withColumn("_commit_id", F.lit(commit_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band_bucket", "_commit_id")
+        .parquet(store_path)
+    )
+    dropped_ids.unpersist()
+    sig.unpersist()
+
+
+def migrate_legacy_near_dup_store(
+    spark: SparkSession,
+    store_path: str,
+    num_bands: int = 4,
+    num_hashes: int = 8,
+    store_partitions: int = 64,
+) -> int:
+    """One-shot migration of a pre-round-11 flat signature store
+    (``(doc_id, minhash, shingles)`` rows, appended unpartitioned) to
+    the band-partitioned layout :func:`near_dup_store_scan` reads —
+    the deliberate rewrite its error message points at.  Band keys are
+    recomputed from the stored minhash signatures (the same
+    ``band_keys_expr`` the writer used), so the migrated store is
+    band-for-band identical to one written natively; migrated rows
+    carry commit id ``legacy-0``.  Idempotent: an already-migrated
+    store is left untouched.  Returns the number of store rows after
+    migration.  Local-FS only (the swap uses ``os.replace``), like
+    :func:`migrate_legacy_rollup`."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        band_keys_expr,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    store_path = _local_path(store_path)
+    df = spark.read.parquet(store_path)
+    if "band_key" in df.columns:
+        return df.count()
+    if "minhash" not in df.columns:
+        raise ValueError(
+            f"store at {store_path!r} has columns {sorted(df.columns)}: "
+            "neither the band-partitioned nor the legacy flat layout"
+        )
+    rows_per_band = num_hashes // num_bands
+    id_col = [c for c in df.columns if c not in ("minhash", "shingles")][0]
+    migrated = (
+        df.select(
+            F.col(id_col),
+            "shingles",
+            F.explode(
+                band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
+            ).alias("band_key"),
+        )
+        .withColumn(
+            "band_bucket",
+            F.pmod(
+                F.xxhash64(F.col("band_key")), F.lit(int(store_partitions))
+            ).cast("int"),
+        )
+        .withColumn("_commit_id", F.lit("legacy-0"))
+    )
+    import shutil
+
+    tmp = store_path.rstrip("/") + "__migrate_tmp"
+    old = store_path.rstrip("/") + "__migrate_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        migrated.write.mode("overwrite")
+        .partitionBy("band_bucket", "_commit_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store_path, old)
+    os.replace(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(store_path).count()
 
 
 def migrate_legacy_rollup(spark: SparkSession, out_path: str) -> int:

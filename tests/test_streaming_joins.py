@@ -33,8 +33,12 @@ def test_incremental_silver_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
 
-    got = spark.read.parquet(str(tmp_path / "silver"))
+    full = spark.read.parquet(str(tmp_path / "silver"))
     batch = build_silver(spark.read.schema(RAW_SCHEMA).parquet(raw_dir))
+    # the replay-safety partition column rides along on read; data
+    # columns are the batch kernel's, byte-identical
+    assert full.columns == batch.columns + ["_commit_id"]
+    got = full.drop("_commit_id")
     assert got.columns == batch.columns == ["property_title", "zip", "hoa"]
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     # cleaning applied per micro-batch

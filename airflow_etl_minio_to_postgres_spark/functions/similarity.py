@@ -252,6 +252,83 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_batch(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve cosine top-k for a TABLE of queries from a
+    :func:`write_ivf_index` layout — the realistic eval/retrieval
+    workload (:func:`ivf_topk_indexed` is its single-vector sibling
+    for point lookups).
+
+    Shape at scale: probe cells are assigned ENGINE-side
+    (:func:`ivf_assign` over the query table — no per-query driver
+    round-trips), the UNION of all probe cells is collected driver-side
+    (bounded by n_cells, metadata-sized — the same probe-selection
+    collect as the single-query path) and drives ONE partition-pruned
+    corpus scan shared by every query; the (query id, probe cell,
+    query vector) side is then broadcast into the pruned corpus, so
+    each corpus row is scored only against the queries probing ITS
+    cell, and a per-query top-k window finishes.  The broadcast
+    presumes an eval-sized query set (thousands); a corpus-scale query
+    table would co-partition both sides by cell id instead of
+    broadcasting — a different operator (a cell-bucketed join), not a
+    bigger broadcast.
+
+    Consistency contract (pinned in tests): per-query results are
+    bit-identical to :func:`ivf_topk_indexed` run one query at a time
+    with the same (k, nprobe) — both sides rank probe cells by
+    (max cosine, then smallest cid) and results by (cosine desc, then
+    smallest id), and both compute the same sequential double fold
+    over the same array order.  ``exclude_self`` drops the corpus row
+    whose id equals the query id (queries drawn from the corpus).
+
+    Returns (query_id_col, id_col, cosine), k rows per query, ordered
+    within each query by (cosine desc, id).
+    """
+    probes = ivf_assign(
+        queries,
+        centroids,
+        query_id_col,
+        query_vec_col,
+        nprobe=nprobe,
+    )
+    cells = sorted(
+        r[0] for r in probes.select("cid").distinct().collect()
+    )
+    corpus = spark.read.parquet(path).where(F.col("cid").isin(cells))
+    qside = probes.join(
+        queries.select(query_id_col, query_vec_col), query_id_col
+    )
+    scored = corpus.join(F.broadcast(qside), "cid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
+        .orderBy(query_id_col, F.col("cosine").desc(), id_col)
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

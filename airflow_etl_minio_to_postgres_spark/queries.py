@@ -75,6 +75,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
     ivf_topk,
+    ivf_topk_batch,
     ivf_topk_indexed,
     kmeans_centroids,
     knn_join,
@@ -3228,6 +3229,87 @@ def emb_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivf_topk_indexed(
         spark, path, cents, qv, k=5, nprobe=1, exclude_id=0
+    )
+
+
+_COS_QV_CVEC_SQL = (
+    "list_sum(list_transform(range(0, len(qv)), i -> qv[i+1] * cvec[i+1]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
+)
+
+
+@register(
+    "emb_ivf_topk_batch",
+    f"""
+    WITH corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp WHERE vec_id < 3),
+    qsims AS (
+        SELECT qid, cid, {_COS_QV_CVEC_SQL} AS sim FROM qs, cent
+    ),
+    qassign AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM qsims
+        ) t WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT qs.qid, corp.vec_id, {_COS_VQ_SQL} AS cosine
+        FROM corp
+        JOIN assigned USING (vec_id)
+        JOIN qassign ON assigned.cid = qassign.cid
+        JOIN qs ON qs.qid = qassign.qid
+        WHERE corp.vec_id != qs.qid
+    )
+    SELECT qid, vec_id, cosine FROM (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 5
+    ORDER BY qid, cosine DESC, vec_id
+    """,
+)
+def emb_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-query IVF serving (functions/similarity.py
+    ivf_topk_batch): THREE query vectors served from the SAME
+    materialized index in one plan — probe cells assigned engine-side
+    over the query table (nprobe=2), the union of probe cells driving
+    ONE partition-pruned corpus scan, the (qid, cid, qvec) side
+    broadcast into it, and a per-query top-k window.  The realistic
+    eval/retrieval workload the single-vector ivf_topk_indexed entry
+    only point-checks; a pytest additionally pins per-query
+    bit-consistency against ivf_topk_indexed run one query at a
+    time."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_batch_")
+    path = os.path.join(base, "index")
+    write_ivf_index(e, cents, path)
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk_batch(
+        spark, path, cents, qs, k=5, nprobe=2, exclude_self=True
     )
 
 

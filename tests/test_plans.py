@@ -448,3 +448,53 @@ def test_ahash_hash_is_scan_stage_pairs_join_is_hash_join(spark):
     # no exchange keyed on the pair ids (the old dropDuplicates shape)
     assert "Exchange hashpartitioning [id_a" not in pplan.replace("#", " #")
     assert "Python" not in pplan
+
+
+def test_ivf_topk_batch_matches_per_query_indexed(spark, tmp_path):
+    """Batched-query IVF serving: (1) per-query results are
+    bit-identical to ivf_topk_indexed run one query at a time with the
+    same (k, nprobe) — engine-side probe assignment and driver-side
+    probe scoring must agree on cells AND ranking; (2) the one shared
+    corpus scan carries the UNION of all queries' probe cells as
+    PartitionFilters."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_batch,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    e = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "index")
+    write_ivf_index(e, cents, path)
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = ivf_topk_batch(
+        spark, path, cents, qs, k=5, nprobe=2, exclude_self=True
+    )
+    plan = _physical_plan(batch)
+    assert re.search(r"PartitionFilters: \[cid#\d+ IN \(", plan), plan
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    assert sorted(got) == [0, 1, 2]
+    for qid in sorted(got):
+        qv = [
+            float(x)
+            for x in e.where(F.col("vec_id") == qid)
+            .select("embedding")
+            .first()[0]
+        ]
+        single = ivf_topk_indexed(
+            spark, path, cents, qv, k=5, nprobe=2, exclude_id=qid
+        )
+        assert got[qid] == [
+            (r.vec_id, r.cosine) for r in single.collect()
+        ], f"qid={qid} diverges from the single-query path"

@@ -789,6 +789,70 @@ def migrate_legacy_near_dup_store(
     return spark.read.parquet(store_path).count()
 
 
+def compact_near_dup_store(
+    spark: SparkSession, store_path: str, compact_seq: int = 0
+) -> int:
+    """Housekeeping for the band-partitioned near-dup signature store:
+    merge the per-batch ``_commit_id`` partitions into ONE
+    ``compact-<seq>`` commit per band bucket, rewriting each bucket's
+    many per-batch files into (about) one — the standing fragmentation
+    of every streaming append sink (one file per batch per partition),
+    paid back as per-file open + footer costs on every cross-batch
+    screen.
+
+    MUST run only between CLEANLY-terminated stream runs: the store
+    read during a crash-replayed batch excludes that batch's own
+    ``_commit_id`` partition, and compaction folds every partition —
+    including a half-committed one — into the compact commit, where the
+    replaying batch would see its own first-attempt survivors and drop
+    everything as self-duplicates.  A crashed run must be restarted
+    (and allowed to finish, which makes the replay a no-op) BEFORE
+    compacting.  ``availableNow`` runs terminate cleanly by
+    construction, so the natural slot is between scheduled backfills.
+
+    Local-FS only (the swap uses ``os.replace``), like the other
+    in-place migrations.  Idempotent in content: re-compacting a
+    compacted store rewrites the same rows.  Returns the store row
+    count."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    store_path = _local_path(store_path)
+    df = spark.read.parquet(store_path)
+    required = {"band_key", "band_bucket", "_commit_id"}
+    if not required <= set(df.columns):
+        raise ValueError(
+            f"store at {store_path!r} is not the band-partitioned layout "
+            "(run migrate_legacy_near_dup_store first)"
+        )
+    data_cols = [
+        c for c in df.columns if c not in ("band_bucket", "_commit_id")
+    ]
+    compacted = (
+        df.select(*data_cols, "band_bucket")
+        .withColumn("_commit_id", F.lit(f"compact-{int(compact_seq)}"))
+        # one shuffle keyed on the partition column -> one writer task
+        # (one file) per band bucket
+        .repartition("band_bucket")
+    )
+    import shutil
+
+    tmp = store_path.rstrip("/") + "__compact_tmp"
+    old = store_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("band_bucket", "_commit_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store_path, old)
+    os.replace(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(store_path).count()
+
+
 def migrate_legacy_rollup(spark: SparkSession, out_path: str) -> int:
     """One-shot migration of a pre-micro-unit rollup table (double
     ``sum_value``) to the exact bigint ``sum_value_micros`` storage

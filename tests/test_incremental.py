@@ -640,3 +640,72 @@ def test_near_dup_legacy_store_guard_and_migration(spark, tmp_path):
     assert [
         r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
     ] == [8]
+
+
+def test_compact_near_dup_store_preserves_screen_and_merges_files(
+    spark, tmp_path
+):
+    """Compaction folds the per-batch _commit_id partitions into one
+    compact commit per band bucket: logical content (doc_id, band_key)
+    is unchanged, the file count drops, and a follow-on batch still
+    drops near-dups of previously-accepted docs (the screen survives
+    the rewrite)."""
+    import glob as _glob
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_near_dup_store,
+    )
+
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    _near_dup_batch(spark, [(1, t)], 0, out, store)
+    _near_dup_batch(
+        spark, [(2, "completely different words about spark engines")],
+        1, out, store,
+    )
+    _near_dup_batch(
+        spark, [(3, "fresh unrelated training data documents here")],
+        2, out, store,
+    )
+
+    def content():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(store)
+                .select("doc_id", "band_key")
+                .collect(),
+            )
+        )
+
+    def n_files():
+        return len(
+            _glob.glob(os.path.join(store, "**", "*.parquet"),
+                       recursive=True)
+        )
+
+    before, files_before = content(), n_files()
+    n = compact_near_dup_store(spark, store)
+    assert n == len(before)
+    assert content() == before
+    assert n_files() < files_before
+    commits = {
+        r[0]
+        for r in spark.read.parquet(store)
+        .select("_commit_id")
+        .distinct()
+        .collect()
+    }
+    assert commits == {"compact-0"}
+
+    # the screen still works against compacted signatures
+    _near_dup_batch(
+        spark,
+        [(8, "brand new unrelated text entirely"), (9, t + " extra")],
+        3, out, store,
+    )
+    accepted = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert accepted == [1, 2, 3, 8]  # 9 near-dups compacted doc 1

@@ -88,6 +88,33 @@ def _code_names(code) -> list[str]:
     return names
 
 
+def _local_imports(f) -> list[tuple[str, list[str]]]:
+    """(module, [names]) pairs for ``from X import Y`` statements inside
+    ``f``'s body.  A function-LOCAL import binds a local variable, not a
+    module global, so the ``__globals__``-based closure walk never sees
+    it — found in round 11 when editing ``salted_band_sides`` failed to
+    bump the aHash entries that call it through exactly such an import.
+    Plain ``import X`` inside a function is not resolved (the package
+    convention is ``from ... import name``); module-level imports are
+    already covered by the globals walk."""
+    try:
+        src = textwrap.dedent(inspect.getsource(f))
+        tree = ast.parse(src)
+    except (OSError, SyntaxError, TypeError):
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            mod = node.module or ""
+            if node.level:  # relative import: anchor at f's package
+                parts = (getattr(f, "__module__", "") or "").split(".")
+                base = ".".join(parts[: max(len(parts) - node.level, 0)])
+                mod = f"{base}.{mod}" if mod else base
+            if mod:
+                out.append((mod, [a.name for a in node.names]))
+    return out
+
+
 def hash_parts(fn, oracle: str | None = None) -> list[str]:
     """The ordered component list ``query_code_hash`` digests.
 
@@ -123,8 +150,20 @@ def hash_parts(fn, oracle: str | None = None) -> list[str]:
         g = getattr(f, "__globals__", None)
         if code is None or g is None:
             continue  # classes: source captured above, methods not walked
-        for name in _code_names(code):
-            obj = g.get(name)
+        referenced = [(name, g.get(name)) for name in _code_names(code)]
+        for mod_name, names in _local_imports(f):
+            if mod_name.split(".")[0] != pkg:
+                continue
+            try:
+                import importlib
+
+                imported = importlib.import_module(mod_name)
+            except Exception:
+                continue
+            referenced.extend(
+                (n, getattr(imported, n, None)) for n in names
+            )
+        for name, obj in referenced:
             if obj is None:
                 continue
             mod = getattr(obj, "__module__", None)

@@ -267,3 +267,33 @@ def test_rotation_spill_sidecar_derivation(tmp_path, monkeypatch):
     assert data["spilled_due"] == [
         n for n in due if n not in set(order[:DRIVER_WINDOW])
     ]
+
+
+def test_query_code_hash_resolves_function_local_imports():
+    """Round-11 walker gap: 'from X import Y' INSIDE a function body
+    binds a local, invisible to the __globals__ walk — editing
+    salted_band_sides did not bump the aHash entries that call it
+    through exactly such an import, leaving them riding stale green
+    rows.  Pin that a local-import dependency's OWN source now
+    participates in the closure."""
+    from airflow_etl_minio_to_postgres_spark.functions import (
+        dedup,
+        multimodal,
+    )
+    from airflow_etl_minio_to_postgres_spark.rotation_hash import (
+        _local_imports,
+        _normalized_source,
+        hash_parts,
+    )
+
+    # ahash_near_dup_pairs imports salted_band_sides function-locally
+    mods = {m for m, _ in _local_imports(multimodal.ahash_near_dup_pairs)}
+    assert any("functions.dedup" in m for m in mods)
+
+    fn = registry._QUERIES["multimodal_ahash_near_dup_pairs_salted"]
+    parts = hash_parts(
+        fn, registry._ORACLES["multimodal_ahash_near_dup_pairs_salted"]
+    )
+    assert _normalized_source(dedup.salted_band_sides) in parts
+    # still no over-triggering: unrelated dedup functions stay out
+    assert _normalized_source(dedup.near_dup_pairs) not in parts

@@ -511,9 +511,20 @@ def streaming_near_dup_dedup(
     tests).  A hash bucket, not a raw band-key prefix, because raw
     minhash-value prefixes have unbounded cardinality and skew.  The
     store grows by ``num_bands`` rows per accepted doc — the DEDUPED
-    corpus, not the raw stream — and the one-file-per-batch
-    fragmentation is housekept with ``sources/files.py
-    compact_parquet`` between stream restarts.
+    corpus, not the raw stream — so it stores each survivor's shingle
+    set ``num_bands`` times: the deliberate price of co-locating the
+    exact-verify payload with the band row (the storage-lean
+    alternative — a separate unduplicated signature table joined by
+    stored-doc id — would make the verify step a full scan of that
+    table every batch, the exact cost this layout removes).  Per-batch
+    writes create ``store_partitions`` directories (one writer task
+    per bucket); :func:`compact_near_dup_store` folds the per-batch
+    files between cleanly-terminated runs.  ``store_partitions``
+    trades per-batch fixed overhead (directory listing + job commit,
+    ~2-3 s across a whole toy-scale run, amortized to noise at real
+    batch sizes) against read-pruning granularity and writer
+    parallelism at scale — size it like a bucket count, roughly
+    cluster-core order.
 
     Replay safety: every write is keyed by a ``_commit_id`` partition
     (checkpoint token + batch id) and uses dynamic partition overwrite,
@@ -711,6 +722,12 @@ def _near_dup_process_batch(
         .join(sets, id_col)
         .withColumn("band_bucket", bucket_of)
         .withColumn("_commit_id", F.lit(commit_id))
+        # One writer task per band bucket: without this shuffle every
+        # upstream task writes a sliver into every bucket directory —
+        # up to (shuffle partitions x store_partitions) tiny files PER
+        # BATCH (measured 2x the whole sink's wall-clock at sf0.1).
+        # The shuffled rows are the batch's accepted signatures only.
+        .repartition(int(store_partitions), "band_bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("band_bucket", "_commit_id")

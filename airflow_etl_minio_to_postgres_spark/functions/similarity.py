@@ -429,6 +429,76 @@ def hyperplane_band_keys_expr(
     return F.expr("array(" + ", ".join(keys) + ")")
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Cosine top-k for a CORPUS-SCALE query table — the cell-bucketed
+    join the :func:`ivf_topk_batch` docstring prescribes when the query
+    side outgrows a broadcast (e.g. joining two embedding corpora, or
+    serving a full eval suite against a training corpus).
+
+    Shape at scale: both sides take ONE narrow assignment pass against
+    the broadcast centroid table (corpus -> its primary cell, queries ->
+    their ``nprobe`` nearest cells), then meet in a SHUFFLE equi-join
+    keyed on cell id — each side exchanges once on ``cid``, scoring is
+    confined within cells (the IVF bound: candidate volume is
+    sum over cells of |queries probing c| x |corpus in c|, never
+    |queries| x |corpus|), and a per-query top-k window finishes.  No
+    broadcast of either data side; only the metadata-sized centroid
+    table ships.  Skewed (hot) cells are a centroid-quality problem —
+    train more cells (``kmeans_centroids``) rather than salting here,
+    because splitting a cell also shrinks every query's candidate set.
+
+    Consistency contract (pinned in tests): identical results to
+    :func:`ivf_topk_batch` over a :func:`write_ivf_index` of the same
+    corpus with the same (k, nprobe) — same assignment, same tie-breaks
+    ((max cosine, min cid) for probes; (cosine desc, min id) for
+    results) — and with ``nprobe == n_cells`` it provably recovers
+    per-query brute force.  Returns (query_id_col, id_col, cosine),
+    up to k rows per query, ordered within each query.
+    """
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    probe_cells = ivf_assign(
+        queries, centroids, query_id_col, query_vec_col, nprobe=nprobe
+    )
+    qside = probe_cells.join(
+        queries.select(query_id_col, query_vec_col), query_id_col
+    )
+    scored = (
+        corpus.join(corpus_cells, id_col)
+        .join(qside, "cid")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias(
+                "cosine"
+            ),
+        )
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
+        .orderBy(query_id_col, F.col("cosine").desc(), id_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -498,3 +498,69 @@ def test_ivf_topk_batch_matches_per_query_indexed(spark, tmp_path):
         assert got[qid] == [
             (r.vec_id, r.cosine) for r in single.collect()
         ], f"qid={qid} diverges from the single-query path"
+
+
+def test_ivf_knn_join_matches_batch_serving_and_brute_force(spark, tmp_path):
+    """The cell-bucketed corpus-scale form: (1) identical results to
+    ivf_topk_batch over a materialized index of the same corpus with
+    the same (k, nprobe); (2) probing ALL cells recovers per-query
+    brute force; (3) neither data side is broadcast — the join
+    exchanges both sides on cid (only the centroid table ships)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_knn_join,
+        ivf_topk_batch,
+        topk_cosine,
+        write_ivf_index,
+    )
+
+    e = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    joined = ivf_knn_join(
+        qs, e, cents, k=5, nprobe=2, exclude_self=True
+    )
+    path = str(tmp_path / "index")
+    write_ivf_index(e, cents, path)
+    served = ivf_topk_batch(
+        spark, path, cents, qs, k=5, nprobe=2, exclude_self=True
+    )
+    assert [tuple(r) for r in joined.collect()] == [
+        tuple(r) for r in served.collect()
+    ]
+
+    # nprobe == n_cells -> per-query brute force
+    full = ivf_knn_join(qs, e, cents, k=5, nprobe=8, exclude_self=True)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    for qid in (0, 1, 2):
+        brute = topk_cosine(e, query_id=qid, k=5)
+        assert got[qid] == [(r.vec_id, r.cosine) for r in brute.collect()]
+
+    # the scale contract: both data sides meet in a SHUFFLE join on
+    # cid; the only broadcasts are the explicitly-hinted centroid
+    # crossJoins inside ivf_assign.  Disable the auto-broadcast
+    # threshold so toy-scale AQE can't mask the shape the operator
+    # plans for.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pinned = ivf_knn_join(
+            qs, e, cents, k=5, nprobe=2, exclude_self=True
+        )
+        plan = _physical_plan(pinned)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # every BroadcastExchange in the plan is a centroid crossJoin
+        # (the explicit hint inside ivf_assign — rendered as a
+        # BroadcastNestedLoopJoin); the data sides never broadcast
+        assert plan.count("BroadcastExchange") == plan.count(
+            "BroadcastNestedLoopJoin"
+        ), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -481,6 +481,7 @@ def streaming_near_dup_dedup(
     num_bands: int = 4,
     shingle_k: int = 3,
     store_partitions: int = 64,
+    max_bucket_size: int | None = None,
 ):
     """Cross-batch NEAR-duplicate dedup — accept-on-first-sight MinHash
     LSH over a continuously ingested corpus: each micro-batch drops
@@ -559,6 +560,7 @@ def streaming_near_dup_dedup(
             num_bands=num_bands,
             shingle_k=shingle_k,
             store_partitions=store_partitions,
+            max_bucket_size=max_bucket_size,
         )
 
     return (
@@ -615,14 +617,29 @@ def _near_dup_process_batch(
     num_bands: int = 4,
     shingle_k: int = 3,
     store_partitions: int = 64,
+    max_bucket_size: int | None = None,
 ) -> None:
     """One :func:`streaming_near_dup_dedup` micro-batch — module-level
     so the replay contract (same batch twice == once) is directly
-    testable without killing a live stream."""
+    testable without killing a live stream.
+
+    ``max_bucket_size`` wires the dedup family's shared hot-bucket
+    salting (``functions/dedup.py salted_band_sides`` — exact by
+    construction) into the INTRA-batch candidate self-join: low-entropy
+    batches (shared boilerplate) concentrate whole bands into hot
+    buckets whose m^2 pairwise comparisons land on single tasks
+    (measured: a 50k-doc boilerplate-heavy batch spends its wall-clock
+    almost entirely there).  None = unsalted, the zero-overhead
+    default, same posture as the batch operators.  The batch-vs-STORE
+    join is two-frame (salting it needs the left-salt/right-replicate
+    split across different frames — the queued r12 generalization);
+    its per-bucket cost is batch x store-bucket, linear in the batch,
+    not quadratic."""
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         _minhash_table,
         band_keys_expr,
         jaccard_expr,
+        salted_band_sides,
     )
 
     spark = batch_df.sparkSession
@@ -642,11 +659,14 @@ def _near_dup_process_batch(
     )
     sets = sig.select(id_col, "shingles")
     # intra-batch: pairwise greedy, drop the higher id of each pair
+    a_fan, b_fan, join_keys = salted_band_sides(
+        banded, id_col, "band_key", max_bucket_size
+    )
     cand = (
-        banded.select(F.col(id_col).alias("id_a"), "band_key")
+        a_fan.select(F.col(id_col).alias("id_a"), *join_keys)
         .join(
-            banded.select(F.col(id_col).alias("id_b"), "band_key"),
-            "band_key",
+            b_fan.select(F.col(id_col).alias("id_b"), *join_keys),
+            join_keys,
         )
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")

@@ -709,3 +709,34 @@ def test_compact_near_dup_store_preserves_screen_and_merges_files(
         for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert accepted == [1, 2, 3, 8]  # 9 near-dups compacted doc 1
+
+
+def test_near_dup_batch_salting_is_bit_identical(spark, tmp_path):
+    """max_bucket_size wires the shared hot-bucket salting into the
+    intra-batch candidate join: on a boilerplate-heavy batch (hot band
+    buckets by construction) the salted run must accept exactly the
+    same documents and write exactly the same store as the unsalted
+    one."""
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _near_dup_process_batch,
+    )
+
+    rows = [
+        (i, f"shared boilerplate header text common to all docs body {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    results = {}
+    for label, cap in (("plain", None), ("salted", 4)):
+        out = str(tmp_path / f"out_{label}")
+        store = str(tmp_path / f"store_{label}")
+        _near_dup_process_batch(
+            df, 0, out_path=out, store_path=store, token="tok",
+            max_bucket_size=cap,
+        )
+        results[label] = (
+            _snapshot(spark, out, ["doc_id"]),
+            _snapshot(spark, store, ["doc_id", "band_key"]),
+        )
+    assert results["plain"] == results["salted"]
+    assert len(results["plain"][0]) > 0

@@ -926,6 +926,79 @@ def salted_band_sides(
     return a_fan, b_fan, [key, "_salt"]
 
 
+def salted_join_sides(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    key: str = "band_key",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Two-frame generalization of :func:`salted_band_sides`: join
+    sides for ``left JOIN right ON key`` with hot key buckets split
+    across salted sub-groups — the skew mechanism for banded joins
+    whose sides are DIFFERENT frames (a micro-batch vs a persistent
+    signature store; a query fan-out vs a corpus fan-out).
+
+    A bucket shared by ``l`` left rows and ``r`` right rows does
+    ``l * r`` comparisons in ONE hash-join group.  With
+    ``max_bucket_size`` set, buckets where ``max(l, r) > cap`` are
+    split: the LEFT side is salted into ``min(ceil(max(l, r)/cap), l)``
+    sub-groups by ``pmod(xxhash64(left_id), n_salt)`` and the RIGHT
+    side is replicated into every sub-group — per-task work drops to
+    ``~cap * min(l, r)`` and the hot bucket spreads over ``n_salt``
+    tasks.  EXACT: every (left row, right row) pair of a bucket meets
+    in exactly one sub-group (the left row's), so downstream
+    dropDuplicates / first-match logic behaves identically and results
+    are bit-identical to the unsalted join.
+
+    The hot directory is built from BOTH sides' bucket counts (two
+    map-side-combined aggregates over the fan-outs, inner-joined —
+    only keys present on both sides can produce pairs) and broadcast.
+    Replication cost is ``r * n_salt`` rows per hot bucket — the
+    exact-recall price, same trade as the self-join form.  ``None``
+    returns both fans untouched with the bare key — the zero-overhead
+    default.
+    """
+    if max_bucket_size is None:
+        return left, right, [key]
+    cap = int(max_bucket_size)
+    if cap < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    left = _persist_tracked(left)
+    right = _persist_tracked(right)
+    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("_lc"))
+    rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("_rc"))
+    hot = (
+        lc.join(rc, key)
+        .where(F.greatest(F.col("_lc"), F.col("_rc")) > cap)
+        .select(
+            key,
+            F.least(
+                F.ceil(
+                    F.greatest(F.col("_lc"), F.col("_rc")) / F.lit(cap)
+                ),
+                F.col("_lc"),
+            ).cast("int").alias("_ns"),
+        )
+    )
+    l_out = (
+        left.join(F.broadcast(hot), key, "left")
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(left_id)), F.col("_ns")).cast("int"),
+        )
+        .drop("_ns")
+    )
+    r_out = (
+        right.join(F.broadcast(hot), key, "left")
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)))
+        .drop("_ns")
+    )
+    return l_out, r_out, [key, "_salt"]
+
+
 # ---------------------------------------------------------------------------
 # SimHash (60-bit, expression-only)
 # ---------------------------------------------------------------------------

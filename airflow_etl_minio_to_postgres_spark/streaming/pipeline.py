@@ -631,15 +631,15 @@ def _near_dup_process_batch(
     (measured: a 50k-doc boilerplate-heavy batch spends its wall-clock
     almost entirely there).  None = unsalted, the zero-overhead
     default, same posture as the batch operators.  The batch-vs-STORE
-    join is two-frame (salting it needs the left-salt/right-replicate
-    split across different frames — the queued r12 generalization);
-    its per-bucket cost is batch x store-bucket, linear in the batch,
-    not quadratic."""
+    join gets the two-frame form (``salted_join_sides``: batch side
+    salted, store side replicated into the sub-groups) under the same
+    knob."""
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         _minhash_table,
         band_keys_expr,
         jaccard_expr,
         salted_band_sides,
+        salted_join_sides,
     )
 
     spark = batch_df.sparkSession
@@ -709,8 +709,16 @@ def _near_dup_process_batch(
             "band_key",
             F.col("shingles").alias("sh_s"),
         )
+        # two-frame salting: a hot band bucket shared by l batch rows
+        # and r store rows does l*r comparisons on one task; with
+        # max_bucket_size set the batch side salts, the store side
+        # replicates — exact by construction, same mechanism as the
+        # intra-batch join above
+        l_fan, r_fan, cross_keys = salted_join_sides(
+            banded, store_banded, id_col, "band_key", max_bucket_size
+        )
         cross = (
-            banded.join(store_banded, "band_key")
+            l_fan.join(r_fan, cross_keys)
             # one row per (batch doc, stored doc) candidate; sh_s is a
             # function of _sid, so keeping the first duplicate is exact
             .dropDuplicates([id_col, "_sid"])

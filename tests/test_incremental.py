@@ -712,31 +712,48 @@ def test_compact_near_dup_store_preserves_screen_and_merges_files(
 
 
 def test_near_dup_batch_salting_is_bit_identical(spark, tmp_path):
-    """max_bucket_size wires the shared hot-bucket salting into the
-    intra-batch candidate join: on a boilerplate-heavy batch (hot band
-    buckets by construction) the salted run must accept exactly the
-    same documents and write exactly the same store as the unsalted
-    one."""
+    """max_bucket_size wires the shared hot-bucket salting into BOTH
+    candidate joins — the intra-batch self-join (salted_band_sides)
+    and the batch-vs-store two-frame join (salted_join_sides): on a
+    boilerplate-heavy corpus (hot band buckets by construction) the
+    salted run must accept exactly the same documents and write
+    exactly the same store as the unsalted one, across BOTH batches."""
     from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
         _near_dup_process_batch,
     )
 
-    rows = [
-        (i, f"shared boilerplate header text common to all docs body {i}")
-        for i in range(60)
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b0 = spark.createDataFrame(
+        [
+            (i, f"shared boilerplate header text common to all docs body {i}")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    # batch 1 shares the boilerplate, so the batch-vs-store join sees
+    # the same hot buckets the intra-batch join did
+    b1 = spark.createDataFrame(
+        [
+            (100 + i, f"shared boilerplate header text common to all docs body {i}")
+            for i in range(30)
+        ]
+        + [(500, "an entirely different fresh document with new words")],
+        "doc_id long, text string",
+    )
     results = {}
     for label, cap in (("plain", None), ("salted", 4)):
         out = str(tmp_path / f"out_{label}")
         store = str(tmp_path / f"store_{label}")
-        _near_dup_process_batch(
-            df, 0, out_path=out, store_path=store, token="tok",
-            max_bucket_size=cap,
-        )
+        for bid, df in ((0, b0), (1, b1)):
+            _near_dup_process_batch(
+                df, bid, out_path=out, store_path=store, token="tok",
+                max_bucket_size=cap,
+            )
         results[label] = (
             _snapshot(spark, out, ["doc_id"]),
             _snapshot(spark, store, ["doc_id", "band_key"]),
         )
     assert results["plain"] == results["salted"]
     assert len(results["plain"][0]) > 0
+    # the fresh doc survived; batch-1 near-dups of stored docs dropped
+    out_ids = {t[0] for t in results["plain"][0]}
+    assert 500 in out_ids and not any(100 <= i < 130 for i in out_ids)

@@ -834,6 +834,80 @@ def migrate_legacy_near_dup_store(
     return spark.read.parquet(store_path).count()
 
 
+def streaming_ivf_index_upsert(
+    raw_stream: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuously maintain a :func:`...functions.similarity.write_ivf_index`
+    serving layout from a stream of embeddings — the ANN-index face of
+    the continuous-aggregate pattern: new vectors land in their cell
+    partitions as they arrive, and :func:`ivf_topk_indexed` /
+    :func:`ivf_topk_batch` serve from the same path with the same
+    partition-pruned scans, no rebuild.
+
+    Per batch: ONE assignment pass against the broadcast centroid
+    table (``ivf_assign`` — the index's cell contract, identical
+    tie-breaks to the batch builder), one shuffle keyed on the cell id
+    so each cell gets about one file per batch, one
+    dynamic-partition-overwrite write into ``cid=<c>/_commit_id=<k>``
+    directories.  Crash-replay safe by the shared commit-id mechanism:
+    a replayed batch rewrites exactly its own ``(cid, _commit_id)``
+    partitions.  Centroids are FROZEN for the life of the stream —
+    reassigning cells would move existing vectors, which an append-only
+    maintainer must not do; retrain + rebuild (``write_ivf_index``) is
+    the deliberate operation for centroid drift, exactly like the
+    rollup's legacy migration.  Per-cell file fragmentation grows one
+    file per batch; fold with ``sources/files.py compact_parquet`` per
+    cell directory (or rebuild) between cleanly-terminated runs.
+    Returns the started StreamingQuery."""
+    token = _commit_token(checkpoint_path)
+    cents = centroids.select("cid", "cvec")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _ivf_index_process_batch(
+            batch_df, batch_id, index_path, token, cents, id_col, vec_col
+        )
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ivf_index_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    token: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One :func:`streaming_ivf_index_upsert` micro-batch — module-level
+    so the replay contract (same batch twice == once) is directly
+    testable, like the other foreachBatch sinks."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(batch_df, centroids, id_col, vec_col)
+    (
+        batch_df.join(assigned, id_col)
+        .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
+        .repartition("cid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "_commit_id")
+        .parquet(index_path)
+    )
+
+
 def compact_near_dup_store(
     spark: SparkSession, store_path: str, compact_seq: int = 0
 ) -> int:

@@ -757,3 +757,73 @@ def test_near_dup_batch_salting_is_bit_identical(spark, tmp_path):
     # the fresh doc survived; batch-1 near-dups of stored docs dropped
     out_ids = {t[0] for t in results["plain"][0]}
     assert 500 in out_ids and not any(100 <= i < 130 for i in out_ids)
+
+
+def test_streaming_ivf_index_upsert_serves_like_batch_build(spark, tmp_path):
+    """The streamed index must be serving-equivalent to a one-shot
+    write_ivf_index over the same vectors: identical ivf_topk_indexed
+    results (same probe pruning, same tie-breaks), and a crash-replayed
+    batch rewrites its own partitions (no duplicate vectors)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        streaming_ivf_index_upsert,
+    )
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    landing = str(tmp_path / "landing")
+    streamed = str(tmp_path / "streamed")
+    built = str(tmp_path / "built")
+    ckpt = str(tmp_path / "ckpt")
+
+    half = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    schema = e.schema
+
+    def run_batch():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_ivf_index_upsert(s, cents, streamed, ckpt)
+        q.awaitTermination()
+
+    half.write.mode("append").parquet(landing)
+    run_batch()
+    rest.write.mode("append").parquet(landing)
+    run_batch()
+
+    n = e.count()
+    got = spark.read.parquet(streamed)
+    assert got.count() == n
+    assert got.select("vec_id").distinct().count() == n
+
+    write_ivf_index(e, cents, built)
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    a = ivf_topk_indexed(spark, streamed, cents, qv, k=5, nprobe=2, exclude_id=7)
+    b = ivf_topk_indexed(spark, built, cents, qv, k=5, nprobe=2, exclude_id=7)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+    # crash replay of the last batch: re-invoking the batch processor
+    # with the same (batch, id, token) must rewrite its own partitions,
+    # not duplicate vectors
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _commit_token,
+        _ivf_index_process_batch,
+    )
+
+    _ivf_index_process_batch(
+        rest, 1, streamed, _commit_token(ckpt), cents
+    )
+    assert spark.read.parquet(streamed).count() == n
+    assert (
+        spark.read.parquet(streamed).select("vec_id").distinct().count()
+        == n
+    )

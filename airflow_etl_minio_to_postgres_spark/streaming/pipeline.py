@@ -763,6 +763,15 @@ def _near_dup_process_batch(
     )
     dropped_ids.unpersist()
     sig.unpersist()
+    if max_bucket_size is not None:
+        # the salting helpers persist their fan-outs via the family's
+        # tracked-cache list; a long-running stream would accumulate
+        # one set per micro-batch — free them with the batch
+        from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+            release_caches,
+        )
+
+        release_caches()
 
 
 def migrate_legacy_near_dup_store(

@@ -472,6 +472,49 @@ def rate_sample(
     return df.where(hash_uniform_expr(id_col, salt) < rate)
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test split assignment: each row
+    gets the split whose cumulative-weight interval contains its
+    :func:`hash_uniform_expr` draw.  The last pipeline stage before a
+    training run, with the property that stage actually needs:
+    membership is an idempotent FUNCTION of (id, salt) — the same doc
+    lands in the same split on any cluster layout, any engine, any
+    rerun, and adding documents later never moves existing ones across
+    splits (no global shuffle, no RNG state, no ordering dependence).
+
+    ``weights`` maps split name -> positive weight (normalized
+    internally; iteration order fixes the interval order, so pass an
+    ordered dict — plain dicts preserve insertion order).  Scale shape:
+    ONE narrow expression over the scan — a chained CASE on the hash
+    fraction — no shuffle, no join; Catalyst pushes any downstream
+    per-split filter into the scan like any other predicate.
+    """
+    if not weights:
+        raise ValueError("assign_splits: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("assign_splits: weights must be positive")
+    total = float(sum(weights.values()))
+    draw = hash_uniform_expr(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(draw < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            draw < F.lit(acc), F.lit(name)
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "source",

@@ -119,3 +119,46 @@ def test_unigram_logprob_skew_safe_path_identical(spark):
         for r in unigram_logprob(docs, skew_safe=True).collect()
     }
     assert base == safe  # window path == groupBy+join path, exactly
+
+
+def test_assign_splits_deterministic_disjoint_and_stable(spark):
+    """assign_splits: every row gets exactly one split; proportions
+    track the weights; assignment is a pure function of (id, salt) —
+    identical across partition layouts AND unchanged for existing ids
+    when new rows arrive (the no-resplit property a training pipeline
+    needs); weight validation fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        assign_splits,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 8.0, "val": 1.0, "test": 1.0}
+    got = assign_splits(df, w).collect()
+    by_split = {}
+    for r in got:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == 2000
+    assert 0.7 < len(by_split["train"]) / 2000 < 0.9
+    assert 0.05 < len(by_split["val"]) / 2000 < 0.15
+
+    # partition-layout independence
+    re_got = {
+        r.doc_id: r.split
+        for r in assign_splits(df.repartition(13), w).collect()
+    }
+    assert re_got == {r.doc_id: r.split for r in got}
+
+    # growing the corpus never moves existing ids
+    bigger = spark.range(4000).select(F.col("id").alias("doc_id"))
+    grown = {r.doc_id: r.split for r in assign_splits(bigger, w).collect()}
+    for r in got:
+        assert grown[r.doc_id] == r.split
+
+    with pytest.raises(ValueError, match="positive"):
+        assign_splits(df, {"train": 1.0, "val": -1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_splits(df, {})

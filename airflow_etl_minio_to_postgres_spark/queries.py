@@ -74,6 +74,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
+    ivf_knn_join,
     ivf_topk,
     ivf_topk_batch,
     ivf_topk_indexed,
@@ -94,6 +95,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
     per_group_counts_pandas,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
+    assign_splits,
     chunk_text,
     redact_pii,
     fingerprint_expr,
@@ -117,10 +119,12 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     hourly_agg_stream,
     run_available_now,
     run_stateful_user_counts,
+    stream_embeddings,
     stream_events,
     stream_static_enrichment,
     stream_stream_attribution,
     streaming_dedup,
+    streaming_ivf_index_upsert,
     streaming_near_dup_dedup,
     streaming_rollup_upsert,
 )
@@ -3313,6 +3317,109 @@ def emb_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_ivf_knn_join",
+    f"""
+    WITH corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp WHERE vec_id % 7 = 0),
+    qsims AS (
+        SELECT qid, cid, {_COS_QV_CVEC_SQL} AS sim FROM qs, cent
+    ),
+    qassign AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM qsims
+        ) t WHERE rn = 1
+    ),
+    scored AS (
+        SELECT qs.qid, corp.vec_id, {_COS_VQ_SQL} AS cosine
+        FROM corp
+        JOIN assigned USING (vec_id)
+        JOIN qassign ON assigned.cid = qassign.cid
+        JOIN qs ON qs.qid = qassign.qid
+        WHERE corp.vec_id != qs.qid
+    )
+    SELECT qid, vec_id, cosine FROM (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 3
+    ORDER BY qid, cosine DESC, vec_id
+    """,
+)
+def emb_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale ANN k-NN join (functions/similarity.py ivf_knn_join):
+    a query TABLE too big to broadcast (every 7th corpus vector — ~15%
+    of the corpus, the two-corpora-joining regime) meets the corpus in
+    a SHUFFLE equi-join keyed on IVF cell id — both sides exchange once
+    on cid, scoring confined within cells, per-query top-3 window.  No
+    data side ships; only the metadata-sized centroid table does.  The
+    shuffle-join complement of emb_ivf_topk_batch's broadcast form
+    (which serves 3 queries at nprobe=2 from a materialized index); a
+    pytest additionally pins bit-equality between the two forms and
+    brute-force recovery at nprobe = n_cells."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_knn_join(qs, e, cents, k=3, nprobe=1, exclude_self=True)
+
+
+@register("emb_streaming_ivf_upsert", _IVF_TOPK_STUB_SQL)
+def emb_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN-index maintenance (streaming/pipeline.py
+    streaming_ivf_index_upsert): the embeddings table arrives as a
+    STREAM, each micro-batch lands in its cell partitions of the
+    write_ivf_index serving layout (one assignment pass against the
+    broadcast frozen centroids, crash-replay-safe `_commit_id`
+    partitions), and after the availableNow backfill the SAME
+    ivf_topk_indexed serving path reads the maintained index — checked
+    against the IDENTICAL oracle as the one-shot emb_ivf_topk /
+    emb_ivf_topk_indexed entries, so streamed maintenance is proven
+    serving-equivalent to a batch rebuild."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    base = tempfile.mkdtemp(prefix="stream_ivf_")
+    index = os.path.join(base, "index")
+    q = streaming_ivf_index_upsert(
+        stream_embeddings(spark, sf_dir),
+        cents,
+        index,
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk_indexed(
+        spark, index, cents, qv, k=5, nprobe=1, exclude_id=0
+    )
+
+
 # Embedding-cosine near-dup: plant perturbed copies (first component +0.05,
 # vec_id + 1000000) so bucketed near-duplicate pairs exist by construction.
 _EMB_PERTURBED_SQL = """
@@ -4721,6 +4828,46 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles), and the sha-uniform keep decision."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
     return temperature_mix(d, group_col="lang", alpha=0.7)
+
+
+# Cumulative-weight split thresholds computed with EXACTLY the running
+# float addition assign_splits performs (0.8, then 0.8 + 0.1 =
+# 0.9000000000000001) and embedded via repr — both engines compare the
+# sha-uniform draw against bit-identical doubles.
+_SPLIT_T1 = 8.0 / 10.0
+_SPLIT_T2 = _SPLIT_T1 + 1.0 / 10.0
+
+
+@register(
+    "docs_assign_splits",
+    f"""
+    SELECT doc_id,
+           CASE WHEN draw < {_SPLIT_T1!r} THEN 'train'
+                WHEN draw < {_SPLIT_T2!r} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT)::DOUBLE / 4294967296.0
+                   AS draw
+        FROM documents
+    ) t
+    """,
+)
+def docs_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (functions/text.py
+    assign_splits, weights 8/1/1): each doc's split is the
+    cumulative-weight interval containing its seedless sha-uniform draw
+    — an idempotent function of (id, salt), so membership survives any
+    cluster layout, rerun, or corpus growth (new docs never move old
+    ones across splits; pytest-pinned no-resplit-on-growth property).
+    Scale shape: ONE chained-CASE expression over the scan — no
+    shuffle, no join, and a downstream per-split filter pushes into the
+    scan like any other predicate."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    return assign_splits(
+        d, {"train": 8.0, "val": 1.0, "test": 1.0}, id_col="doc_id"
+    )
 
 
 @register(

@@ -91,6 +91,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restore_nanos_timestamps(raw, nanos)
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (schema declared —
+    a streaming scan must never infer).  The vector-ingest face of
+    :func:`stream_events`: feeds :func:`streaming_ivf_index_upsert` in
+    the registry entry so the continuously-maintained ANN index is
+    oracle-gated end to end."""
+    raw = (
+        spark.readStream.schema(raw_read_schema("embeddings"))
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    return raw
+
+
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation: (hour, event_type) ->
     count + sum(value).  The watermark bounds state; output schema is

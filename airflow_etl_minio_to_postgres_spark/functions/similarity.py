@@ -499,6 +499,45 @@ def ivf_knn_join(
     )
 
 
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against exact
+    ground truth: ``|approx ∩ exact| / least(|exact|, k)`` — the eval
+    metric that closes the ANN family's loop ("measure, don't guess"
+    applied to retrieval quality: nprobe/cell-count tuning is a recall
+    curve, not a feeling).  Both inputs are (query_id, id) result
+    tables — typically :func:`ivf_knn_join` at the serving nprobe vs
+    the same call at ``nprobe = n_cells`` (provably brute force), so
+    ground truth needs no separate implementation.
+
+    Scale shape: both sides are top-k results (≤ k rows per query —
+    result-sized, never corpus-sized); one equi-join on (query, id) and
+    two map-side-combined counts.  The division is small-integer /
+    small-integer, bit-identical on any engine.  Queries with no
+    approx rows (empty probe cells) correctly report 0.0 via the outer
+    join, not a dropped row."""
+    a = approx.select(query_id_col, id_col)
+    e = exact.select(query_id_col, id_col)
+    hits = (
+        a.join(e, [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    totals = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("_total"))
+    return totals.join(hits, query_id_col, "left").select(
+        query_id_col,
+        (
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("double")
+            / F.least(F.col("_total"), F.lit(int(k))).cast("double")
+        ).alias("recall"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -515,6 +515,43 @@ def assign_splits(
     return df.withColumn(split_col, out)
 
 
+def source_quality_gate(
+    df: DataFrame,
+    threshold: float = 0.44,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-level quality filtering — the RefinedWeb/C4 "drop bad
+    domains wholesale" stage: keep every document whose GROUP (domain,
+    source, crawl) clears a mean-quality threshold, because a
+    low-quality domain's individually-passable pages are still SEO spam
+    in aggregate.  The complement of the per-document
+    :func:`quality_score_expr` filter (docs_quality_threshold): that
+    judges pages, this judges publishers.
+
+    The gate DECISION is integer-exact: per-doc scores round to bigint
+    micro-units, the group sum is exact, and the comparison is
+    ``sum_micros >= threshold_micros * n`` — float accumulation order
+    can never flip a borderline group between engines, partition
+    layouts, or reruns (the stable_sum policy applied to a decision
+    rather than an emitted value).
+
+    Scale shape: one map-side-combined aggregate down to |groups| rows,
+    passing groups broadcast back as a LEFT SEMI join, the corpus
+    touched by one narrow filter — never shuffled."""
+    q_micros = F.round(
+        quality_score_expr(F.col(text_col)) * F.lit(1e6)
+    ).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.sum(q_micros).alias("_sq"), F.count(F.lit(1)).alias("_n")
+    )
+    t_micros = int(round(threshold * 1e6))
+    good = stats.where(
+        F.col("_sq") >= F.lit(t_micros) * F.col("_n")
+    ).select(group_col)
+    return df.join(F.broadcast(good), group_col, "left_semi")
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "source",

@@ -74,6 +74,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     ann_topk_sign_lsh,
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
+    ann_recall_at_k,
     ivf_knn_join,
     ivf_topk,
     ivf_topk_batch,
@@ -106,6 +107,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     quality_score_expr,
     rate_sample,
     repetition_signals,
+    source_quality_gate,
     stopword_ratio_expr,
     stratified_cap,
     temperature_mix,
@@ -136,6 +138,7 @@ from airflow_etl_minio_to_postgres_spark.sources.files import (
     write_csv,
     write_jsonl,
     write_orc,
+    zorder_value_sql,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2447,6 +2450,41 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_source_quality_gate",
+    f"""
+    WITH s AS (
+        SELECT source,
+               sum(CAST(round((least(1.0, greatest(0.0,
+                       0.5 * ({_stop_ratio_sql('en')})
+                     + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                     - 0.25 * ({_PUNCT_SQL})))) * 1000000) AS BIGINT)) AS sq,
+               count(*) AS n
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN s USING (source)
+    WHERE s.sq >= 440000 * s.n
+    """,
+)
+def docs_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering (functions/text.py
+    source_quality_gate, threshold 0.44): keep every document from a
+    SOURCE whose mean quality clears the bar — the RefinedWeb/C4 "drop
+    bad domains wholesale" stage, judging publishers where
+    docs_quality_threshold judges pages.  The decision is
+    integer-exact (micro-unit sums, ``sum >= threshold_micros * n``),
+    so a borderline source can never flip between engines or partition
+    layouts.  At 0.44 the gate genuinely gates on this corpus: 10-12 of
+    the 20 sources pass depending on SF.  One aggregate to 20 rows, the
+    passing set broadcast back as a LEFT SEMI join, the corpus never
+    shuffles."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    return source_quality_gate(d, threshold=0.44).select("doc_id", "source")
+
+
+@register(
     "docs_fingerprint",
     """
     SELECT doc_id,
@@ -3386,6 +3424,86 @@ def emb_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(qs, e, cents, k=3, nprobe=1, exclude_self=True)
 
 
+@register(
+    "emb_ann_recall_at_k",
+    f"""
+    WITH corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {_COS_VC_SQL} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp WHERE vec_id % 7 = 0),
+    qsims AS (
+        SELECT qid, cid, {_COS_QV_CVEC_SQL} AS sim FROM qs, cent
+    ),
+    qassign AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM qsims
+        ) t WHERE rn = 1
+    ),
+    approx AS (
+        SELECT qid, vec_id FROM (
+            SELECT qassign.qid, corp.vec_id,
+                   row_number() OVER (PARTITION BY qassign.qid
+                                      ORDER BY {_COS_VQ_SQL} DESC,
+                                               corp.vec_id) AS rn
+            FROM corp
+            JOIN assigned USING (vec_id)
+            JOIN qassign ON assigned.cid = qassign.cid
+            JOIN qs ON qs.qid = qassign.qid
+            WHERE corp.vec_id != qs.qid
+        ) t WHERE rn <= 5
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qs.qid, corp.vec_id,
+                   row_number() OVER (PARTITION BY qs.qid
+                                      ORDER BY {_COS_VQ_SQL} DESC,
+                                               corp.vec_id) AS rn
+            FROM corp, qs WHERE corp.vec_id != qs.qid
+        ) t WHERE rn <= 5
+    )
+    SELECT e.qid,
+           count(a.vec_id)::DOUBLE / least(count(*), 5)::DOUBLE AS recall
+    FROM exact e LEFT JOIN approx a USING (qid, vec_id)
+    GROUP BY e.qid
+    """,
+)
+def emb_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of nprobe=1 IVF serving vs exact ground truth
+    (functions/similarity.py ann_recall_at_k) — the eval metric that
+    closes the ANN family's loop: ground truth is the SAME ivf_knn_join
+    at nprobe = n_cells (provably brute force, pinned in test_plans),
+    so no second implementation; the metric join touches only the two
+    result tables (≤ k rows per query, never the corpus).  On this
+    corpus the per-query recall is genuinely < 1 for boundary queries —
+    the nprobe tuning signal the operator exists to measure."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = ivf_knn_join(qs, e, cents, k=5, nprobe=1, exclude_self=True)
+    exact = ivf_knn_join(qs, e, cents, k=5, nprobe=8, exclude_self=True)
+    return ann_recall_at_k(approx, exact, k=5)
+
+
 @register("emb_streaming_ivf_upsert", _IVF_TOPK_STUB_SQL)
 def emb_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous ANN-index maintenance (streaming/pipeline.py
@@ -4209,6 +4327,44 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# The Morton interleave text is generated ONCE and lands verbatim in both
+# the engine expression and the oracle SQL — identical curve by construction.
+_ZVAL_SQL = zorder_value_sql(["bu", "bh"], bits=10)
+
+
+@register(
+    "events_zorder_curve",
+    f"""
+    SELECT event_id, {_ZVAL_SQL} AS zval
+    FROM (
+        SELECT event_id, user_id % 1024 AS bu,
+               (epoch_us(ts) // 3600000000) % 1024 AS bh
+        FROM events
+    ) t
+    """,
+)
+def events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve value over the two predicate columns a
+    fact table is actually queried on — user and event hour
+    (sources/files.py zorder_value_sql / write_zorder_parquet): the
+    multi-column data-skipping layout's ordering key, computed as ONE
+    narrow bit-interleave expression in the scan stage (no shuffle
+    here; the layout sink adds exactly one range exchange on this
+    value).  The SQL text is generated once and shared VERBATIM with
+    the oracle — both engines parse the same >>/& integer operators, so
+    the curve is identical by construction.  A pytest additionally pins
+    the layout property the curve exists for: files written in zval
+    order carry tight per-file min/max ranges on BOTH dimensions, where
+    a single-column sort leaves the other dimension's range at the full
+    domain (zero pruning)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("bu"),
+        (F.expr("unix_micros(ts) div 3600000000") % 1024).alias("bh"),
+    )
+    return ev.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
 
 
 @register(

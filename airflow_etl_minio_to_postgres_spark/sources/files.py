@@ -333,6 +333,74 @@ def write_sorted_parquet(
     return path
 
 
+def zorder_value_sql(cols: list[str], bits: int = 10) -> str:
+    """Morton (Z-order) curve value over ``cols`` as ONE SQL text —
+    interleave bit ``i`` of column ``j`` into position ``i*len(cols)+j``
+    of the output.  Generated once and shared VERBATIM between the
+    engine (``F.expr``) and the DuckDB oracle (both engines parse the
+    same ``>>``/``&`` integer operators), so the curve value is
+    identical by construction — the determinism policy every layout
+    operator in this repo follows.
+
+    Inputs must be NON-NEGATIVE integers already bucketed into
+    ``[0, 2**bits)``: the curve reads only the low ``bits`` bits, so an
+    out-of-range value aliases onto an unrelated curve position and
+    breaks locality (bucket upstream with ``%`` or a range rank).
+    ``bits * len(cols)`` must stay < 63 to fit the bigint."""
+    if not cols:
+        raise ValueError("zorder_value_sql: cols must be non-empty")
+    if bits * len(cols) >= 63:
+        raise ValueError("zorder_value_sql: bits*len(cols) must fit a bigint")
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            shift = i * len(cols) + j
+            terms.append(f"((({c}) >> {i}) & 1) * {1 << shift}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    zorder_cols: list[str],
+    path: str,
+    bits: int = 10,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> str:
+    """Z-order clustered parquet sink — the MULTI-column data-skipping
+    layout (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` pattern on plain
+    parquet).  :func:`write_sorted_parquet` makes ONE column's min/max
+    statistics tight; a 100 TB fact table is queried on several
+    (user AND time, tenant AND key), and a single-column sort leaves
+    every other column's per-file range at the full domain — zero
+    pruning.  Interleaving the columns' bits onto one space-filling
+    curve gives every output file a small HYPER-RECTANGLE of the value
+    space instead of a slab: each file's min/max stats are tight on
+    EVERY interleaved column at once, so a predicate on any of them
+    prunes files (at k files and 2 columns, per-file span shrinks
+    ~1/sqrt(k) per dimension vs 1/k on one and 1 on the other).
+
+    Same execution shape as the single-column sink: one range exchange
+    on the curve value (sampled boundaries keep files balanced even on
+    skewed curves), sort within partitions, the helper column dropped
+    before the write — the layout costs one shuffle, reads cost
+    nothing.  ``zorder_cols`` must be pre-bucketed non-negative ints
+    (see :func:`zorder_value_sql`)."""
+    z = F.expr(zorder_value_sql(zorder_cols, bits))
+    zdf = df.withColumn("_zval", z)
+    if n_files is not None:
+        ranged = zdf.repartitionByRange(n_files, F.col("_zval"))
+    else:
+        ranged = zdf.repartitionByRange(F.col("_zval"))
+    (
+        ranged.sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,

@@ -1047,3 +1047,81 @@ def test_semantic_dedup_trained_path_on_testdata(spark):
     assert len({r.vec_id for r in rows}) == n
     cids = {r.cid for r in cents.collect()}
     assert {r.cid for r in rows} <= cids
+
+
+def test_ann_recall_at_k_contract(spark):
+    """recall@k on hand-built result tables: exact fraction, queries with
+    NO approx rows (empty probe cell) report 0.0 — never a dropped row —
+    and extra approx rows beyond ground truth can't inflate past 1.0."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ann_recall_at_k,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "qid long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 hit; q2: 0 hits but rows exist; q3: absent entirely
+        [(1, 10), (1, 11), (1, 99), (2, 98), (2, 97)],
+        "qid long, vec_id long",
+    )
+    got = {r.qid: r.recall for r in ann_recall_at_k(approx, exact, k=3).collect()}
+    assert got == {1: 2 / 3, 2: 0.0, 3: 0.0}
+    # |exact| < k: denominator is least(|exact|, k), so full overlap is 1.0
+    got3 = {
+        r.qid: r.recall
+        for r in ann_recall_at_k(exact, exact, k=5).collect()
+    }
+    assert got3 == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_source_quality_gate_drops_whole_groups(spark):
+    """The gate judges PUBLISHERS: a low-quality source's individually
+    identical doc is dropped while the high-quality source's docs all
+    survive; the decision is group-level, never per-doc."""
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        source_quality_gate,
+    )
+
+    good = "the and is to of a in that it was the and is to of a in that"
+    bad = "#### !!!! $$$$ %%%% @@@@ ^^^^ &&&& **** (((( ))))"
+    df = spark.createDataFrame(
+        [
+            (1, "hi", good + " " + good),
+            (2, "hi", good),
+            (3, "lo", bad),
+            (4, "lo", good),  # one good page cannot rescue a bad source
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept = {r.doc_id for r in source_quality_gate(df, threshold=0.4).collect()}
+    assert kept == {1, 2}
+
+
+def test_zorder_value_sql_matches_python_interleave(spark):
+    """The generated Morton text equals a bit-for-bit Python reference
+    over a corner + random sample of the 2D domain."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        zorder_value_sql,
+    )
+    from pyspark.sql import functions as F
+
+    def morton(x: int, y: int, bits: int = 10) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (1023, 1023), (512, 1), (37, 911)]
+    pts += [((i * 131) % 1024, (i * 517) % 1024) for i in range(50)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", F.expr(zorder_value_sql(["x", "y"], 10)).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y), (x, y)

@@ -128,6 +128,56 @@ def test_write_sorted_parquet_stats_are_disjoint_and_ordered(spark, tmp_path):
     assert total == orders.count()
 
 
+def test_write_zorder_parquet_tightens_stats_on_both_dims(spark, tmp_path):
+    """The multi-column data-skipping claim, measured on the footers: a
+    Z-order layout over (x, y) gives every file a tight min/max range on
+    BOTH columns, where a single-column sort leaves the other column's
+    per-file range at the full domain (zero pruning).  Also: the helper
+    curve column never lands in the files and no row is lost."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        write_zorder_parquet,
+    )
+
+    # full 64x64 grid, one row per cell — deterministic, uniform
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+
+    def file_spans(path, col_idx):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            mins, maxs = [], []
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(col_idx).statistics
+                assert st is not None and st.has_min_max
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    zpath = str(tmp_path / "zordered")
+    write_zorder_parquet(grid, ["x", "y"], zpath, bits=6, n_files=16)
+    spath = str(tmp_path / "xsorted")
+    write_sorted_parquet(grid, spath, ["x"], n_files=16)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert sorted(back.columns) == ["x", "y"]  # _zval dropped
+
+    zx, zy = file_spans(zpath, 0), file_spans(zpath, 1)
+    assert len(zx) >= 8  # the range exchange actually split
+    # every file covers a hyper-rectangle: tight on BOTH dims (sampled
+    # range boundaries may straddle quadrants, hence <= 40, not 16)
+    assert sum(zx) / len(zx) <= 40 and sum(zy) / len(zy) <= 40, (zx, zy)
+    # the single-column sort's OTHER dim spans the whole domain
+    sy = file_spans(spath, 1)
+    assert sum(sy) / len(sy) >= 60, sy
+
+
 def test_observe_quality_rides_the_write_action(spark, tmp_path):
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         assert_min_rows,

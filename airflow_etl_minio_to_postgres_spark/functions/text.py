@@ -515,6 +515,107 @@ def assign_splits(
     return df.withColumn(split_col, out)
 
 
+def quantile_buckets_sampled(
+    df: DataFrame,
+    score: Column,
+    n_buckets: int = 10,
+    sample_rate: float = 0.2,
+    id_col: str = "doc_id",
+    salt: str = "qbuckets",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Quantile bucketing via SAMPLED cutpoints — the 100 TB form the
+    ``docs_quality_deciles`` docstring prescribes: ``ntile`` is a GLOBAL
+    sort of the corpus, so at scale the production shape is (1) estimate
+    the n-1 bucket cutpoints on a sample, (2) broadcast them back as a
+    lookup, (3) bucket every row with a narrow scan-stage expression —
+    trading exact bucket boundaries for a sort-free, shuffle-free plan.
+
+    Deterministic end to end: the sample is the seedless sha-uniform
+    draw (:func:`hash_uniform_expr` — same rows sampled on any layout,
+    rerun, or engine), cutpoints are EXACT percentiles of that sample
+    (both engines interpolate the same sorted multiset — the
+    ``docs_quality_threshold`` precedent), and bucket id is
+    ``1 + |{{cutpoints <= score}}|``.  ``sample_rate`` is the memory
+    knob: exact-percentile state is sample-sized, so at 100 TB pick the
+    rate that bounds the sample to ~1e6 rows (cutpoint error shrinks as
+    1/sqrt(sample), not with the corpus), never a fixed fraction.
+
+    Returns ``df`` plus ``bucket_col`` in ``1..n_buckets``."""
+    if n_buckets < 2:
+        raise ValueError("quantile_buckets_sampled: n_buckets must be >= 2")
+    scored = df.withColumn("_score", score)
+    sample = scored.where(
+        hash_uniform_expr(id_col, salt) < F.lit(float(sample_rate))
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sample.agg(
+        F.percentile(
+            F.col("_score"), F.array(*[F.lit(p) for p in probs])
+        ).alias("_cuts")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("_score") >= c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(bucket_col, bucket.cast("long"))
+        .drop("_score", "_cuts")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score: Column,
+    n_buckets: int = 10,
+    sample_rate: float = 0.2,
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Quality-curriculum training order: easy/clean data ordered before
+    (or after — the trainer picks the read direction) noisy data, the
+    curriculum-learning counterpart of the uniform
+    ``docs_training_order`` shuffle.  Each doc gets a quality BUCKET
+    (sampled-cutpoint quantiles — :func:`quantile_buckets_sampled`, no
+    global sort) and a deterministic sha-shuffled position WITHIN its
+    bucket, so (bucket, pos) is a resumable, exactly-replayable
+    coordinate exactly like training_order's (shard, pos): the trainer
+    consumes buckets in order, positions sequentially, and a restart
+    re-derives the identical order from the corpus alone.
+
+    Scale shape: bucket is a broadcast-lookup scan expression; the only
+    shuffle is one window per bucket partition (never a global total
+    order).  Distinct hash domains keep the cutpoint sample and the
+    intra-bucket order statistically independent.  At production scale
+    write partitioned-by-bucket with ``write_sorted_parquet`` on the
+    order key and the dataloader reads buckets sequentially."""
+    b = quantile_buckets_sampled(
+        df,
+        score,
+        n_buckets=n_buckets,
+        sample_rate=sample_rate,
+        id_col=id_col,
+        salt=f"{salt}-cuts",
+    )
+    order_key = F.substring(
+        F.sha2(
+            F.concat(
+                F.lit(f"{salt}-order:"), F.col(id_col).cast("string")
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(order_key, id_col)
+    return b.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 def source_quality_gate(
     df: DataFrame,
     threshold: float = 0.44,

@@ -98,6 +98,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     assign_splits,
     chunk_text,
+    curriculum_order,
     redact_pii,
     fingerprint_expr,
     lang_id_expr,
@@ -105,6 +106,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     punct_ratio_expr,
     pack_sequences,
     quality_score_expr,
+    quantile_buckets_sampled,
     rate_sample,
     repetition_signals,
     source_quality_gate,
@@ -2287,6 +2289,118 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.ntile(10).over(w).cast("long").alias("decile")
     )
+
+
+# Decile probabilities generated ONCE and repr-embedded on both sides so
+# each engine interpolates against bit-identical probability doubles.
+_QBUCKET_PROBS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "docs_quality_buckets_sampled",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               least(1.0, greatest(0.0,
+                   0.5 * ({_stop_ratio_sql('en')})
+                 + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                 - 0.25 * ({_PUNCT_SQL}))) AS score
+        FROM documents
+    ),
+    samp AS (
+        SELECT score FROM q
+        WHERE CAST(('0x' || substr(sha256('qbuckets:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT)::DOUBLE / 4294967296.0
+              < 0.2
+    ),
+    cuts AS (
+        SELECT quantile_cont(score,
+                             [{', '.join(repr(p) for p in _QBUCKET_PROBS)}])
+                   AS cs
+        FROM samp
+    )
+    SELECT q.doc_id,
+           CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c)) AS BIGINT)
+               AS bucket
+    FROM q CROSS JOIN cuts
+    """,
+)
+def docs_quality_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality bucketing WITHOUT the global sort (functions/text.py
+    quantile_buckets_sampled) — the production form the
+    docs_quality_deciles docstring prescribes for 100 TB: decile
+    cutpoints estimated as exact percentiles of a deterministic
+    sha-uniform 20% sample, broadcast back, every doc bucketed by a
+    narrow scan-stage expression (1 + count of cutpoints <= score).
+    ntile's plan is one range-partitioned GLOBAL sort of the corpus;
+    this plan is one sample-sized aggregate + a broadcast — no corpus
+    sort, no shuffle.  The oracle replays sample, interpolated
+    cutpoints, and bucket assignment; agreement proves both engines
+    interpolate the same sorted sample multiset bit-for-bit (the
+    docs_quality_threshold precedent, nine cutpoints at once)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return quantile_buckets_sampled(
+        d,
+        quality_score_expr(F.col("text")),
+        n_buckets=10,
+        sample_rate=0.2,
+        salt="qbuckets",
+    ).select("doc_id", "bucket")
+
+
+@register(
+    "docs_curriculum_order",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               least(1.0, greatest(0.0,
+                   0.5 * ({_stop_ratio_sql('en')})
+                 + 0.5 * least(1.0, len({_WORDS})::DOUBLE / 50.0)
+                 - 0.25 * ({_PUNCT_SQL}))) AS score
+        FROM documents
+    ),
+    samp AS (
+        SELECT score FROM q
+        WHERE CAST(('0x' || substr(sha256('curriculum-cuts:'
+                                          || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT)::DOUBLE / 4294967296.0
+              < 0.2
+    ),
+    cuts AS (
+        SELECT quantile_cont(score,
+                             [{', '.join(repr(p) for p in _QBUCKET_PROBS)}])
+                   AS cs
+        FROM samp
+    ),
+    b AS (
+        SELECT q.doc_id,
+               CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c))
+                    AS BIGINT) AS bucket
+        FROM q CROSS JOIN cuts
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY substr(sha256('curriculum-order:'
+                                      || CAST(doc_id AS VARCHAR)), 1, 16),
+                        doc_id) AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order (functions/text.py
+    curriculum_order): each doc gets a quality bucket from SAMPLED
+    decile cutpoints (no global sort) and a deterministic sha-shuffled
+    position within its bucket — (bucket, pos) is a resumable training
+    coordinate exactly like docs_training_order's (shard, pos), but
+    quality-majorized: the trainer reads buckets in order for a
+    clean-first (or noisy-first) curriculum.  The only shuffle is one
+    window per bucket partition; bucket assignment is a broadcast
+    lookup in the scan stage."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return curriculum_order(
+        d, quality_score_expr(F.col("text")), n_buckets=10, sample_rate=0.2
+    ).select("doc_id", "bucket", "pos")
 
 
 @register(

@@ -1125,3 +1125,52 @@ def test_zorder_value_sql_matches_python_interleave(spark):
     }
     for x, y in pts:
         assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_quantile_buckets_sampled_contract(spark):
+    """Buckets are monotone in the score, span 1..n_buckets on uniform
+    data, and stay roughly equal-sized (cutpoints from a 20% sample)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        quantile_buckets_sampled,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 1000.0).alias("s")
+    )
+    out = quantile_buckets_sampled(
+        df, F.col("s"), n_buckets=10, sample_rate=0.2
+    ).collect()
+    by_score = sorted(out, key=lambda r: r.s)
+    buckets = [r.bucket for r in by_score]
+    assert buckets == sorted(buckets)  # monotone in score
+    assert set(buckets) == set(range(1, 11))
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    assert max(sizes.values()) <= 3 * min(sizes.values())  # sample-rough
+
+
+def test_curriculum_order_positions_dense_and_deterministic(spark):
+    """(bucket, pos) is a dense, replayable training coordinate: pos is
+    1..|bucket| inside every bucket and two derivations agree exactly."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        curriculum_order,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 / 7.0).alias("s")
+    )
+    a = curriculum_order(df, F.col("s"), n_buckets=4).collect()
+    b = curriculum_order(df, F.col("s"), n_buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in a:
+        per_bucket[r.bucket].append(r.pos)
+    for bkt, ps in per_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), bkt

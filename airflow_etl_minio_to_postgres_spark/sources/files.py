@@ -359,6 +359,65 @@ def zorder_value_sql(cols: list[str], bits: int = 10) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def zorder_rank_buckets(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    sample_rate: float = 0.2,
+    prefix: str = "_zb_",
+) -> tuple[DataFrame, list[str]]:
+    """Map arbitrary ORDERABLE columns (doubles, timestamps cast to
+    epoch, skewed bigints) into ``[0, 2**bits)`` rank buckets — the
+    general-input front end of :func:`write_zorder_parquet`, which
+    needs pre-bucketed non-negative ints.  A raw ``%`` bucket destroys
+    locality on skewed or continuous domains; RANK buckets (quantile
+    cutpoints) give every bucket the same row mass, which is what makes
+    the interleaved curve's hyper-rectangles equal-sized.
+
+    Cutpoints are exact percentiles of a deterministic value-hash
+    sample (``xxhash64`` of the row's zorder columns — no id column
+    needed, identical sample on any layout/rerun), estimated for ALL
+    columns in ONE sample aggregate and broadcast back; each bucket id
+    is a narrow scan-stage lookup.  ``sample_rate`` bounds percentile
+    state exactly as in ``quantile_buckets_sampled`` — at 100 TB pick
+    the rate that bounds the sample, not a fixed fraction.
+
+    Returns ``(df + bucket columns, bucket column names)`` ready to
+    pass to :func:`write_zorder_parquet`."""
+    n_cuts = (1 << bits) - 1
+    probs = [(j + 1) / (1 << bits) for j in range(n_cuts)]
+    draw = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(2**32)).cast(
+            "double"
+        )
+        / F.lit(float(2**32))
+    )
+    sample = df.where(draw < F.lit(float(sample_rate)))
+    cuts = sample.agg(
+        *[
+            F.percentile(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+            ).alias(f"_cuts_{c}")
+            for c in cols
+        ]
+    )
+    out = df.crossJoin(F.broadcast(cuts))
+    names = []
+    for c in cols:
+        bucket = F.aggregate(
+            F.col(f"_cuts_{c}"),
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c).cast("double") >= cut, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        names.append(f"{prefix}{c}")
+        out = out.withColumn(f"{prefix}{c}", bucket.cast("long"))
+    return out.drop(*[f"_cuts_{c}" for c in cols]), names
+
+
 def write_zorder_parquet(
     df: DataFrame,
     zorder_cols: list[str],
@@ -366,6 +425,8 @@ def write_zorder_parquet(
     bits: int = 10,
     mode: str = "overwrite",
     n_files: int | None = None,
+    rank_bucket: bool = False,
+    sample_rate: float = 0.2,
 ) -> str:
     """Z-order clustered parquet sink — the MULTI-column data-skipping
     layout (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` pattern on plain
@@ -385,7 +446,18 @@ def write_zorder_parquet(
     skewed curves), sort within partitions, the helper column dropped
     before the write — the layout costs one shuffle, reads cost
     nothing.  ``zorder_cols`` must be pre-bucketed non-negative ints
-    (see :func:`zorder_value_sql`)."""
+    (see :func:`zorder_value_sql`) — or pass ``rank_bucket=True`` to
+    bucket arbitrary orderable columns through
+    :func:`zorder_rank_buckets` first (equal-mass quantile buckets, one
+    sample aggregate; the bucket helper columns never land in the
+    files)."""
+    helper_cols = ["_zval"]
+    if rank_bucket:
+        df, bucket_cols = zorder_rank_buckets(
+            df, zorder_cols, bits=bits, sample_rate=sample_rate
+        )
+        zorder_cols = bucket_cols
+        helper_cols += bucket_cols
     z = F.expr(zorder_value_sql(zorder_cols, bits))
     zdf = df.withColumn("_zval", z)
     if n_files is not None:
@@ -394,7 +466,7 @@ def write_zorder_parquet(
         ranged = zdf.repartitionByRange(F.col("_zval"))
     (
         ranged.sortWithinPartitions("_zval")
-        .drop("_zval")
+        .drop(*helper_cols)
         .write.mode(mode)
         .parquet(path)
     )

@@ -178,6 +178,49 @@ def test_write_zorder_parquet_tightens_stats_on_both_dims(spark, tmp_path):
     assert sum(sy) / len(sy) >= 60, sy
 
 
+def test_write_zorder_parquet_rank_bucket_handles_raw_doubles(spark, tmp_path):
+    """rank_bucket=True makes the Z-order sink work on arbitrary
+    orderable columns: two RAW uniform doubles (no pre-bucketing) still
+    land as tight hyper-rectangles on both dims, the bucket helper
+    columns never reach the files, and no row is lost."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        write_zorder_parquet,
+    )
+
+    # deterministic pseudo-uniform doubles in [0, 1): hash-derived
+    df = spark.range(8192).select(
+        ((F.xxhash64("id") % 100000 + 100000) % 100000 / 100000.0).alias("a"),
+        ((F.xxhash64("id", F.lit(7)) % 100000 + 100000) % 100000 / 100000.0).alias("b"),
+    )
+    path = str(tmp_path / "zraw")
+    write_zorder_parquet(
+        df, ["a", "b"], path, bits=6, n_files=16, rank_bucket=True
+    )
+
+    back = spark.read.parquet(path)
+    assert back.count() == 8192
+    assert sorted(back.columns) == ["a", "b"]  # helpers dropped
+
+    spans = {0: [], 1: []}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        for ci in (0, 1):
+            mins, maxs = [], []
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                assert st is not None and st.has_min_max
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[ci].append(max(maxs) - min(mins))
+    assert len(spans[0]) >= 8
+    # raw domain is ~[0,1); both dims tight per file
+    for ci in (0, 1):
+        avg = sum(spans[ci]) / len(spans[ci])
+        assert avg <= 0.65, (ci, spans[ci])
+
+
 def test_observe_quality_rides_the_write_action(spark, tmp_path):
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         assert_min_rows,

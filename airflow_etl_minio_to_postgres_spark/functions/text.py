@@ -541,6 +541,12 @@ def quantile_buckets_sampled(
     rate that bounds the sample to ~1e6 rows (cutpoint error shrinks as
     1/sqrt(sample), not with the corpus), never a fixed fraction.
 
+    Contract edges: an EMPTY sample (rate too low for the corpus size)
+    yields NULL cutpoints and therefore NULL buckets — size the rate to
+    the corpus, this function cannot invent cutpoints from nothing; a
+    NULL score buckets as NULL (no quantile is defined for it) — filter
+    or coalesce upstream if NULL-scored rows should participate.
+
     Returns ``df`` plus ``bucket_col`` in ``1..n_buckets``."""
     if n_buckets < 2:
         raise ValueError("quantile_buckets_sampled: n_buckets must be >= 2")
@@ -639,7 +645,13 @@ def source_quality_gate(
 
     Scale shape: one map-side-combined aggregate down to |groups| rows,
     passing groups broadcast back as a LEFT SEMI join, the corpus
-    touched by one narrow filter — never shuffled."""
+    touched by one narrow filter — never shuffled.
+
+    Rows with a NULL ``group_col`` are EXCLUDED from the result (the
+    semi-join's equi-condition never matches NULL, and no mean is
+    defined for an unknown publisher — the ``temperature_mix`` policy);
+    ``coalesce`` the group to a sentinel upstream if unattributed rows
+    should be judged as their own group."""
     q_micros = F.round(
         quality_score_expr(F.col(text_col)) * F.lit(1e6)
     ).cast("long")

@@ -382,6 +382,11 @@ def zorder_rank_buckets(
     state exactly as in ``quantile_buckets_sampled`` — at 100 TB pick
     the rate that bounds the sample, not a fixed fraction.
 
+    Contract edge: an EMPTY sample (rate too low for the input size)
+    yields NULL cutpoints → NULL buckets → NULL curve values, which all
+    range-partition together (no crash, but no locality) — size the
+    rate to the data.
+
     Returns ``(df + bucket columns, bucket column names)`` ready to
     pass to :func:`write_zorder_parquet`."""
     n_cuts = (1 << bits) - 1

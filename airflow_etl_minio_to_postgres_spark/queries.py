@@ -3768,6 +3768,71 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_dup_clusters",
+    "WITH RECURSIVE "
+    + _EMB_PERTURBED_SQL
+    + f""",
+    b AS (
+        SELECT vec_id, embedding, unnest({_band_keys_sql()}) AS band_key
+        FROM corpus
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 USING (band_key)
+        WHERE a.vec_id < b2.vec_id
+    ),
+    withv AS (
+        SELECT id_a, id_b, ca.embedding AS v_a, cb.embedding AS v_b
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = id_a
+        JOIN corpus cb ON cb.vec_id = id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM withv WHERE {_COS_AB_SQL} >= 0.95
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+    ),
+    comp AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT c0.vec_id, coalesce(comp.cluster_id, c0.vec_id) AS cluster_id
+    FROM corpus c0 LEFT JOIN comp USING (vec_id)
+    """,
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate-cluster assignment: connected components over
+    the embedding-cosine near-dup pair graph — the embedding twin of
+    docs_dup_clusters (MinHash graph), and the GLOBAL complement of
+    emb_semantic_dedup's within-cell greedy: transitive closure chains
+    A~B~C into ONE cluster even when A and C's cosine alone misses the
+    threshold or they land in different IVF cells.  Every vector labels
+    itself with the min id reachable through the pair graph (singletons
+    label themselves); the oracle replays banding, pair scoring, and a
+    recursive-CTE closure.  Scale shape inherited from the pieces:
+    banded-LSH pair discovery (never all-pairs) + iterative min-label
+    propagation whose component table holds only the duplicate minority,
+    broadcast back to the corpus."""
+    corpus = _emb_perturbed_input(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        corpus,
+        dim=_EMB_DIM,
+        threshold=0.95,
+        n_bands=_EMB_BANDS,
+        bits_per_band=_EMB_BITS_PER_BAND,
+        seed=_EMB_SEED,
+    )
+    return assign_clusters(
+        corpus, pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+
+
+@register(
     "emb_semantic_dedup",
     "WITH "
     + _EMB_PERTURBED_SQL

@@ -771,3 +771,149 @@ def test_salted_join_sides_every_pair_exactly_once(spark, lkeys, rkeys, cap):
         if lk == rk
     )
     assert got == expected  # exactly once, none lost, none extra
+
+
+# ---- round-11 continuation: splits / z-order / recall models ----
+
+_weight_names = st.lists(
+    st.sampled_from(["train", "val", "test", "holdout"]),
+    min_size=2,
+    max_size=4,
+    unique=True,
+)
+
+
+@SPARK_SETTINGS
+@given(
+    names=_weight_names,
+    raw_weights=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=4, max_size=4
+    ),
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+)
+def test_assign_splits_matches_python_model(spark, names, raw_weights, ids):
+    """assign_splits under ARBITRARY weight dicts equals a pure-Python
+    model computing the identical running-float thresholds over the
+    identical sha-uniform draw — the cross-engine determinism the
+    operator exists for, beyond the registry's fixed 8/1/1 case."""
+    import hashlib
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        assign_splits,
+    )
+
+    weights = {n: float(w) for n, w in zip(names, raw_weights)}
+
+    def model(doc_id: int) -> str:
+        draw = (
+            int(
+                hashlib.sha256(f"split:{doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 4294967296.0
+        )
+        total = float(sum(weights.values()))
+        acc = 0.0
+        for n in list(weights)[:-1]:
+            acc += weights[n] / total
+            if draw < acc:
+                return n
+        return list(weights)[-1]
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.split for r in assign_splits(df, weights).collect()
+    }
+    assert got == {i: model(i) for i in ids}
+
+
+@SPARK_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    bits=st.integers(min_value=1, max_value=10),
+)
+def test_zorder_value_sql_property(spark, pts, bits):
+    """The generated Morton text equals the bit-interleave model for
+    ARBITRARY points and bit widths (values above 2**bits alias onto
+    their low bits, exactly as documented)."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        zorder_value_sql,
+    )
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", F.expr(zorder_value_sql(["x", "y"], bits)).alias("z")
+    ).collect()
+    for r in rows:
+        assert r.z == morton(r.x, r.y), (r.x, r.y, bits)
+
+
+@SPARK_SETTINGS
+@given(
+    exact=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    approx=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_ann_recall_at_k_matches_set_model(spark, exact, approx, k):
+    """recall@k over ARBITRARY result tables equals the set-arithmetic
+    model |approx ∩ exact| / min(|exact|, k) per query — including
+    queries with zero approx rows and |exact| < k."""
+    from collections import defaultdict
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ann_recall_at_k,
+    )
+
+    e_by_q, a_by_q = defaultdict(set), defaultdict(set)
+    for q, i in exact:
+        e_by_q[q].add(i)
+    for q, i in approx:
+        a_by_q[q].add(i)
+    expect = {
+        q: len(a_by_q[q] & ids) / min(len(ids), k)
+        for q, ids in e_by_q.items()
+    }
+
+    edf = spark.createDataFrame(list(exact), "qid long, vec_id long")
+    adf = (
+        spark.createDataFrame(list(approx), "qid long, vec_id long")
+        if approx
+        else spark.createDataFrame([], "qid long, vec_id long")
+    )
+    got = {r.qid: r.recall for r in ann_recall_at_k(adf, edf, k=k).collect()}
+    assert got == expect

@@ -2836,6 +2836,50 @@ def docs_streaming_near_dup_dedup(
     return spark.read.parquet(out).select("doc_id")
 
 
+@register(
+    "docs_near_dup_vs_store",
+    _ORACLES["docs_streaming_near_dup_dedup"],
+)
+def docs_near_dup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH face of the cross-batch screen (streaming/pipeline.py
+    near_dup_against_store): the store is built by streaming batch 1
+    (the originals), then batch 2 (the perturbed copies) is screened by
+    the READ-ONLY batch API — no streaming query, no store append; the
+    backfill/ad-hoc "does this vendor drop add anything?" shape.
+    IDENTICAL oracle as docs_streaming_near_dup_dedup: two engine paths
+    (sink vs batch API, built on the SAME shared drop-set helpers), one
+    truth — equality proves the batch face decides exactly what the
+    sink would."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        release_caches,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        near_dup_against_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="neardup_vs_store_")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    corpus = _near_dup_input(spark, sf_dir)
+
+    corpus.where(F.col("doc_id") < 1000000).write.mode("append").parquet(
+        landing
+    )
+    s = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    q = streaming_near_dup_dedup(s, out, store, ckpt)
+    q.awaitTermination()
+
+    surv1 = spark.read.parquet(out).select("doc_id")
+    surv2 = near_dup_against_store(
+        corpus.where(F.col("doc_id") >= 1000000), store
+    ).select("doc_id")
+    result = surv1.unionByName(surv2).localCheckpoint()
+    release_caches()
+    return result
+
+
 # Transitive-closure clustering oracle: the same MinHash-LSH pair CTEs,
 # extended with a recursive reachability CTE — cluster id = min doc id
 # reachable through the symmetric pair graph.  The engine runs iterative

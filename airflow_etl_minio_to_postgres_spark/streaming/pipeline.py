@@ -617,6 +617,190 @@ def near_dup_store_scan(
     return store
 
 
+def _intra_batch_drops(
+    banded: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Intra-batch pairwise-greedy drop set (the higher id of every
+    qualifying pair) — shared verbatim by the streaming sink and the
+    batch face :func:`near_dup_against_store`, so the two paths cannot
+    drift."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        jaccard_expr,
+        salted_band_sides,
+    )
+
+    a_fan, b_fan, join_keys = salted_band_sides(
+        banded, id_col, "band_key", max_bucket_size
+    )
+    cand = (
+        a_fan.select(F.col(id_col).alias("id_a"), *join_keys)
+        .join(
+            b_fan.select(F.col(id_col).alias("id_b"), *join_keys),
+            join_keys,
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "id_b",
+        )
+        .where(
+            jaccard_expr(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+    )
+
+
+def _store_screen_drops(
+    spark: SparkSession,
+    banded: DataFrame,
+    sets: DataFrame,
+    store_path: str,
+    *,
+    id_col: str,
+    threshold: float,
+    store_partitions: int,
+    max_bucket_size: int | None,
+    exclude_commit: str | None = None,
+) -> DataFrame:
+    """Batch-vs-STORE drop set: ids of batch docs that near-duplicate an
+    already-accepted stored doc.  The batch's bucket set is collected
+    driver-side (bounded by ``store_partitions`` — metadata-sized, the
+    ``ivf_topk_indexed`` probe pattern) and the store scan is pruned to
+    those partitions.  Shared verbatim by the streaming sink and
+    :func:`near_dup_against_store`."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        jaccard_expr,
+        salted_join_sides,
+    )
+
+    bucket_of = F.pmod(
+        F.xxhash64(F.col("band_key")), F.lit(int(store_partitions))
+    ).cast("int")
+    buckets = sorted(
+        r[0]
+        for r in banded.select(bucket_of.alias("b")).distinct().collect()
+    )
+    store_banded = near_dup_store_scan(
+        spark, store_path, buckets, exclude_commit=exclude_commit
+    ).select(
+        F.col(id_col).alias("_sid"),
+        "band_key",
+        F.col("shingles").alias("sh_s"),
+    )
+    # two-frame salting: a hot band bucket shared by l batch rows and r
+    # store rows does l*r comparisons on one task; with max_bucket_size
+    # set the batch side salts, the store side replicates — exact by
+    # construction, same mechanism as the intra-batch join
+    l_fan, r_fan, cross_keys = salted_join_sides(
+        banded, store_banded, id_col, "band_key", max_bucket_size
+    )
+    return (
+        l_fan.join(r_fan, cross_keys)
+        # one row per (batch doc, stored doc) candidate; sh_s is a
+        # function of _sid, so keeping the first duplicate is exact
+        .dropDuplicates([id_col, "_sid"])
+        .join(sets, id_col)
+        .where(
+            jaccard_expr(F.col("shingles"), F.col("sh_s"))
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+    )
+
+
+def near_dup_against_store(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    store_partitions: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """BATCH face of :func:`streaming_near_dup_dedup`'s screen: dedup a
+    new delivery against the accepted corpus (and within itself)
+    WITHOUT a streaming query — the backfill/ad-hoc shape ("does this
+    vendor drop add anything?").  Same policies as the sink, through
+    the SAME shared helpers so the two paths cannot drift: intra-batch
+    pairwise greedy (drop the higher id of each qualifying pair), then
+    store-always-wins against the band-bucket-partitioned signature
+    store (scan pruned to the delivery's buckets).
+
+    READ-ONLY by design: survivors are returned as a lazy DataFrame;
+    nothing is appended to the store — growing it is the streaming
+    sink's job (whose commit-id machinery makes appends replay-safe),
+    or a deliberate migrate/compact operation.  A missing or legacy
+    store raises loudly (a silently-skipped screen is the failure mode
+    this family refuses); ``num_hashes``/``num_bands``/``shingle_k``
+    MUST match the parameters the store was built with — signatures
+    from mismatched parameters never collide correctly.
+
+    The signature table is persisted via the dedup family's tracked
+    cache (multiple consumers: banding, shingle verify) — call
+    ``functions.dedup.release_caches()`` when done, as after any batch
+    dedup operator."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        _minhash_table,
+        _persist_tracked,
+        band_keys_expr,
+    )
+
+    spark = df.sparkSession
+    if not _fs_exists(spark, store_path):
+        raise ValueError(
+            f"near-dup store at {store_path!r} does not exist; "
+            "near_dup_against_store screens against an EXISTING store "
+            "(build one with streaming_near_dup_dedup)"
+        )
+    rows_per_band = num_hashes // num_bands
+    sig = _persist_tracked(
+        _minhash_table(df, text_col, id_col, num_hashes, shingle_k)
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    sets = sig.select(id_col, "shingles")
+    dropped = _intra_batch_drops(
+        banded, sets, id_col, threshold, max_bucket_size
+    ).unionByName(
+        _store_screen_drops(
+            spark,
+            banded,
+            sets,
+            store_path,
+            id_col=id_col,
+            threshold=threshold,
+            store_partitions=store_partitions,
+            max_bucket_size=max_bucket_size,
+        )
+    )
+    return df.join(dropped.distinct(), id_col, "left_anti")
+
+
 def _near_dup_process_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -651,9 +835,6 @@ def _near_dup_process_batch(
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
         _minhash_table,
         band_keys_expr,
-        jaccard_expr,
-        salted_band_sides,
-        salted_join_sides,
     )
 
     spark = batch_df.sparkSession
@@ -672,76 +853,20 @@ def _near_dup_process_batch(
         ).alias("band_key"),
     )
     sets = sig.select(id_col, "shingles")
-    # intra-batch: pairwise greedy, drop the higher id of each pair
-    a_fan, b_fan, join_keys = salted_band_sides(
-        banded, id_col, "band_key", max_bucket_size
-    )
-    cand = (
-        a_fan.select(F.col(id_col).alias("id_a"), *join_keys)
-        .join(
-            b_fan.select(F.col(id_col).alias("id_b"), *join_keys),
-            join_keys,
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    dropped = (
-        cand.join(
-            sets.select(
-                F.col(id_col).alias("id_a"),
-                F.col("shingles").alias("sh_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col(id_col).alias("id_b"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            "id_b",
-        )
-        .where(
-            jaccard_expr(F.col("sh_a"), F.col("sh_b")) >= F.lit(threshold)
-        )
-        .select(F.col("id_b").alias(id_col))
+    dropped = _intra_batch_drops(
+        banded, sets, id_col, threshold, max_bucket_size
     )
     if _fs_exists(spark, store_path):
-        # The batch's bucket set: bounded by store_partitions, so this
-        # collect is metadata-sized whatever the batch size — the same
-        # driver-side probe-selection shape as ivf_topk_indexed.
-        buckets = sorted(
-            r[0]
-            for r in banded.select(bucket_of.alias("b"))
-            .distinct()
-            .collect()
-        )
-        store_banded = near_dup_store_scan(
-            spark, store_path, buckets, exclude_commit=commit_id
-        ).select(
-            F.col(id_col).alias("_sid"),
-            "band_key",
-            F.col("shingles").alias("sh_s"),
-        )
-        # two-frame salting: a hot band bucket shared by l batch rows
-        # and r store rows does l*r comparisons on one task; with
-        # max_bucket_size set the batch side salts, the store side
-        # replicates — exact by construction, same mechanism as the
-        # intra-batch join above
-        l_fan, r_fan, cross_keys = salted_join_sides(
-            banded, store_banded, id_col, "band_key", max_bucket_size
-        )
-        cross = (
-            l_fan.join(r_fan, cross_keys)
-            # one row per (batch doc, stored doc) candidate; sh_s is a
-            # function of _sid, so keeping the first duplicate is exact
-            .dropDuplicates([id_col, "_sid"])
-            .join(sets, id_col)
-            .where(
-                jaccard_expr(F.col("shingles"), F.col("sh_s"))
-                >= F.lit(threshold)
-            )
-            .select(id_col)
+        cross = _store_screen_drops(
+            spark,
+            banded,
+            sets,
+            store_path,
+            id_col=id_col,
+            threshold=threshold,
+            store_partitions=store_partitions,
+            max_bucket_size=max_bucket_size,
+            exclude_commit=commit_id,
         )
         dropped = dropped.unionByName(cross)
     # Materialize the drop set BEFORE any write: its plan reads the

@@ -920,3 +920,63 @@ def test_streaming_ivf_index_upsert_serves_like_batch_build(spark, tmp_path):
         spark.read.parquet(streamed).select("vec_id").distinct().count()
         == n
     )
+
+
+def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
+    """The batch face must decide EXACTLY what the streaming sink would:
+    build a store from batch-1 via the sink, then screen batch-2 once
+    with the sink and once with near_dup_against_store — identical
+    survivor sets (the shared-helper contract).  A missing store raises
+    instead of silently skipping the screen."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        release_caches,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        near_dup_against_store,
+        streaming_near_dup_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(i, base + f" tail{i}") for i in range(20)]
+    # batch 2: near-dups of stored docs (same text) + fresh docs
+    rows2 = [(100 + i, base + f" tail{i}") for i in range(10)]
+    rows2 += [(200 + i, f"completely different text number {i} " * 3)
+              for i in range(5)]
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+
+    landing = str(tmp_path / "landing")
+    out, store, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+
+    def run_batch():
+        s = spark.readStream.schema("doc_id long, text string").parquet(
+            landing
+        )
+        q = streaming_near_dup_dedup(s, out, store, ckpt)
+        q.awaitTermination()
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        near_dup_against_store(b2, store)
+
+    b1.write.mode("append").parquet(landing)
+    run_batch()
+
+    got = {r.doc_id for r in near_dup_against_store(b2, store).collect()}
+    release_caches()
+
+    b2.write.mode("append").parquet(landing)
+    run_batch()
+    sink_b2 = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").collect()
+        if r.doc_id >= 100
+    }
+    assert got == sink_b2
+    # and the screen genuinely screened: stored near-dups dropped,
+    # fresh docs survived
+    assert not any(100 <= d < 200 for d in got)
+    assert {200 + i for i in range(5)} <= got

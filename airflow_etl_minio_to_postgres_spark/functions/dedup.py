@@ -932,6 +932,7 @@ def salted_join_sides(
     left_id: str,
     key: str = "band_key",
     max_bucket_size: int | None = None,
+    right_id: str | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Two-frame generalization of :func:`salted_band_sides`: join
     sides for ``left JOIN right ON key`` with hot key buckets split
@@ -941,23 +942,36 @@ def salted_join_sides(
 
     A bucket shared by ``l`` left rows and ``r`` right rows does
     ``l * r`` comparisons in ONE hash-join group.  With
-    ``max_bucket_size`` set, buckets where ``max(l, r) > cap`` are
-    split: the LEFT side is salted into ``min(ceil(max(l, r)/cap), l)``
-    sub-groups by ``pmod(xxhash64(left_id), n_salt)`` and the RIGHT
-    side is replicated into every sub-group — per-task work drops to
-    ``~cap * min(l, r)`` and the hot bucket spreads over ``n_salt``
-    tasks.  EXACT: every (left row, right row) pair of a bucket meets
-    in exactly one sub-group (the left row's), so downstream
-    dropDuplicates / first-match logic behaves identically and results
-    are bit-identical to the unsalted join.
+    ``max_bucket_size`` set, hot buckets (``max(l, r) > cap``) split:
+    one side is SALTED into ``n_salt`` sub-groups by
+    ``pmod(xxhash64(id), n_salt)`` and the other side is REPLICATED
+    into every sub-group.  EXACT: every (left row, right row) pair of
+    a bucket meets in exactly one sub-group (the salted row's), so
+    downstream dropDuplicates / first-match logic behaves identically
+    and results are bit-identical to the unsalted join.
+
+    Which side salts depends on ``right_id``:
+
+    * ``right_id=None`` (legacy): the LEFT side always salts, with
+      ``n_salt = min(ceil(max(l, r)/cap), l)``.  LIMITATION: the salt
+      key is the left id, so a bucket hot only on the RIGHT (few batch
+      rows vs a huge store bucket) cannot split below ``r`` comparisons
+      per task — ``n_salt`` is capped at ``l``, and per-task work is
+      ``~l/n_salt * r``, not ``~cap * min(l, r)``.
+    * ``right_id`` given: hot buckets salt their LARGER side
+      (per-bucket ``_swap`` flag, ``n_salt = ceil(max(l, r)/cap)``)
+      and replicate the smaller — per-task work is ``~cap * min(l, r)``
+      for EVERY hot shape, including right-heavy ones.  Both fan-outs
+      gain a one-element-or-sequence array explode (one extra Generate
+      node on cold rows vs the legacy scalar salt).
 
     The hot directory is built from BOTH sides' bucket counts (two
     map-side-combined aggregates over the fan-outs, inner-joined —
     only keys present on both sides can produce pairs) and broadcast.
-    Replication cost is ``r * n_salt`` rows per hot bucket — the
-    exact-recall price, same trade as the self-join form.  ``None``
-    returns both fans untouched with the bare key — the zero-overhead
-    default.
+    Replication cost is ``min(l, r) * n_salt`` rows per hot bucket —
+    the exact-recall price, same trade as the self-join form.
+    ``None`` returns both fans untouched with the bare key — the
+    zero-overhead default.
     """
     if max_bucket_size is None:
         return left, right, [key]
@@ -968,10 +982,11 @@ def salted_join_sides(
     right = _persist_tracked(right)
     lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("_lc"))
     rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("_rc"))
-    hot = (
-        lc.join(rc, key)
-        .where(F.greatest(F.col("_lc"), F.col("_rc")) > cap)
-        .select(
+    hot_base = lc.join(rc, key).where(
+        F.greatest(F.col("_lc"), F.col("_rc")) > cap
+    )
+    if right_id is None:
+        hot = hot_base.select(
             key,
             F.least(
                 F.ceil(
@@ -980,23 +995,62 @@ def salted_join_sides(
                 F.col("_lc"),
             ).cast("int").alias("_ns"),
         )
-    )
-    l_out = (
-        left.join(F.broadcast(hot), key, "left")
-        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col(left_id)), F.col("_ns")).cast("int"),
+        l_out = (
+            left.join(F.broadcast(hot), key, "left")
+            .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(left_id)), F.col("_ns")).cast(
+                    "int"
+                ),
+            )
+            .drop("_ns")
         )
-        .drop("_ns")
+        r_out = (
+            right.join(F.broadcast(hot), key, "left")
+            .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+            .withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+            )
+            .drop("_ns")
+        )
+        return l_out, r_out, [key, "_salt"]
+
+    hot = hot_base.select(
+        key,
+        F.ceil(F.greatest(F.col("_lc"), F.col("_rc")) / F.lit(cap))
+        .cast("int")
+        .alias("_ns"),
+        (F.col("_rc") > F.col("_lc")).alias("_swap"),
     )
-    r_out = (
-        right.join(F.broadcast(hot), key, "left")
-        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)))
-        .drop("_ns")
+
+    def _fan(df: DataFrame, own_id: str, salts_when_swap: bool) -> DataFrame:
+        joined = (
+            df.join(F.broadcast(hot), key, "left")
+            .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+            .withColumn("_swap", F.coalesce(F.col("_swap"), F.lit(False)))
+        )
+        salted_here = (
+            F.col("_swap") if salts_when_swap else ~F.col("_swap")
+        )
+        salts = F.when(
+            salted_here,
+            F.array(
+                F.pmod(F.xxhash64(F.col(own_id)), F.col("_ns")).cast("int")
+            ),
+        ).otherwise(
+            F.sequence(F.lit(0), F.col("_ns") - 1).cast("array<int>")
+        )
+        return (
+            joined.withColumn("_salt", F.explode(salts))
+            .drop("_ns", "_swap")
+        )
+
+    return (
+        _fan(left, left_id, salts_when_swap=False),
+        _fan(right, right_id, salts_when_swap=True),
+        [key, "_salt"],
     )
-    return l_out, r_out, [key, "_salt"]
 
 
 # ---------------------------------------------------------------------------

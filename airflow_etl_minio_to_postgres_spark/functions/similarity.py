@@ -57,17 +57,24 @@ def topk_cosine(
     """Exact top-k neighbors of ``query_id`` by cosine similarity.
 
     The query point is a one-row broadcast — no shuffle of the corpus; the
-    top-k is a TakeOrdered, not a global sort materialization.
+    top-k is a TakeOrdered, not a global sort materialization.  The query
+    norm rides the broadcast (computed once, not re-folded per corpus
+    row — the ``ivf_knn_join`` norm-precompute pattern; bit-identical:
+    same sqrt-then-multiply, same fold order).
     """
     q = df.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_query_vec")
+        F.col(vec_col).alias("_query_vec"),
+        norm_expr(F.col(vec_col)).alias("_qnorm"),
     )
     return (
         df.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
+            F.try_divide(
+                dot_expr(F.col(vec_col), F.col("_query_vec")),
+                norm_expr(F.col(vec_col)) * F.col("_qnorm"),
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -169,14 +176,23 @@ def ivf_topk(
     probes = ivf_assign(
         qrow, centroids, id_col, vec_col, nprobe=nprobe
     ).select("cid")
-    q = qrow.select(F.col(vec_col).alias("_query_vec"))
+    # query norm rides the one-row broadcast — computed once, not
+    # re-folded per probed-corpus row (bit-identical hoist, the
+    # ivf_knn_join precompute pattern)
+    q = qrow.select(
+        F.col(vec_col).alias("_query_vec"),
+        norm_expr(F.col(vec_col)).alias("_qnorm"),
+    )
     return (
         corpus.join(F.broadcast(probes), "cid", "semi")
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
+            F.try_divide(
+                dot_expr(F.col(vec_col), F.col("_query_vec")),
+                norm_expr(F.col(vec_col)) * F.col("_qnorm"),
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -242,10 +258,18 @@ def ivf_topk_indexed(
     if exclude_id is not None:
         corpus = corpus.where(F.col(id_col) != exclude_id)
     qcol = F.array(*[F.lit(x) for x in q])
+    # the query norm is already computed driver-side for probe ranking
+    # with the engine's exact fold order (sequential x*x adds from 0,
+    # then sqrt — Python and JVM binary64 agree bit-for-bit), so embed
+    # it as a literal instead of re-folding the query array per corpus
+    # row (the ivf_knn_join norm-precompute pattern, linear-path form)
     return (
         corpus.select(
             id_col,
-            cosine_expr(F.col(vec_col), qcol).alias("cosine"),
+            F.try_divide(
+                dot_expr(F.col(vec_col), qcol),
+                norm_expr(F.col(vec_col)) * F.lit(qn),
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -305,14 +329,27 @@ def ivf_topk_batch(
     cells = sorted(
         r[0] for r in probes.select("cid").distinct().collect()
     )
-    corpus = spark.read.parquet(path).where(F.col("cid").isin(cells))
+    # per-side norm precompute (the ivf_knn_join pattern, where it was
+    # measured 3.6x on the quadratic term): each corpus row is scored
+    # against EVERY query probing its cell, so folding the corpus norm
+    # once per row — and each query norm once into the broadcast —
+    # replaces two O(dim) folds per (row, query) pair with one dot
+    # product; bit-identical (same sqrt-then-multiply, same fold order)
+    corpus = (
+        spark.read.parquet(path)
+        .where(F.col("cid").isin(cells))
+        .withColumn("_cnorm", norm_expr(F.col(vec_col)))
+    )
     qside = probes.join(
         queries.select(query_id_col, query_vec_col), query_id_col
-    )
+    ).withColumn("_qnorm", norm_expr(F.col(query_vec_col)))
     scored = corpus.join(F.broadcast(qside), "cid").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.try_divide(
+            dot_expr(F.col(vec_col), F.col(query_vec_col)),
+            F.col("_cnorm") * F.col("_qnorm"),
+        ).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
@@ -540,9 +577,20 @@ def ann_recall_at_k(
     it twice (measured 15.3 s -> 7 s on the registry entry).  The
     division is small-integer / small-integer, bit-identical on any
     engine.  Queries with no approx rows (empty probe cells) correctly
-    report 0.0 via the left join, not a dropped row."""
-    a = approx.select(query_id_col, id_col).withColumn("_hit", F.lit(1))
-    e = exact.select(query_id_col, id_col)
+    report 0.0 via the left join, not a dropped row.  Both sides are
+    deduped on (query, id) first: a malformed approx table with
+    duplicate result rows would otherwise fan out the left join and
+    inflate both ``_total`` and ``_hits`` — recall stays a set metric
+    regardless of input hygiene (dedup of a ≤ k-rows-per-query result
+    table is result-sized, free at any corpus scale)."""
+    a = (
+        approx.select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("_hit", F.lit(1))
+    )
+    e = exact.select(query_id_col, id_col).dropDuplicates(
+        [query_id_col, id_col]
+    )
     per_q = (
         e.join(a, [query_id_col, id_col], "left")
         .groupBy(query_id_col)

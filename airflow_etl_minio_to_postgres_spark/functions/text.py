@@ -560,11 +560,18 @@ def quantile_buckets_sampled(
             F.col("_score"), F.array(*[F.lit(p) for p in probs])
         ).alias("_cuts")
     )
-    bucket = F.lit(1) + F.aggregate(
-        F.col("_cuts"),
-        F.lit(0),
-        lambda acc, c: acc
-        + F.when(F.col("_score") >= c, F.lit(1)).otherwise(F.lit(0)),
+    # NULL-score guard: the fold's `>=` is false for NULL, which would
+    # silently land NULL-scored rows in bucket 1 — the docstring's
+    # contract is a NULL bucket (no quantile is defined for them).
+    bucket = F.when(
+        F.col("_score").isNotNull(),
+        F.lit(1)
+        + F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("_score") >= c, F.lit(1)).otherwise(F.lit(0)),
+        ),
     )
     return (
         scored.crossJoin(F.broadcast(cuts))

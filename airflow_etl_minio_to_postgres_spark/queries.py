@@ -2320,8 +2320,10 @@ _QBUCKET_PROBS = [i / 10 for i in range(1, 10)]
         FROM samp
     )
     SELECT q.doc_id,
-           CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c)) AS BIGINT)
-               AS bucket
+           CASE WHEN q.score IS NULL THEN NULL
+                ELSE CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c))
+                          AS BIGINT)
+           END AS bucket
     FROM q CROSS JOIN cuts
     """,
 )
@@ -2374,8 +2376,10 @@ def docs_quality_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT q.doc_id,
-               CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c))
-                    AS BIGINT) AS bucket
+               CASE WHEN q.score IS NULL THEN NULL
+                    ELSE CAST(1 + len(list_filter(cuts.cs, c -> q.score >= c))
+                              AS BIGINT)
+               END AS bucket
         FROM q CROSS JOIN cuts
     )
     SELECT doc_id, bucket,

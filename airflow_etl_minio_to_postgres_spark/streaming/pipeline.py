@@ -348,6 +348,32 @@ def incremental_silver(
     )
 
 
+def _assert_not_legacy_silver(spark: SparkSession, out_path: str) -> None:
+    """Loud guard against resuming a ``_commit_id``-partitioned silver
+    stream over a pre-round-11 FLAT silver table (plain appended
+    part-files at the root): a partitioned write next to flat files
+    leaves the directory with conflicting structures — unreadable as
+    one table — and silently adds a ``_commit_id`` column for
+    downstream readers.  Same posture as the near-dup store's legacy
+    check: fail with the migration pointer, never improvise.  One
+    ``listStatus`` RPC on the session's filesystem (URI-correct, the
+    ``_fs_exists`` precedent) — negligible per-batch cost."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isFile() and name.startswith("part-"):
+            raise ValueError(
+                f"silver table at {out_path!r} has flat data files at "
+                "its root (pre-round-11 appended layout) but this sink "
+                "writes _commit_id partitions; run migrate_legacy_silver "
+                "before resuming the stream"
+            )
+
+
 def _silver_process_batch(
     batch_df: DataFrame, batch_id: int, out_path: str, token: str
 ) -> None:
@@ -355,6 +381,7 @@ def _silver_process_batch(
     replay contract (same batch twice == once) is directly testable."""
     from airflow_etl_minio_to_postgres_spark.plans.medallion import build_silver
 
+    _assert_not_legacy_silver(batch_df.sparkSession, out_path)
     (
         build_silver(batch_df)
         .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
@@ -363,6 +390,44 @@ def _silver_process_batch(
         .partitionBy("_commit_id")
         .parquet(out_path)
     )
+
+
+def migrate_legacy_silver(spark: SparkSession, out_path: str) -> int:
+    """One-shot migration of a pre-round-11 FLAT silver table (plain
+    appended part-files) to the ``_commit_id``-partitioned replay-safe
+    layout that :func:`incremental_silver` writes — the rewrite
+    :func:`_assert_not_legacy_silver`'s error message points at,
+    mirroring :func:`migrate_legacy_rollup` /
+    :func:`migrate_legacy_near_dup_store`.  Pre-migration rows carry
+    commit id ``legacy-0`` (their batch lineage is unknowable).
+    Idempotent: an already-partitioned table is left untouched.
+    Local-FS only (the swap uses ``os.replace``), like the other two
+    migrations.  Returns the number of rows migrated (0 when already
+    migrated)."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    out_path = _local_path(out_path)
+    df = spark.read.parquet(out_path)
+    if "_commit_id" in df.columns:
+        return 0
+    migrated = df.withColumn("_commit_id", F.lit("legacy-0"))
+    import shutil
+
+    tmp = out_path.rstrip("/") + "__migrate_tmp"
+    old = out_path.rstrip("/") + "__migrate_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        migrated.write.mode("overwrite")
+        .partitionBy("_commit_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_path, old)
+    os.replace(tmp, out_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(out_path).count()
 
 
 def streaming_rollup_upsert(
@@ -707,10 +772,16 @@ def _store_screen_drops(
     )
     # two-frame salting: a hot band bucket shared by l batch rows and r
     # store rows does l*r comparisons on one task; with max_bucket_size
-    # set the batch side salts, the store side replicates — exact by
-    # construction, same mechanism as the intra-batch join
+    # set each hot bucket salts its LARGER side and replicates the
+    # smaller (right_id enables the per-bucket swap — a store bucket
+    # far bigger than the batch's can split below r comparisons/task)
     l_fan, r_fan, cross_keys = salted_join_sides(
-        banded, store_banded, id_col, "band_key", max_bucket_size
+        banded,
+        store_banded,
+        id_col,
+        "band_key",
+        max_bucket_size,
+        right_id="_sid",
     )
     return (
         l_fan.join(r_fan, cross_keys)
@@ -971,7 +1042,12 @@ def migrate_legacy_near_dup_store(
     old = store_path.rstrip("/") + "__migrate_old"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        migrated.write.mode("overwrite")
+        # one writer task per bucket — without this every shuffle task
+        # writes a sliver into every bucket dir (up to shuffle_partitions
+        # x store_partitions tiny files, the fragmentation the streaming
+        # sink's own repartition exists to prevent)
+        migrated.repartition(int(store_partitions), "band_bucket")
+        .write.mode("overwrite")
         .partitionBy("band_bucket", "_commit_id")
         .parquet(tmp)
     )

@@ -1074,6 +1074,15 @@ def test_ann_recall_at_k_contract(spark):
         for r in ann_recall_at_k(exact, exact, k=5).collect()
     }
     assert got3 == {1: 1.0, 2: 1.0, 3: 1.0}
+    # duplicate (qid, id) rows in a malformed approx input must not fan
+    # out the join and inflate recall — the metric is a SET comparison
+    dup_approx = approx.union(approx)
+    dup_exact = exact.union(exact)
+    got_dup = {
+        r.qid: r.recall
+        for r in ann_recall_at_k(dup_approx, dup_exact, k=3).collect()
+    }
+    assert got_dup == {1: 2 / 3, 2: 0.0, 3: 0.0}
 
 
 def test_source_quality_gate_drops_whole_groups(spark):
@@ -1150,6 +1159,30 @@ def test_quantile_buckets_sampled_contract(spark):
 
     sizes = Counter(buckets)
     assert max(sizes.values()) <= 3 * min(sizes.values())  # sample-rough
+
+
+def test_quantile_buckets_sampled_null_score_buckets_null(spark):
+    """The docstring contract: a NULL score has no quantile, so its
+    bucket is NULL — not bucket 1, which the naive fold's NULL-false
+    `>=` comparisons would silently produce (and which would land
+    NULL-scored rows FIRST in curriculum_order)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        quantile_buckets_sampled,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 97, F.col("id") / 100.0).alias("s"),
+    )
+    out = quantile_buckets_sampled(
+        df, F.col("s"), n_buckets=4, sample_rate=0.5
+    ).collect()
+    null_buckets = [r.bucket for r in out if r.s is None]
+    assert len(null_buckets) == 3
+    assert all(b is None for b in null_buckets)
+    assert all(r.bucket is not None for r in out if r.s is not None)
 
 
 def test_curriculum_order_positions_dense_and_deterministic(spark):

@@ -620,6 +620,49 @@ def test_incremental_silver_replay_is_idempotent(spark, tmp_path):
     assert len(once) == 1
 
 
+def test_silver_legacy_layout_guard_and_migration(spark, tmp_path):
+    """A pre-round-11 FLAT silver table (appended part-files at the
+    root) must make the partitioned sink fail LOUDLY — a partitioned
+    write next to flat files leaves conflicting directory structures —
+    and migrate_legacy_silver must rebuild the _commit_id layout so the
+    stream can resume (rows preserved, legacy-0 lineage, idempotent)."""
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _silver_process_batch,
+        migrate_legacy_silver,
+    )
+
+    out = str(tmp_path / "silver")
+    legacy = spark.createDataFrame(
+        [("house a", "11111", 5), ("house b", "22222", 7)],
+        "property_title string, zip string, hoa int",
+    )
+    legacy.write.parquet(out)  # flat pre-round-11 layout
+
+    batch = spark.createDataFrame(
+        [("  House C ", "33333", 9)],
+        "Property_Title string, zip string, HOA int",
+    )
+    with pytest.raises(ValueError, match="migrate_legacy_silver"):
+        _silver_process_batch(batch, 0, out, "tok")
+
+    n = migrate_legacy_silver(spark, out)
+    assert n == 2
+    assert migrate_legacy_silver(spark, out) == 0  # idempotent
+    migrated = spark.read.parquet(out)
+    assert set(migrated.select("_commit_id").distinct().toPandas()["_commit_id"]) == {
+        "legacy-0"
+    }
+
+    # the sink now resumes cleanly and appends its own partition
+    _silver_process_batch(batch, 0, out, "tok")
+    after = spark.read.parquet(out)
+    assert after.count() == 3
+    commits = set(after.select("_commit_id").distinct().toPandas()["_commit_id"])
+    assert commits == {"legacy-0", "tok-0"}
+
+
 def test_streaming_rollup_replay_is_a_noop(spark, tmp_path):
     """The rollup merge is not idempotent by structure (re-merging
     partials double-counts), so replay safety is marker-based: a batch

@@ -734,15 +734,17 @@ def test_ivf_assign_nprobe_matches_python_model(spark, vecs, nprobe):
     lkeys=st.lists(st.integers(0, 3), min_size=0, max_size=25),
     rkeys=st.lists(st.integers(0, 3), min_size=0, max_size=25),
     cap=st.integers(1, 6),
+    swap_mode=st.booleans(),
 )
 @SPARK_SETTINGS
-def test_salted_join_sides_every_pair_exactly_once(spark, lkeys, rkeys, cap):
+def test_salted_join_sides_every_pair_exactly_once(
+    spark, lkeys, rkeys, cap, swap_mode
+):
     """salted_join_sides exactness under arbitrary two-frame bucket
-    shapes: for ANY left/right key multisets and ANY cap, the salted
+    shapes, in BOTH modes (legacy left-salted and right_id per-bucket
+    swap): for ANY left/right key multisets and ANY cap, the salted
     join yields every in-bucket (left id, right id) pair EXACTLY once —
-    bit-identical downstream behavior to the unsalted join — and every
-    hot bucket's left side splits into sub-groups no larger than
-    ceil(l / n_salt)."""
+    bit-identical downstream behavior to the unsalted join."""
     from pyspark.sql import functions as F
 
     from airflow_etl_minio_to_postgres_spark.functions.dedup import (
@@ -759,7 +761,12 @@ def test_salted_join_sides_every_pair_exactly_once(spark, lkeys, rkeys, cap):
     ).where(F.col("rid").isNotNull())
 
     l_fan, r_fan, jk = salted_join_sides(
-        left, right, "lid", "band_key", cap
+        left,
+        right,
+        "lid",
+        "band_key",
+        cap,
+        right_id="rid" if swap_mode else None,
     )
     got = sorted(
         (r.lid, r.rid) for r in l_fan.join(r_fan, jk).collect()
@@ -771,6 +778,45 @@ def test_salted_join_sides_every_pair_exactly_once(spark, lkeys, rkeys, cap):
         if lk == rk
     )
     assert got == expected  # exactly once, none lost, none extra
+
+
+def test_salted_join_sides_right_heavy_splits(spark):
+    """The right_id mode's reason to exist: a bucket hot ONLY on the
+    right (1 left row x 200 store rows, cap 10) must salt the RIGHT
+    side into ceil(200/10)=20 sub-groups — the legacy mode is pinned
+    at n_salt <= l = 1 (cannot split below r comparisons per task)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        salted_join_sides,
+    )
+
+    left = spark.createDataFrame([(0, "k")], "lid long, band_key string")
+    right = spark.createDataFrame(
+        [(i, "k") for i in range(200)], "rid long, band_key string"
+    )
+
+    # legacy: left salts, capped at l=1 -> one sub-group holds all 200
+    l_fan, r_fan, jk = salted_join_sides(
+        left, right, "lid", "band_key", 10
+    )
+    legacy_groups = (
+        r_fan.groupBy(*jk).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert max(g.n for g in legacy_groups) == 200
+
+    # swap mode: right salts into ceil(200/10)=20 sub-groups of ~10,
+    # left replicates into all 20 — and the pair set is still exact
+    l_fan, r_fan, jk = salted_join_sides(
+        left, right, "lid", "band_key", 10, right_id="rid"
+    )
+    swap_groups = (
+        r_fan.groupBy(*jk).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert len(swap_groups) == 20
+    assert max(g.n for g in swap_groups) <= 20  # ~10 expected, hash spread
+    got = sorted((r.lid, r.rid) for r in l_fan.join(r_fan, jk).collect())
+    assert got == [(0, i) for i in range(200)]
 
 
 # ---- round-11 continuation: splits / z-order / recall models ----

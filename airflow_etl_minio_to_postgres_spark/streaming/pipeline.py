@@ -1132,6 +1132,72 @@ def _ivf_index_process_batch(
     )
 
 
+def compact_ivf_index(
+    spark: SparkSession, index_path: str, compact_seq: int = 0
+) -> int:
+    """Housekeeping for a streamed :func:`streaming_ivf_index_upsert`
+    index: fold the per-batch ``_commit_id`` partitions into ONE
+    ``compact-<seq>`` commit per cell, rewriting each cell's
+    one-file-per-batch fragmentation into (about) one file — the
+    per-cell folding the maintainer's docstring prescribes.  The
+    ``cid`` partition level is PRESERVED (a flat ``compact_parquet``
+    over the index root would destroy the directory layout
+    :func:`...functions.similarity.ivf_topk_indexed` /
+    ``ivf_topk_batch`` prune on), so serving reads the identical
+    partition-filtered plan before and after — bit-equal results,
+    fewer file opens.
+
+    Same run-window contract as :func:`compact_near_dup_store`: only
+    between CLEANLY-terminated stream runs — compaction folds a
+    half-committed replay partition into the compact commit, which the
+    replaying batch's dynamic overwrite would then duplicate rather
+    than replace.  ``availableNow`` runs terminate cleanly by
+    construction.  Also accepts a batch :func:`write_ivf_index` layout
+    (no ``_commit_id``) and simply refragments it per cell.  Local-FS
+    only (atomic ``os.replace`` swap).  Idempotent in content.
+    Returns the index row count."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    index_path = _local_path(index_path)
+    df = spark.read.parquet(index_path)
+    if "cid" not in df.columns:
+        raise ValueError(
+            f"index at {index_path!r} has columns {sorted(df.columns)} — "
+            "not an IVF serving layout (no cid partition column)"
+        )
+    has_commits = "_commit_id" in df.columns
+    data_cols = [
+        c for c in df.columns if c not in ("cid", "_commit_id")
+    ]
+    compacted = df.select(*data_cols, "cid")
+    part_cols = ["cid"]
+    if has_commits:
+        compacted = compacted.withColumn(
+            "_commit_id", F.lit(f"compact-{int(compact_seq)}")
+        )
+        part_cols.append("_commit_id")
+    # one shuffle keyed on the partition column -> one writer task
+    # (about one file) per cell
+    compacted = compacted.repartition("cid")
+    import shutil
+
+    tmp = index_path.rstrip("/") + "__compact_tmp"
+    old = index_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_path, old)
+    os.replace(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(index_path).count()
+
+
 def compact_near_dup_store(
     spark: SparkSession, store_path: str, compact_seq: int = 0
 ) -> int:

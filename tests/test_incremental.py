@@ -965,6 +965,98 @@ def test_streaming_ivf_index_upsert_serves_like_batch_build(spark, tmp_path):
     )
 
 
+def test_compact_ivf_index_merges_files_and_serves_bit_equal(
+    spark, tmp_path
+):
+    """compact_ivf_index folds the streamed index's per-batch
+    fragmentation (one file per batch per cell) into one compact commit
+    per cell: data file count drops, the cid partition layout survives
+    (PartitionFilters pruning intact), and ivf_topk_indexed results are
+    bit-equal before and after.  Also accepts a batch write_ivf_index
+    layout (refragment only), and rejects a non-IVF location."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_indexed,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_ivf_index,
+        streaming_ivf_index_upsert,
+    )
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    landing = str(tmp_path / "landing")
+    streamed = str(tmp_path / "streamed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = e.schema
+
+    def run_batch():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_ivf_index_upsert(s, cents, streamed, ckpt)
+        q.awaitTermination()
+
+    for m in (0, 1, 2):  # three batches -> three files per touched cell
+        e.where(F.col("vec_id") % 3 == m).write.mode("append").parquet(
+            landing
+        )
+        run_batch()
+
+    def data_files(root):
+        out = []
+        for dirpath, _, files in _os.walk(root):
+            out += [
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    n = e.count()
+    files_before = len(data_files(streamed))
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    before = [
+        tuple(r)
+        for r in ivf_topk_indexed(
+            spark, streamed, cents, qv, k=5, nprobe=2, exclude_id=7
+        ).collect()
+    ]
+
+    assert compact_ivf_index(spark, streamed, compact_seq=0) == n
+    files_after = len(data_files(streamed))
+    assert files_after < files_before
+    got = spark.read.parquet(streamed)
+    assert got.count() == n
+    assert set(
+        r[0] for r in got.select("_commit_id").distinct().collect()
+    ) == {"compact-0"}
+    after = [
+        tuple(r)
+        for r in ivf_topk_indexed(
+            spark, streamed, cents, qv, k=5, nprobe=2, exclude_id=7
+        ).collect()
+    ]
+    assert after == before  # bit-equal serving
+
+    # plan still prunes on cid after compaction
+    plan = ivf_topk_indexed(
+        spark, streamed, cents, qv, k=5, nprobe=2, exclude_id=7
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    # non-IVF location rejected
+    e.limit(5).write.parquet(str(tmp_path / "flat"))
+    with _pytest.raises(ValueError, match="no cid partition column"):
+        compact_ivf_index(spark, str(tmp_path / "flat"))
+
+
 def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
     """The batch face must decide EXACTLY what the streaming sink would:
     build a store from batch-1 via the sink, then screen batch-2 once

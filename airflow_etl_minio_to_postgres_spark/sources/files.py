@@ -478,6 +478,52 @@ def write_zorder_parquet(
     return path
 
 
+def recluster_zorder_parquet(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 10,
+    n_files: int | None = None,
+    rank_bucket: bool = False,
+    sample_rate: float = 0.2,
+) -> str:
+    """Re-cluster an EXISTING parquet location onto the Z-order curve
+    in place — the OPTIMIZE-after-ingest half of the data-skipping
+    story (Delta's ``OPTIMIZE ... ZORDER BY`` run on a schedule):
+    streaming/incremental appends land one curve-oblivious file per
+    batch, so per-file min/max spans widen back toward the full domain
+    as batches accumulate; this housekeeping pass restores the tight
+    hyper-rectangles :func:`write_zorder_parquet` produces, folding
+    the per-batch fragmentation in the same rewrite.
+
+    Same plan as the one-shot sink (one sampled range exchange on the
+    curve value, in-partition sort, helpers dropped), staged and then
+    atomically swapped via :func:`_rewrite_in_place` — every failure
+    point leaves a complete copy.  Run between cleanly-terminated
+    ingest runs, like the other compaction helpers.  At 100 TB the
+    production form scopes the rewrite to partitions touched since the
+    last pass (re-sort only those directories under dynamic partition
+    overwrite) rather than the whole table; at any scale the read side
+    needs no change — pruning reads the same footer stats either way.
+    Returns ``path``."""
+    df = spark.read.parquet(_local_path(path))
+    helper_cols = ["_zval"]
+    zcols = list(zorder_cols)
+    if rank_bucket:
+        df, bucket_cols = zorder_rank_buckets(
+            df, zcols, bits=bits, sample_rate=sample_rate
+        )
+        zcols = bucket_cols
+        helper_cols += bucket_cols
+    zdf = df.withColumn("_zval", F.expr(zorder_value_sql(zcols, bits)))
+    if n_files is not None:
+        ranged = zdf.repartitionByRange(n_files, F.col("_zval"))
+    else:
+        ranged = zdf.repartitionByRange(F.col("_zval"))
+    staged = ranged.sortWithinPartitions("_zval").drop(*helper_cols)
+    return _rewrite_in_place(staged, path)
+
+
 def upsert_parquet(
     df: DataFrame,
     path: str,

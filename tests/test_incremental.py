@@ -178,6 +178,63 @@ def test_write_zorder_parquet_tightens_stats_on_both_dims(spark, tmp_path):
     assert sum(sy) / len(sy) >= 60, sy
 
 
+def test_recluster_zorder_parquet_restores_tight_spans(spark, tmp_path):
+    """The OPTIMIZE-after-ingest pass on a TWO-BATCH table: each
+    appended batch is curve-oblivious (sorted on x only), so per-file
+    y-spans sit at the full domain; recluster_zorder_parquet rewrites
+    the location in place onto the curve — both dims' footer spans
+    tighten, no row is lost, values are unchanged, and the helper
+    column never lands in the files."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_parquet,
+    )
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "ingested")
+    # two curve-oblivious ingest batches, each x-sorted (the shape a
+    # per-batch single-column writer leaves behind)
+    for m in (0, 1):
+        (
+            grid.where(F.col("y") % 2 == m)
+            .repartitionByRange(8, F.col("x"))
+            .sortWithinPartitions("x")
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    def file_spans(p, col_idx):
+        spans = []
+        for f in glob.glob(os.path.join(p, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            mins, maxs = [], []
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    before_y = file_spans(path, 1)
+    assert sum(before_y) / len(before_y) >= 50  # ingest left y unpruned
+    before_rows = sorted(
+        (r.x, r.y) for r in spark.read.parquet(path).collect()
+    )
+
+    recluster_zorder_parquet(spark, path, ["x", "y"], bits=6, n_files=16)
+
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == ["x", "y"]  # _zval dropped
+    assert sorted((r.x, r.y) for r in back.collect()) == before_rows
+    zx, zy = file_spans(path, 0), file_spans(path, 1)
+    assert len(zx) >= 8
+    assert sum(zx) / len(zx) <= 40 and sum(zy) / len(zy) <= 40, (zx, zy)
+
+
 def test_write_zorder_parquet_rank_bucket_handles_raw_doubles(spark, tmp_path):
     """rank_bucket=True makes the Z-order sink work on arbitrary
     orderable columns: two RAW uniform doubles (no pre-bucketing) still

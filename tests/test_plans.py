@@ -564,3 +564,73 @@ def test_ivf_knn_join_matches_batch_serving_and_brute_force(spark, tmp_path):
         ), plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_batch_broadcast_boundary_agrees_with_knn_join(spark, tmp_path):
+    """The documented 'switch operators here' guidance, locked to
+    evidence: at an EVAL-SIZED query table (1,500 queries x 64 dims —
+    the upper end of the regime ivf_topk_batch's broadcast is scoped
+    to; well under Spark's hard broadcast limits, so the explicit hint
+    is still legal), the broadcast form and the shuffle form
+    (ivf_knn_join) return bit-identical results, and the batch plan
+    still broadcasts only the query side while the corpus side arrives
+    through the partition-pruned scan.  Beyond this regime the
+    docstring's guidance is the shuffle form — this test pins that the
+    hand-off point itself is safe from either side."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_knn_join,
+        ivf_topk_batch,
+        write_ivf_index,
+    )
+
+    rng = random.Random(12012)
+    dim, n_corpus, n_queries = 64, 4000, 1500
+    rows = [
+        (i, [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)])
+        for i in range(n_corpus)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    path = str(tmp_path / "index")
+    write_ivf_index(e, cents, path)
+    served = ivf_topk_batch(
+        spark, path, cents, qs, k=3, nprobe=2, exclude_self=True
+    )
+    joined = ivf_knn_join(qs, e, cents, k=3, nprobe=2, exclude_self=True)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in joined.collect()
+    ]
+
+    # every broadcast in the batch plan is query-/centroid-sized; the
+    # CORPUS (the index FileScan) must never sit inside a
+    # BroadcastExchange subtree — it arrives through the
+    # partition-pruned scan as the streamed join side
+    plan = _physical_plan(served)
+    assert "PartitionFilters" in plan, plan
+    lines = plan.splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" +-*(0123456789)"))
+
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        for sub in lines[i + 1 :]:
+            if sub.strip() and indent(sub) <= d:
+                break
+            assert "FileScan" not in sub and "Scan parquet" not in sub, (
+                "corpus scan inside a broadcast subtree:\n" + plan
+            )

@@ -323,6 +323,95 @@ def tfidf_top_terms(
     return ranked.where(F.col("_rn") <= k).select(id_col, "word", "score")
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a term query by BM25 — the LEXICAL
+    retrieval path, the sparse complement of the embedding family's
+    ANN serving (``ivf_topk_*``): production retrieval runs both and
+    fuses, so an engine that serves dense top-k needs the sparse twin.
+
+    Scoring is classic Okapi BM25:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``, summed
+    over the query's terms per document.
+
+    Scale shape — the inverted-index access pattern without
+    materializing one: the token explode filters to the QUERY'S terms
+    immediately (a literal ``isin`` — the broadcast-vocabulary
+    pattern), so the only stage that sees every token is a narrow
+    scan+filter and everything that shuffles is (matching doc, term)
+    sized; df-per-term rides a window over those aggregated rows
+    (the tfidf precedent, no self-join); N and avgdl are ONE map-side
+    corpus aggregate broadcast as a 1-row cross join (the q3 scalar
+    pattern); doc length joins in on the doc id, corpus-shuffle-free
+    under AQE when the match set is small.  Top-k is a TakeOrdered
+    (orderBy+limit), ties broken on the doc id.  Float posture matches
+    ``tfidf_top_terms``/``unigram_logprob``: per-term doubles with
+    ``ln``, summed per doc — few terms per query keep the sum far from
+    hash-rounding boundaries."""
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    d = df.select(F.col(id_col), words.alias("_w"))
+    # corpus stats: one map-side-combined aggregate, broadcast back
+    stats = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.avg(F.size(F.col("_w"))).alias("_avgdl"),
+        )
+    )
+    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("_dl"))
+    tokens = (
+        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        .where(F.col("term").isin(terms))
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    scored = (
+        with_df.join(lens, id_col)
+        .crossJoin(stats)
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfp",
+            F.col("tf")
+            * F.lit(float(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(F.col("_idf") * F.col("_tfp")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

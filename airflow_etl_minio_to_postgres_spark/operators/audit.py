@@ -16,7 +16,7 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -162,4 +162,95 @@ def k_anonymity_stats(
         F.coalesce(
             F.sum(F.when(F.col("_c") < k, F.col("_c"))), F.lit(0)
         ).cast("long").alias("n_risky_rows"),
+    )
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    value: Column,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift monitor between a REFERENCE corpus snapshot
+    and a CURRENT one — the Population Stability Index over equal-mass
+    buckets of the reference: the scheduled "did this week's crawl /
+    feature / score distribution move?" check a training-data pipeline
+    runs next to its row-count expectations (rule of thumb: < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Buckets are the reference's exact percentile cutpoints (both
+    engines interpolate the same sorted multiset — the
+    quantile_buckets_sampled precedent), broadcast as a 1-row cross
+    join; each side then folds its counts map-side to ``n_buckets``
+    rows, and PSI parts are computed on the joined bucket table —
+    everything after the two scans is bucket-count-sized.  At 100 TB
+    estimate the cutpoints on a deterministic sample upstream
+    (``quantile_buckets_sampled``'s ``sample_rate`` policy) instead of
+    the full reference; the comparison math is unchanged.
+
+    Contract: NULL values are excluded on both sides (no quantile is
+    defined for them); a bucket empty on either side contributes with
+    its proportion floored at ``eps`` (repr-embed the same eps in any
+    oracle) so the log stays finite; an EMPTY side yields NULL
+    proportions — feed non-empty frames.  Returns one row per bucket:
+    ``(bucket, p_ref, p_cur, psi_part)``; total PSI is
+    ``sum(psi_part)``.
+    """
+    if n_buckets < 2:
+        raise ValueError("population_stability_index: n_buckets >= 2")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    r = ref.select(value.alias("_v")).where(F.col("_v").isNotNull())
+    c = cur.select(value.alias("_v")).where(F.col("_v").isNotNull())
+    cuts = r.agg(
+        F.percentile(
+            F.col("_v"), F.array(*[F.lit(p) for p in probs])
+        ).alias("_cuts")
+    )
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col("_v") >= cut, F.lit(1)).otherwise(F.lit(0)),
+        )
+    ).cast("long")
+
+    def _counts(side: DataFrame, name: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(cuts))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc = _counts(r, "_rc")
+    cc = _counts(c, "_cc")
+    joined = rc.join(cc, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+        F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
+    )
+    tot = joined.agg(
+        F.sum("_rc").alias("_rt"), F.sum("_cc").alias("_ct")
+    )
+    e = F.lit(float(eps))
+    p_ref = F.greatest(
+        F.try_divide(F.col("_rc").cast("double"), F.col("_rt")), e
+    )
+    p_cur = F.greatest(
+        F.try_divide(F.col("_cc").cast("double"), F.col("_ct")), e
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            (
+                (p_cur - p_ref) * F.log(F.try_divide(p_cur, p_ref))
+            ).alias("psi_part"),
+        )
+        .orderBy("bucket")
     )

@@ -30,6 +30,7 @@ from airflow_etl_minio_to_postgres_spark.operators.temporal import (
 )
 from airflow_etl_minio_to_postgres_spark.operators.audit import (
     k_anonymity_stats,
+    population_stability_index,
     validate_expectations,
 )
 from airflow_etl_minio_to_postgres_spark.operators.scd import (
@@ -97,6 +98,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     assign_splits,
+    bm25_topk,
     chunk_text,
     curriculum_order,
     redact_pii,
@@ -138,6 +140,7 @@ from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
 from airflow_etl_minio_to_postgres_spark.sources.files import (
     read_csv,
     read_jsonl,
+    recluster_zorder_parquet,
     write_csv,
     write_jsonl,
     write_orc,
@@ -2524,6 +2527,62 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3)
 
 
+# BM25 constants computed ONCE in Python and repr-embedded on both
+# sides, so engine (F.lit) and oracle (SQL literal) use bit-identical
+# doubles — the _QBUCKET_PROBS / assign_splits precedent.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["join", "spark", "window"]
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
+        FROM d
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ({', '.join(f"'{t}'" for t in sorted(_BM25_TERMS))})
+        GROUP BY 1, 2
+    ),
+    wdf AS (
+        SELECT *, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+        FROM tf
+    ),
+    lens AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM d),
+    s AS (
+        SELECT wdf.doc_id,
+               ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r}
+                  / (tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r}
+                             + {_BM25_B!r} * dl / stats.avgdl))) AS part
+        FROM wdf JOIN lens USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, sum(part) AS score
+    FROM s GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a 3-term query (functions/text.py
+    bm25_topk) — the LEXICAL retrieval path, sparse complement of the
+    embedding family's dense ANN serving: production retrieval runs
+    both and fuses.  The inverted-index access pattern without
+    materializing one — the token explode filters to the query's terms
+    immediately (broadcast-vocabulary isin), df rides a window over the
+    aggregated (doc, term) rows, N/avgdl are one broadcast scalar
+    aggregate, and top-k is a TakeOrdered.  k1/b constants are
+    repr-embedded on both sides so each engine folds bit-identical
+    doubles."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
 @register(
     "docs_unigram_logprob",
     f"""
@@ -4671,6 +4730,44 @@ def events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_zorder_recluster",
+    f"""
+    SELECT event_id, {_ZVAL_SQL} AS zval
+    FROM (
+        SELECT event_id, user_id % 1024 AS bu,
+               (epoch_us(ts) // 3600000000) % 1024 AS bh
+        FROM events
+    ) t
+    """,
+)
+def events_zorder_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE-after-ingest pass (sources/files.py
+    recluster_zorder_parquet) registered end-to-end: the events
+    predicate columns land as TWO curve-oblivious appended batches
+    (the layout a per-batch streaming writer leaves behind), the
+    location is re-clustered in place onto the Morton curve, and the
+    read-back is checked against the IDENTICAL oracle as
+    events_zorder_curve — the physical rewrite is proven lossless at
+    the value level while the footer pytest pins the layout effect
+    (both dims' per-file spans tighten).  One sampled range exchange;
+    atomic staged swap."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("bu"),
+        (F.expr("unix_micros(ts) div 3600000000") % 1024).alias("bh"),
+    )
+    base = tempfile.mkdtemp(prefix="zorder_recluster_")
+    path = os.path.join(base, "events_z")
+    for m in (0, 1):
+        ev.where(F.col("event_id") % 2 == m).write.mode("append").parquet(
+            path
+        )
+    recluster_zorder_parquet(spark, path, ["bu", "bh"], bits=10, n_files=8)
+    back = spark.read.parquet(path)
+    return back.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
+
+
+@register(
     "events_user_kmv_distinct",
     """
     WITH dv AS (SELECT DISTINCT event_type, user_id FROM events
@@ -5658,6 +5755,61 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row fold over the group counts."""
     c = load_table(spark, "customer", sf_dir)
     return k_anonymity_stats(c, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+@register(
+    "events_value_drift",
+    f"""
+    WITH r AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    c AS (SELECT value AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+    cuts AS (
+        SELECT quantile_cont(v,
+                             [{', '.join(repr(p) for p in _QBUCKET_PROBS)}])
+                   AS cs
+        FROM r
+    ),
+    rb AS (SELECT 1 + len(list_filter(cuts.cs, x -> r.v >= x)) AS bucket
+           FROM r CROSS JOIN cuts),
+    cb AS (SELECT 1 + len(list_filter(cuts.cs, x -> c.v >= x)) AS bucket
+           FROM c CROSS JOIN cuts),
+    rc AS (SELECT bucket, count(*) AS rcnt FROM rb GROUP BY 1),
+    cc AS (SELECT bucket, count(*) AS ccnt FROM cb GROUP BY 1),
+    j AS (
+        SELECT coalesce(rc.bucket, cc.bucket) AS bucket,
+               coalesce(rcnt, 0) AS rcnt, coalesce(ccnt, 0) AS ccnt
+        FROM rc FULL OUTER JOIN cc ON rc.bucket = cc.bucket
+    ),
+    tot AS (SELECT sum(rcnt) AS rt, sum(ccnt) AS ct FROM j)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           greatest(rcnt::DOUBLE / rt, 1e-06) AS p_ref,
+           greatest(ccnt::DOUBLE / ct, 1e-06) AS p_cur,
+           (greatest(ccnt::DOUBLE / ct, 1e-06)
+            - greatest(rcnt::DOUBLE / rt, 1e-06))
+           * ln(greatest(ccnt::DOUBLE / ct, 1e-06)
+                / greatest(rcnt::DOUBLE / rt, 1e-06)) AS psi_part
+    FROM j CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/audit.py
+    population_stability_index): PSI of purchase-event values against
+    the click-event reference over the reference's exact decile
+    buckets — the scheduled "did this distribution move?" check next
+    to the expectation suite.  Cutpoints are one reference aggregate
+    broadcast back; each side folds to 10 bucket counts map-side; the
+    PSI parts are computed on the bucket-count join — everything after
+    the two scans is bucket-sized.  Empty buckets floor at the
+    repr-shared eps so the log stays finite."""
+    e = load_table(spark, "events", sf_dir)
+    return population_stability_index(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        F.col("value"),
+        n_buckets=10,
+    )
 
 
 @register(

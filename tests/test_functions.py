@@ -1085,6 +1085,106 @@ def test_ann_recall_at_k_contract(spark):
     assert got_dup == {1: 2 / 3, 2: 0.0, 3: 0.0}
 
 
+def test_bm25_topk_ranks_by_hand_computed_scores(spark):
+    """BM25 on a 3-doc corpus against a Python reference: exact scores
+    (same ln / same double folds), rank order, tie-break on doc id,
+    docs without any query term absent, empty query rejected."""
+    import math
+
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "join window filter sort"),
+            (3, "filter sort merge agg"),
+        ],
+        "doc_id long, text string",
+    )
+    k1, b = 1.2, 0.75
+    docs = {
+        1: ["spark", "spark", "join"],
+        2: ["join", "window", "filter", "sort"],
+        3: ["filter", "sort", "merge", "agg"],
+    }
+    N = 3
+    avgdl = sum(len(w) for w in docs.values()) / N
+    terms = ["spark", "join"]
+    dfreq = {
+        t: sum(1 for w in docs.values() if t in w) for t in terms
+    }
+
+    def score(doc_id):
+        s = 0.0
+        for t in terms:
+            tf = docs[doc_id].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(
+                1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            dl = len(docs[doc_id])
+            s += idf * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+        return s
+
+    got = [(r.doc_id, r.score) for r in bm25_topk(df, terms, k=10).collect()]
+    assert [d for d, _ in got] == [1, 2]  # doc 3 has no query term
+    for d, s in got:
+        assert s == pytest.approx(score(d), abs=1e-12)
+    assert got[0][1] > got[1][1]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [], k=3)
+
+
+def test_population_stability_index_detects_shift(spark):
+    """PSI contract: identical distributions score ~0; a shifted
+    current distribution crosses the 0.25 'shifted' rule of thumb; a
+    bucket empty on the current side floors at eps instead of
+    producing an infinite log; NULL values are excluded."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+    )
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    same = population_stability_index(ref, ref, F.col("v"), n_buckets=10)
+    rows = same.collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    assert sum(r.psi_part for r in rows) < 1e-9
+
+    # current: hard shift into the top half of the reference domain
+    cur = spark.range(1000).select(
+        (F.lit(50) + F.col("id") % 50).cast("double").alias("v")
+    )
+    shifted = population_stability_index(ref, cur, F.col("v"), n_buckets=10)
+    srows = shifted.collect()
+    assert sum(r.psi_part for r in srows) > 0.25
+    # the emptied low buckets floored at eps, all parts finite
+    assert all(abs(r.psi_part) < float("inf") for r in srows)
+    low = [r for r in srows if r.bucket <= 5]
+    assert all(r.p_cur == 1e-06 for r in low)
+
+    # NULL values on the current side are excluded, not bucketed
+    with_null = cur.union(
+        spark.range(10).select(F.lit(None).cast("double").alias("v"))
+    )
+    nrows = population_stability_index(
+        ref, with_null, F.col("v"), n_buckets=10
+    ).collect()
+    assert [
+        (r.bucket, r.p_cur) for r in nrows
+    ] == [(r.bucket, r.p_cur) for r in srows]
+
+
 def test_source_quality_gate_drops_whole_groups(spark):
     """The gate judges PUBLISHERS: a low-quality source's individually
     identical doc is dropped while the high-quality source's docs all

@@ -553,6 +553,59 @@ def ivf_knn_join(
     )
 
 
+def rrf_fuse(
+    results: list[tuple[DataFrame, str]],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the hybrid
+    step production retrieval runs after its dense (``ivf_topk_*`` /
+    ``topk_cosine``) and sparse (``bm25_topk``) paths: fused score
+    ``Σ_lists 1/(k_rrf + rank)``, robust to incomparable score scales
+    because only RANKS enter (the standard k_rrf = 60).
+
+    Each input is ``(result_frame, score_col)`` — a ranked list keyed
+    by ``id_col``, higher score better; ranks are assigned by a
+    (score desc, id) row_number so ties are deterministic, and an id
+    missing from a list contributes 0 for it.  Scale shape: inputs are
+    top-k RESULT tables (result-sized, never corpus-sized — the
+    ann_recall_at_k posture), so the rank windows and the chain of
+    full-outer joins on the id touch ≤ Σ k_i rows; the fused sum is a
+    fixed left-to-right fold over explicit coalesces (reproduce the
+    same list order in any oracle).  Returns the top-``k`` rows
+    ``(id_col, rrf)`` by (fused score desc, id)."""
+    if not results:
+        raise ValueError("rrf_fuse: results must be non-empty")
+    from pyspark.sql import Window
+
+    fused = None
+    rank_cols = []
+    for i, (r, score_col) in enumerate(results):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked = r.select(
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(int(k_rrf)) + F.row_number().over(w))
+            ).alias(f"_rrf{i}"),
+        )
+        rank_cols.append(f"_rrf{i}")
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, id_col, "full")
+        )
+    expr = F.coalesce(F.col(rank_cols[0]), F.lit(0.0))
+    for c in rank_cols[1:]:
+        expr = expr + F.coalesce(F.col(c), F.lit(0.0))
+    return (
+        fused.select(id_col, expr.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def ann_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

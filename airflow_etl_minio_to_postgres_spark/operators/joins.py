@@ -51,3 +51,38 @@ def salted_join(
     return salted_big.join(
         replicated_small, on=keys + [SALT_COL], how=how
     ).drop(SALT_COL)
+
+
+def join_key_skew_report(
+    df: DataFrame, key: str, top_n: int = 10
+) -> DataFrame:
+    """"Measure, don't guess" applied to join planning: the per-key
+    hot-spot report you run BEFORE deciding whether a join needs
+    :func:`salted_join` / ``salted_join_sides`` — at 100 TB a single
+    key holding 1% of a fact table turns an equi-join into one
+    straggler task, and the fix (salting, AQE skew thresholds, key
+    filtering) depends on knowing which keys and how hot.
+
+    One map-side-combined groupBy on the key, a broadcast 1-row total,
+    and a TakeOrdered top-``top_n`` — group-count-sized after the scan,
+    never data-sized.  NULL keys are excluded (they never match an
+    equi-join; their volume is the cleaning family's concern).  Returns
+    ``(key_value, cnt, share)`` as strings/longs/doubles, hottest
+    first, ties broken on the key value for determinism."""
+    keyed = df.where(F.col(key).isNotNull()).select(
+        F.col(key).cast("string").alias("key_value")
+    )
+    counts = keyed.groupBy("key_value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = F.broadcast(keyed.agg(F.count(F.lit(1)).alias("_total")))
+    return (
+        counts.crossJoin(total)
+        .select(
+            "key_value",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key_value"))
+        .limit(int(top_n))
+    )

@@ -33,6 +33,9 @@ from airflow_etl_minio_to_postgres_spark.operators.audit import (
     population_stability_index,
     validate_expectations,
 )
+from airflow_etl_minio_to_postgres_spark.operators.joins import (
+    join_key_skew_report,
+)
 from airflow_etl_minio_to_postgres_spark.operators.scd import (
     apply_cdc,
     scd2_init,
@@ -84,6 +87,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     knn_join,
     label_centroids,
     quantize_int8,
+    rrf_fuse,
     semantic_decontaminate,
     semantic_dedup,
     topk_cosine,
@@ -2535,9 +2539,7 @@ _BM25_B = 0.75
 _BM25_TERMS = ["join", "spark", "window"]
 
 
-@register(
-    "docs_bm25_topk",
-    f"""
+_BM25_SQL = f"""
     WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     stats AS (
         SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
@@ -2566,8 +2568,10 @@ _BM25_TERMS = ["join", "spark", "window"]
     SELECT doc_id, sum(part) AS score
     FROM s GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@register("docs_bm25_topk", _BM25_SQL)
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query (functions/text.py
     bm25_topk) — the LEXICAL retrieval path, sparse complement of the
@@ -2581,6 +2585,57 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(0, len(embedding)), i ->"
+    " embedding[i+1]::DOUBLE * qv[i+1]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "docs_hybrid_rrf_topk",
+    f"""
+    WITH bm AS (SELECT * FROM ({_BM25_SQL}) t),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dn AS (
+        SELECT vec_id AS doc_id, {_COS_SQL} AS cosine
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    ),
+    rb AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM bm),
+    rd AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+           FROM dn)
+    SELECT coalesce(rb.doc_id, rd.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + rb.rnk), 0.0)
+           + coalesce(1.0 / (60 + rd.rnk), 0.0) AS rrf
+    FROM rb FULL OUTER JOIN rd ON rb.doc_id = rd.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (functions/similarity.py rrf_fuse): the BM25
+    sparse list (3-term query over documents) and the dense cosine
+    top-10 (embeddings, query vector 0 — embeddings.vec_id is the
+    document id) fused by reciprocal-rank fusion at k_rrf=60 — the
+    fusion step production retrieval runs over its two paths, robust
+    to incomparable score scales because only ranks enter.  Both
+    inputs are top-10 result tables, so the fusion touches ≤ 20 rows;
+    the oracle replays both rankers and the rank-sum fold in the same
+    list order."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bm = bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+    dn = topk_cosine(
+        load_table(spark, "embeddings", sf_dir), query_id=0, k=10
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([(bm, "score"), (dn, "cosine")], k=10, k_rrf=60)
 
 
 @register(
@@ -3344,12 +3399,7 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
 
-_COS_SQL = (
-    "list_sum(list_transform(range(0, len(embedding)), i ->"
-    " embedding[i+1]::DOUBLE * qv[i+1]::DOUBLE))"
-    " / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
-    " * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))"
-)
+# (moved above docs_hybrid_rrf_topk, which embeds it)
 
 
 @register(
@@ -5755,6 +5805,30 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row fold over the group counts."""
     c = load_table(spark, "customer", sf_dir)
     return k_anonymity_stats(c, ["c_mktsegment", "c_nationkey"], k=5)
+
+
+@register(
+    "events_join_key_skew",
+    """
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_value
+               FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT key_value, count(*) AS cnt FROM k GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM k)
+    SELECT key_value, cnt, cnt::DOUBLE / t.total AS share
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, key_value LIMIT 10
+    """,
+)
+def events_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key hot-spot report (operators/joins.py
+    join_key_skew_report): the top-10 hottest user_id values of the
+    events fact table with their share of all keyed rows — the
+    diagnostic run BEFORE choosing a skew mitigation (salted_join /
+    salted_join_sides / AQE thresholds).  One map-side-combined
+    groupBy, a broadcast scalar total, a TakeOrdered — group-sized
+    after the scan."""
+    e = load_table(spark, "events", sf_dir)
+    return join_key_skew_report(e, "user_id", top_n=10)
 
 
 @register(

@@ -1142,6 +1142,40 @@ def test_bm25_topk_ranks_by_hand_computed_scores(spark):
         bm25_topk(df, [], k=3)
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF fusion on two hand-built ranked lists: exact 1/(60+rank)
+    sums, an id present in only one list contributes 0 for the other,
+    ranks break score ties on the id, and the empty-input contract."""
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0)], "doc_id long, score double"
+    )  # ranks: 1->1, 2->2 (tie, smaller id first), 3->3
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8)], "doc_id long, cosine double"
+    )  # ranks: 3->1, 4->2
+    got = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse([(a, "score"), (b, "cosine")], k=10).collect()
+    }
+    assert got == {
+        1: 1.0 / 61,
+        2: 1.0 / 62,
+        3: 1.0 / 63 + 1.0 / 61,
+        4: 1.0 / 62,
+    }
+    # top-k cut honors (rrf desc, id): 3 first, then 1, then 2 before 4
+    top = [r.doc_id for r in rrf_fuse([(a, "score"), (b, "cosine")], k=3).collect()]
+    assert top == [3, 1, 2]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+
+
 def test_population_stability_index_detects_shift(spark):
     """PSI contract: identical distributions score ~0; a shifted
     current distribution crosses the 0.25 'shifted' rule of thumb; a

@@ -15,7 +15,7 @@ with the operations a large-scale LLM training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # BPE-ish token pattern: runs of alphanumerics OR single non-space symbols —
@@ -400,6 +400,156 @@ def bm25_topk(
                 * (
                     F.lit(1.0 - float(b))
                     + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(F.col("_idf") * F.col("_tfp")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def write_inverted_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> str:
+    """Materialize the BM25 serving layout — the sparse twin of
+    ``similarity.write_ivf_index``: postings ``(doc_id, term, tf, dl)``
+    written as parquet PARTITIONED BY ``term_bucket =
+    pmod(xxhash64(term), n_buckets)``, so a query's terms become a
+    partition-pruned scan reading only the probed bucket directories —
+    at 100 TB the difference between touching ``|query terms|`` hash
+    buckets and re-tokenizing the corpus per query.  A HASH bucket
+    rather than the raw term because term cardinality is unbounded and
+    Zipf-skewed (the near-dup store's band_bucket reasoning); one
+    writer task per bucket.  Doc length is DENORMALIZED into every
+    posting (the store-the-shingles trade) and the corpus stats the
+    scoring needs — ``(n_docs, avgdl, n_buckets)`` — land in a
+    ``_stats`` sidecar under the same root (underscore-prefixed, so
+    table readers ignore it), making the index self-describing:
+    serving reads ``n_buckets`` from the sidecar, never guesses.
+    Empty-string tokens are not indexed.  Re-running overwrites
+    (idempotent rebuild).  Returns ``path``."""
+    import os as _os
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    d = df.select(F.col(id_col), words.alias("_w"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.col("_w"))).alias("avgdl"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+    )
+    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("dl"))
+    tf = (
+        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = (
+        tf.join(lens, id_col)
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_buckets))).cast(
+                "int"
+            ),
+        )
+        .repartition(int(n_buckets), "term_bucket")
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    stats.write.mode("overwrite").parquet(_os.path.join(path, "_stats"))
+    return path
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve BM25 top-``k`` from a :func:`write_inverted_index` layout
+    — the sparse mirror of ``ivf_topk_indexed``: the query's term
+    buckets are computed with the ENGINE'S OWN hash over a terms-frame
+    (bounded by ``|terms|`` — the IVF probe-collect pattern, and the
+    only way the probe agrees bit-for-bit with the writer's bucketing),
+    and the scan carries ``term_bucket IN (...)`` so Spark prunes to
+    exactly those partition directories (PartitionFilters, pinned in
+    tests).  Scoring replays :func:`bm25_topk`'s exact math — df as a
+    window over the pruned postings (all postings for a term live in
+    its bucket, so the pruned scan sees every one), corpus stats from
+    the broadcast sidecar — and is bit-identical to the direct path
+    over the same corpus."""
+    import os as _os
+
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    stats = spark.read.parquet(_os.path.join(path, "_stats"))
+    srow = stats.collect()[0]
+    n_buckets = int(srow["n_buckets"])
+    buckets = sorted(
+        r[0]
+        for r in spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+        .select(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(path)
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    from pyspark.sql import Window
+
+    with_df = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    scored = (
+        with_df.crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.col("n_docs").alias("_n_docs"),
+                    F.col("avgdl").alias("_avgdl"),
+                )
+            )
+        )
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfp",
+            F.col("tf")
+            * F.lit(float(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("dl") / F.col("_avgdl")
                 )
             ),
         )

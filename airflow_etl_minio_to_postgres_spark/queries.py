@@ -103,6 +103,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     assign_splits,
     bm25_topk,
+    bm25_topk_indexed,
     chunk_text,
     curriculum_order,
     redact_pii,
@@ -123,6 +124,7 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
     token_count_expr,
     unigram_logprob,
     word_count_expr,
+    write_inverted_index,
 )
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
 from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
@@ -2569,6 +2571,26 @@ _BM25_SQL = f"""
     FROM s GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10
     """
+
+
+@register("docs_bm25_indexed", _BM25_SQL)
+def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED sparse serving path (functions/text.py
+    write_inverted_index + bm25_topk_indexed) — the BM25 mirror of
+    emb_ivf_topk_indexed: postings written partitioned by
+    term-hash bucket with a self-describing ``_stats`` sidecar, the
+    query's term buckets computed with the engine's own hash over a
+    bounded terms-frame, and the scan pruned to exactly those bucket
+    directories (PartitionFilters, pinned in tests).  Checked against
+    the IDENTICAL oracle as the direct docs_bm25_topk — serving from
+    the index is proven bit-equal to re-tokenizing the corpus."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="inv_index_")
+    path = os.path.join(base, "index")
+    write_inverted_index(d, path, n_buckets=64)
+    return bm25_topk_indexed(
+        spark, path, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
 
 
 @register("docs_bm25_topk", _BM25_SQL)

@@ -1142,6 +1142,44 @@ def test_bm25_topk_ranks_by_hand_computed_scores(spark):
         bm25_topk(df, [], k=3)
 
 
+def test_bm25_indexed_matches_direct_and_prunes(spark, tmp_path):
+    """Serving BM25 from the inverted index must be bit-identical to
+    the direct path over the same corpus, the scan must carry
+    term_bucket PartitionFilters (only the query's hash buckets are
+    read), and the sidecar makes the index self-describing (n_buckets
+    read from _stats, not guessed)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"spark join window filter doc{i} " + "pad " * (i % 5))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv")
+    write_inverted_index(df, path, n_buckets=16)
+
+    terms = ["spark", "doc7"]
+    direct = bm25_topk(df, terms, k=5).collect()
+    served = bm25_topk_indexed(spark, path, terms, k=5)
+    plan = (
+        served._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PartitionFilters: \[.*term_bucket#\d+ IN \(", plan), plan
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in direct
+    ]
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF fusion on two hand-built ranked lists: exact 1/(60+rank)
     sums, an id present in only one list contributes 0 for the other,

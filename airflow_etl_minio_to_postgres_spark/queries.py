@@ -132,11 +132,13 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     hourly_agg_stream,
     run_available_now,
     run_stateful_user_counts,
+    stream_documents,
     stream_embeddings,
     stream_events,
     stream_static_enrichment,
     stream_stream_attribution,
     streaming_dedup,
+    streaming_inverted_index_upsert,
     streaming_ivf_index_upsert,
     streaming_near_dup_dedup,
     streaming_rollup_upsert,
@@ -2590,6 +2592,33 @@ def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_inverted_index(d, path, n_buckets=64)
     return bm25_topk_indexed(
         spark, path, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register("docs_bm25_streamed", _BM25_SQL)
+def docs_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous BM25-index maintenance (streaming/pipeline.py
+    streaming_inverted_index_upsert) — the sparse twin of
+    emb_streaming_ivf_upsert, completing the symmetry for both
+    retrieval paths: the documents table arrives as a STREAM, each
+    micro-batch lands its postings in term-hash-bucket partitions
+    (crash-replay-safe _commit_id overwrite) and merges EXACT integer
+    stats partials under the rollup's atomic marker, and the SAME
+    bm25_topk_indexed serving path reads the maintained index —
+    checked against the IDENTICAL oracle as the direct and one-shot
+    indexed entries, so streamed maintenance is proven
+    serving-equivalent to a batch rebuild."""
+    base = tempfile.mkdtemp(prefix="stream_inv_")
+    index = os.path.join(base, "index")
+    q = streaming_inverted_index_upsert(
+        stream_documents(spark, sf_dir),
+        index,
+        os.path.join(base, "ckpt"),
+        n_buckets=64,
+    )
+    q.awaitTermination()
+    return bm25_topk_indexed(
+        spark, index, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
     )
 
 

@@ -105,6 +105,19 @@ def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema declared —
+    a streaming scan must never infer).  The text-ingest face of
+    :func:`stream_events`: feeds :func:`streaming_inverted_index_upsert`
+    so the continuously-maintained BM25 index is oracle-gated end to
+    end."""
+    return (
+        spark.readStream.schema(raw_read_schema("documents"))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregation: (hour, event_type) ->
     count + sum(value).  The watermark bounds state; output schema is
@@ -1129,6 +1142,153 @@ def _ivf_index_process_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cid", "_commit_id")
         .parquet(index_path)
+    )
+
+
+def streaming_inverted_index_upsert(
+    raw_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Continuously maintain a
+    :func:`...functions.text.write_inverted_index` BM25 serving layout
+    from a stream of documents — the SPARSE twin of
+    :func:`streaming_ivf_index_upsert`, completing the symmetry:
+    build / stream-maintain / serve for both retrieval paths.
+
+    Per batch: one tokenize + tf pass, postings repartitioned on the
+    term-hash bucket (about one file per touched bucket per batch),
+    one dynamic-partition-overwrite write into
+    ``term_bucket=<b>/_commit_id=<k>`` directories — a replayed batch
+    rewrites exactly its own partitions.  The ``_stats`` sidecar the
+    serving path needs (n_docs, avgdl, n_buckets) is NOT
+    batch-decomposable by overwrite, so it merges EXACT integer
+    partials — ``(n_docs, sum_dl)``, the rollup's micro-unit policy —
+    and ``avgdl`` is derived by one division at write time (the same
+    long-sum/count division the batch writer's ``F.avg`` performs, so
+    streamed and one-shot sidecars agree bit-for-bit).  Replay safety
+    for the merge is the rollup's marker mechanism verbatim: the
+    last-merged ``(token, batch_id)`` rides a ``_last_batch`` file
+    promoted by the SAME atomic swap as the stats it describes.
+
+    Like the IVF maintainer, append-only: a document re-delivered in a
+    LATER batch duplicates its postings and inflates the stats — dedup
+    upstream (exact_dedup / the near-dup screen); rebuild
+    (``write_inverted_index``) is the documented re-base operation.
+    Local-FS stats path (atomic swap).  Returns the started
+    StreamingQuery."""
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    index_path_local = _local_path(index_path)
+    token = _commit_token(checkpoint_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _inv_index_process_batch(
+            batch_df,
+            batch_id,
+            index_path_local,
+            token,
+            text_col,
+            id_col,
+            n_buckets,
+        )
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _inv_index_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    token: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """One :func:`streaming_inverted_index_upsert` micro-batch —
+    module-level so both replay contracts (postings: same batch twice
+    == once; stats: an already-merged batch is a no-op) are directly
+    testable."""
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        WHITESPACE,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _rewrite_in_place,
+    )
+
+    spark = batch_df.sparkSession
+    words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
+    d = batch_df.select(F.col(id_col), words.alias("_w"))
+    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("dl"))
+    tf = (
+        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = (
+        tf.join(lens, id_col)
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_buckets))).cast(
+                "int"
+            ),
+        )
+        .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
+        .repartition(int(n_buckets), "term_bucket")
+    )
+    (
+        postings.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket", "_commit_id")
+        .parquet(index_path)
+    )
+
+    stats_path = os.path.join(index_path, "_stats")
+    marker = os.path.join(stats_path, "_last_batch")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            last_token, _, last_id = f.read().strip().partition(":")
+        if last_token == token and batch_id <= int(last_id):
+            return  # crash-replayed batch: stats already merged
+    partial = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col("_w"))).cast("long").alias("sum_dl"),
+    )
+    if os.path.exists(stats_path):
+        on_disk = spark.read.parquet(stats_path)
+        if "sum_dl" not in on_disk.columns:
+            raise ValueError(
+                f"stats sidecar at {stats_path!r} has no exact sum_dl "
+                "column (a one-shot write_inverted_index sidecar?) — "
+                "rebuild the index with the streaming maintainer or "
+                "keep serving the batch-built layout"
+            )
+        prev = on_disk.select("n_docs", "sum_dl")
+        merged = prev.unionByName(partial).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    else:
+        merged = partial
+    stats = merged.select(
+        "n_docs",
+        "sum_dl",
+        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+    )
+    _rewrite_in_place(
+        stats, stats_path, extra_files={"_last_batch": f"{token}:{batch_id}"}
     )
 
 

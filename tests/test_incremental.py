@@ -1114,6 +1114,74 @@ def test_compact_ivf_index_merges_files_and_serves_bit_equal(
         compact_ivf_index(spark, str(tmp_path / "flat"))
 
 
+def test_streaming_inverted_index_serves_like_batch_build(spark, tmp_path):
+    """The streamed BM25 index must be serving-equivalent to a one-shot
+    write_inverted_index over the same docs (identical bm25_topk_indexed
+    results AND bit-identical stats sidecar values), and BOTH replay
+    contracts hold: a replayed batch rewrites its own postings
+    partitions (no duplicates) and its stats merge is a marker-guarded
+    no-op (no double-counted n_docs/sum_dl)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _commit_token,
+        _inv_index_process_batch,
+        streaming_inverted_index_upsert,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark join window filter doc{i} " + "pad " * (i % 4))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "landing")
+    streamed = str(tmp_path / "streamed")
+    built = str(tmp_path / "built")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def run_batch():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_inverted_index_upsert(s, streamed, ckpt, n_buckets=16)
+        q.awaitTermination()
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    half.write.mode("append").parquet(landing)
+    run_batch()
+    rest.write.mode("append").parquet(landing)
+    run_batch()
+
+    write_inverted_index(docs, built, n_buckets=16)
+    terms = ["spark", "doc7"]
+    a = bm25_topk_indexed(spark, streamed, terms, k=5).collect()
+    b = bm25_topk_indexed(spark, built, terms, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    import os as _os
+
+    s_stats = spark.read.parquet(_os.path.join(streamed, "_stats")).collect()[0]
+    b_stats = spark.read.parquet(_os.path.join(built, "_stats")).collect()[0]
+    assert s_stats["n_docs"] == b_stats["n_docs"] == 30
+    assert s_stats["avgdl"] == b_stats["avgdl"]  # bit-identical division
+
+    # crash replay of the last batch: postings rewrite their own
+    # partitions, stats marker makes the merge a no-op
+    n_postings = spark.read.parquet(streamed).count()
+    _inv_index_process_batch(
+        rest, 1, streamed, _commit_token(ckpt), n_buckets=16
+    )
+    assert spark.read.parquet(streamed).count() == n_postings
+    s2 = spark.read.parquet(_os.path.join(streamed, "_stats")).collect()[0]
+    assert s2["n_docs"] == 30 and s2["sum_dl"] == s_stats["sum_dl"]
+
+
 def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
     """The batch face must decide EXACTLY what the streaming sink would:
     build a store from batch-1 via the sink, then screen batch-2 once

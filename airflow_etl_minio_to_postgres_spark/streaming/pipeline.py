@@ -1358,6 +1358,68 @@ def compact_ivf_index(
     return spark.read.parquet(index_path).count()
 
 
+def compact_inverted_index(
+    spark: SparkSession, index_path: str, compact_seq: int = 0
+) -> int:
+    """Housekeeping for a streamed
+    :func:`streaming_inverted_index_upsert` index — the sparse face of
+    :func:`compact_ivf_index`: fold the per-batch ``_commit_id``
+    posting partitions into ONE ``compact-<seq>`` commit per term
+    bucket, preserving the ``term_bucket`` partition level the serving
+    path prunes on.  The ``_stats`` sidecar is untouched (it is already
+    one merged row, not per-batch fragments).  Same run-window contract
+    as the other compactors: only between cleanly-terminated runs.
+    Also accepts a batch :func:`...functions.text.write_inverted_index`
+    layout (no ``_commit_id``) and simply refragments it per bucket.
+    Local-FS only (atomic swap).  Idempotent in content.  Returns the
+    postings row count."""
+    import shutil
+
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    index_path = _local_path(index_path)
+    df = spark.read.parquet(index_path)
+    if "term_bucket" not in df.columns:
+        raise ValueError(
+            f"index at {index_path!r} has columns {sorted(df.columns)} — "
+            "not an inverted-index layout (no term_bucket partition "
+            "column)"
+        )
+    has_commits = "_commit_id" in df.columns
+    data_cols = [
+        c for c in df.columns if c not in ("term_bucket", "_commit_id")
+    ]
+    compacted = df.select(*data_cols, "term_bucket")
+    part_cols = ["term_bucket"]
+    if has_commits:
+        compacted = compacted.withColumn(
+            "_commit_id", F.lit(f"compact-{int(compact_seq)}")
+        )
+        part_cols.append("_commit_id")
+    compacted = compacted.repartition("term_bucket")
+
+    stats_src = os.path.join(index_path, "_stats")
+    tmp = index_path.rstrip("/") + "__compact_tmp"
+    old = index_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    # carry the sidecar (and its replay marker) into the staged copy so
+    # the swap is atomic for the whole self-describing index
+    if os.path.exists(stats_src):
+        shutil.copytree(stats_src, os.path.join(tmp, "_stats"))
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_path, old)
+    os.replace(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(index_path).count()
+
+
 def compact_near_dup_store(
     spark: SparkSession, store_path: str, compact_seq: int = 0
 ) -> int:

@@ -1182,6 +1182,83 @@ def test_streaming_inverted_index_serves_like_batch_build(spark, tmp_path):
     assert s2["n_docs"] == 30 and s2["sum_dl"] == s_stats["sum_dl"]
 
 
+def test_compact_inverted_index_merges_files_and_serves_bit_equal(
+    spark, tmp_path
+):
+    """compact_inverted_index folds the streamed postings' per-batch
+    fragmentation into one compact commit per term bucket: data file
+    count drops, the term_bucket layout and the _stats sidecar (with
+    its replay marker) survive the atomic swap, and bm25_topk_indexed
+    results are bit-equal before and after."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_indexed,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+        streaming_inverted_index_upsert,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark join window filter doc{i} " + "pad " * (i % 4))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "landing")
+    streamed = str(tmp_path / "streamed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def run_batch():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_inverted_index_upsert(s, streamed, ckpt, n_buckets=8)
+        q.awaitTermination()
+
+    for m in (0, 1, 2):
+        docs.where(F.col("doc_id") % 3 == m).write.mode("append").parquet(
+            landing
+        )
+        run_batch()
+
+    def data_files(root):
+        out = []
+        for dirpath, _, files in _os.walk(root):
+            if "_stats" in dirpath:
+                continue
+            out += [
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    terms = ["spark", "doc7"]
+    before = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, streamed, terms, k=5).collect()
+    ]
+    files_before = len(data_files(streamed))
+    n = spark.read.parquet(streamed).count()
+
+    assert compact_inverted_index(spark, streamed, compact_seq=0) == n
+    assert len(data_files(streamed)) < files_before
+    got = spark.read.parquet(streamed)
+    assert set(
+        r[0] for r in got.select("_commit_id").distinct().collect()
+    ) == {"compact-0"}
+    # sidecar + marker survived the swap
+    assert _os.path.exists(_os.path.join(streamed, "_stats", "_last_batch"))
+    after = [
+        tuple(r)
+        for r in bm25_topk_indexed(spark, streamed, terms, k=5).collect()
+    ]
+    assert after == before
+
+
 def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
     """The batch face must decide EXACTLY what the streaming sink would:
     build a store from batch-1 via the sink, then screen batch-2 once

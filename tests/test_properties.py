@@ -963,3 +963,194 @@ def test_ann_recall_at_k_matches_set_model(spark, exact, approx, k):
     )
     got = {r.qid: r.recall for r in ann_recall_at_k(adf, edf, k=k).collect()}
     assert got == expect
+
+
+# ---- round-12: retrieval + drift models ----
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "window", "pad", "x"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    terms=st.lists(
+        st.sampled_from(["spark", "join", "window"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@SPARK_SETTINGS
+def test_bm25_matches_python_model(spark, docs, terms):
+    """bm25_topk vs a pure-Python Okapi model over arbitrary tiny
+    corpora: identical doc sets (only docs containing a query term
+    score) and scores equal to 1e-12 — pinning idf/tf formula, doc
+    length, avgdl (which counts EVERY doc, termful or not), and the
+    ln + fold order."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    k1, b = 1.2, 0.75
+    # the engine tokenizes by whitespace split of the trimmed text; an
+    # empty text yields one '' token (len 1) — mirror that exactly
+    toks = {i: ([w for w in words] or [""]) for i, words in enumerate(docs)}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+
+    def score(i):
+        s = 0.0
+        for t in sorted(set(x.lower() for x in terms)):
+            tf = toks[i].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = len(toks[i])
+            s += idf * (
+                tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+        return s
+
+    expected = sorted(
+        ((i, score(i)) for i in toks if score(i) > 0.0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(df, terms, k=20, k1=k1, b=b).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-12, (gd, gs, es)
+
+
+@given(
+    ref_vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=10, max_size=40
+    ),
+    cur_vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=10, max_size=40
+    ),
+    n_buckets=st.integers(min_value=2, max_value=5),
+)
+@SPARK_SETTINGS
+def test_psi_matches_python_model(spark, ref_vals, cur_vals, n_buckets):
+    """population_stability_index vs a pure-Python model: the same
+    linear-interpolated percentile cutpoints, the same >=-count bucket
+    rule, eps-floored proportions, and the (p_cur-p_ref)*ln(p_cur/p_ref)
+    parts — over arbitrary integer value multisets."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in ref_vals], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(float(v),) for v in cur_vals], "v double"
+    )
+    got = {
+        r.bucket: (r.p_ref, r.p_cur, r.psi_part)
+        for r in population_stability_index(
+            ref, cur, F.col("v"), n_buckets=n_buckets
+        ).collect()
+    }
+
+    # python model: exact percentiles with linear interpolation
+    def pct(sorted_vals, p):
+        n = len(sorted_vals)
+        pos = p * (n - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, n - 1)
+        frac = pos - lo
+        return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+    sref = sorted(float(v) for v in ref_vals)
+    cuts = [pct(sref, i / n_buckets) for i in range(1, n_buckets)]
+
+    def bucket(v):
+        return 1 + sum(1 for c in cuts if v >= c)
+
+    from collections import Counter
+
+    rc = Counter(bucket(float(v)) for v in ref_vals)
+    cc = Counter(bucket(float(v)) for v in cur_vals)
+    eps = 1e-6
+    expected = {}
+    for bkt in sorted(set(rc) | set(cc)):
+        p_ref = max(rc.get(bkt, 0) / len(ref_vals), eps)
+        p_cur = max(cc.get(bkt, 0) / len(cur_vals), eps)
+        expected[bkt] = (
+            p_ref,
+            p_cur,
+            (p_cur - p_ref) * math.log(p_cur / p_ref),
+        )
+    assert set(got) == set(expected)
+    for bkt in expected:
+        for g, e in zip(got[bkt], expected[bkt]):
+            assert abs(g - e) < 1e-12, (bkt, got[bkt], expected[bkt])
+
+
+@given(
+    list_a=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+    ),
+    list_b=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@SPARK_SETTINGS
+def test_rrf_fuse_matches_python_model(spark, list_a, list_b):
+    """rrf_fuse vs a pure-Python model over arbitrary (id, score)
+    lists (duplicate ids collapse to distinct rows first): ranks by
+    (score desc, id), 1/(60+rank) sums with absentees contributing 0,
+    output ordered by (fused desc, id)."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        rrf_fuse,
+    )
+
+    da = {i: s for i, s in list_a}  # last write wins; distinct ids
+    db = {i: s for i, s in list_b}
+    if not da:
+        da = {0: 0}
+    if not db:
+        db = {0: 0}
+    a = spark.createDataFrame(
+        [(i, float(s)) for i, s in da.items()], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(s)) for i, s in db.items()], "doc_id long, cosine double"
+    )
+
+    def ranks(d):
+        ordered = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {i: r + 1 for r, (i, _) in enumerate(ordered)}
+
+    ra, rb = ranks(da), ranks(db)
+    fused = {
+        i: (1.0 / (60 + ra[i]) if i in ra else 0.0)
+        + (1.0 / (60 + rb[i]) if i in rb else 0.0)
+        for i in set(ra) | set(rb)
+    }
+    expected = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [
+        (r.doc_id, r.rrf)
+        for r in rrf_fuse([(a, "score"), (b, "cosine")], k=5).collect()
+    ]
+    assert got == expected

@@ -350,12 +350,13 @@ def bm25_topk(
     sized; df-per-term rides a window over those aggregated rows
     (the tfidf precedent, no self-join); N and avgdl are ONE map-side
     corpus aggregate broadcast as a 1-row cross join (the q3 scalar
-    pattern); doc length joins in on the doc id, corpus-shuffle-free
-    under AQE when the match set is small.  Top-k is a TakeOrdered
-    (orderBy+limit), ties broken on the doc id.  Float posture matches
-    ``tfidf_top_terms``/``unigram_logprob``: per-term doubles with
-    ``ln``, summed per doc — few terms per query keep the sum far from
-    hash-rounding boundaries."""
+    pattern); doc length RIDES THROUGH the explode (it is a function
+    of the doc, so ``max`` in the tf aggregate recovers it exactly) —
+    no corpus-sized length table ever joins or shuffles.  Top-k is a
+    TakeOrdered (orderBy+limit), ties broken on the doc id.  Float
+    posture matches ``tfidf_top_terms``/``unigram_logprob``: per-term
+    doubles with ``ln``, summed per doc — few terms per query keep the
+    sum far from hash-rounding boundaries."""
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
@@ -368,20 +369,24 @@ def bm25_topk(
             F.avg(F.size(F.col("_w"))).alias("_avgdl"),
         )
     )
-    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("_dl"))
     tokens = (
-        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        d.select(
+            F.col(id_col),
+            F.size(F.col("_w")).alias("_dl"),
+            F.explode(F.col("_w")).alias("term"),
+        )
         .where(F.col("term").isin(terms))
     )
-    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("_dl")
+    )
     from pyspark.sql import Window
 
     with_df = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     scored = (
-        with_df.join(lens, id_col)
-        .crossJoin(stats)
+        with_df.crossJoin(stats)
         .withColumn(
             "_idf",
             F.log(
@@ -445,16 +450,21 @@ def write_inverted_index(
         F.avg(F.size(F.col("_w"))).alias("avgdl"),
         F.lit(int(n_buckets)).alias("n_buckets"),
     )
-    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("dl"))
+    # doc length rides through the explode (a function of the doc, so
+    # max in the tf aggregate recovers it exactly) — the posting build
+    # never joins or shuffles a corpus-sized length table
     tf = (
-        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        d.select(
+            F.col(id_col),
+            F.size(F.col("_w")).alias("_dl"),
+            F.explode(F.col("_w")).alias("term"),
+        )
         .where(F.col("term") != "")
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("dl"))
     )
     postings = (
-        tf.join(lens, id_col)
-        .withColumn(
+        tf.withColumn(
             "term_bucket",
             F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_buckets))).cast(
                 "int"

@@ -1229,16 +1229,20 @@ def _inv_index_process_batch(
     spark = batch_df.sparkSession
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     d = batch_df.select(F.col(id_col), words.alias("_w"))
-    lens = d.select(F.col(id_col), F.size(F.col("_w")).alias("dl"))
+    # dl rides through the explode (function of the doc; max recovers
+    # it) — no batch-sized length join, matching the batch builder
     tf = (
-        d.select(F.col(id_col), F.explode(F.col("_w")).alias("term"))
+        d.select(
+            F.col(id_col),
+            F.size(F.col("_w")).alias("_dl"),
+            F.explode(F.col("_w")).alias("term"),
+        )
         .where(F.col("term") != "")
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("dl"))
     )
     postings = (
-        tf.join(lens, id_col)
-        .withColumn(
+        tf.withColumn(
             "term_bucket",
             F.pmod(F.xxhash64(F.col("term")), F.lit(int(n_buckets))).cast(
                 "int"

@@ -235,6 +235,78 @@ def test_recluster_zorder_parquet_restores_tight_spans(spark, tmp_path):
     assert sum(zx) / len(zx) <= 40 and sum(zy) / len(zy) <= 40, (zx, zy)
 
 
+def test_recluster_zorder_partitions_scopes_to_touched(spark, tmp_path):
+    """The OPTIMIZE-WHERE shape: a day-partitioned table fragmented in
+    BOTH days is reclustered for day 1 only — day-1 per-file spans
+    tighten on both curve dims, day-2 files are byte-untouched (same
+    file names and mtimes), rows and values survive exactly."""
+    import os as _os
+
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_partitions,
+    )
+
+    grid = spark.range(8192).select(
+        (F.col("id") % 2).alias("day"),
+        (F.col("id") % 64).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).alias("y"),  # independent of x
+    )
+    path = str(tmp_path / "fact")
+    for m in (0, 1):  # two curve-oblivious ingests into both days
+        (
+            grid.where(F.col("y") % 2 == m)
+            .repartitionByRange(4, F.col("x"))
+            .sortWithinPartitions("x")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(path)
+        )
+
+    def day_files(day):
+        d = _os.path.join(path, f"day={day}")
+        return {
+            f: _os.path.getmtime(_os.path.join(d, f))
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    def spans(day, col_idx):
+        out = []
+        d = _os.path.join(path, f"day={day}")
+        for f in glob.glob(_os.path.join(d, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            st = [
+                pf.metadata.row_group(rg).column(col_idx).statistics
+                for rg in range(pf.num_row_groups)
+            ]
+            out.append(
+                max(s.max for s in st) - min(s.min for s in st)
+            )
+        return out
+
+    before_rows = sorted(
+        (r.day, r.x, r.y) for r in spark.read.parquet(path).collect()
+    )
+    day2_before = day_files(1)
+    y_before = spans(0, 1)
+    assert sum(y_before) / len(y_before) >= 50  # ingest left y wide
+
+    swapped = recluster_zorder_partitions(
+        spark, path, ["x", "y"], "day", partitions=[0], bits=6, n_files=16
+    )
+    assert swapped == ["day=0"]
+
+    assert day_files(1) == day2_before  # untouched partition: same bytes
+    after_rows = sorted(
+        (r.day, r.x, r.y) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    zx, zy = spans(0, 0), spans(0, 1)
+    assert sum(zx) / len(zx) <= 40 and sum(zy) / len(zy) <= 40, (zx, zy)
+
+
 def test_write_zorder_parquet_rank_bucket_handles_raw_doubles(spark, tmp_path):
     """rank_bucket=True makes the Z-order sink work on arbitrary
     orderable columns: two RAW uniform doubles (no pre-bucketing) still

@@ -2867,6 +2867,45 @@ def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return original.unionByName(perturbed)
 
 
+# Batch-1 near-dup store state shared by the streaming entry and the
+# batch-screen entry (the memoized-build pattern): both need the SAME
+# expensive artifact — the signature store of first-batch survivors,
+# built via one streaming lifecycle.  The streaming entry then ADVANCES
+# the shared state (appends batch 2, continues the same checkpoint
+# lineage) and flags it consumed; a consumed state forces the next
+# caller to build fresh, so the read-only batch screen never sees a
+# store polluted with batch-2 survivors.  The batch entry materializes
+# its result (localCheckpoint) before returning, so later advancement
+# cannot retroactively change it.
+_NEARDUP_STATE: dict[str, dict] = {}
+
+
+def _near_dup_batch1_state(spark: SparkSession, sf_dir: str) -> dict:
+    st = _NEARDUP_STATE.get(sf_dir)
+    if st is not None and not st["advanced"]:
+        return st
+    base = tempfile.mkdtemp(prefix="stream_neardup_")
+    st = {
+        "base": base,
+        "landing": os.path.join(base, "landing"),
+        "out": os.path.join(base, "out"),
+        "store": os.path.join(base, "store"),
+        "ckpt": os.path.join(base, "ckpt"),
+        "advanced": False,
+    }
+    corpus = _near_dup_input(spark, sf_dir)
+    corpus.where(F.col("doc_id") < 1000000).write.mode("append").parquet(
+        st["landing"]
+    )
+    s = spark.readStream.schema("doc_id long, text string").parquet(
+        st["landing"]
+    )
+    q = streaming_near_dup_dedup(s, st["out"], st["store"], st["ckpt"])
+    q.awaitTermination()
+    _NEARDUP_STATE[sf_dir] = st
+    return st
+
+
 _NEAR_DUP_CTES = (
     "WITH "
     + _NEAR_DUP_BASE_SQL
@@ -2981,29 +3020,18 @@ def docs_streaming_near_dup_dedup(
     near-dup dedup of the originals; a batch-2 doc is dropped iff it
     pairs with a batch-1 SURVIVOR (either direction — the store wins
     regardless of id order) or with a smaller-id batch-2 doc."""
-    base = tempfile.mkdtemp(prefix="stream_neardup_")
-    landing = os.path.join(base, "landing")
-    out = os.path.join(base, "out")
-    store = os.path.join(base, "store")
-    ckpt = os.path.join(base, "ckpt")
+    st = _near_dup_batch1_state(spark, sf_dir)
     corpus = _near_dup_input(spark, sf_dir)
-
-    def run_batch() -> None:
-        s = spark.readStream.schema("doc_id long, text string").parquet(
-            landing
-        )
-        q = streaming_near_dup_dedup(s, out, store, ckpt)
-        q.awaitTermination()
-
-    corpus.where(F.col("doc_id") < 1000000).write.mode("append").parquet(
-        landing
-    )
-    run_batch()
     corpus.where(F.col("doc_id") >= 1000000).write.mode("append").parquet(
-        landing
+        st["landing"]
     )
-    run_batch()
-    return spark.read.parquet(out).select("doc_id")
+    s = spark.readStream.schema("doc_id long, text string").parquet(
+        st["landing"]
+    )
+    q = streaming_near_dup_dedup(s, st["out"], st["store"], st["ckpt"])
+    q.awaitTermination()
+    st["advanced"] = True  # store now holds batch-2 survivors too
+    return spark.read.parquet(st["out"]).select("doc_id")
 
 
 @register(
@@ -3027,23 +3055,11 @@ def docs_near_dup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_against_store,
     )
 
-    base = tempfile.mkdtemp(prefix="neardup_vs_store_")
-    landing = os.path.join(base, "landing")
-    out = os.path.join(base, "out")
-    store = os.path.join(base, "store")
-    ckpt = os.path.join(base, "ckpt")
+    st = _near_dup_batch1_state(spark, sf_dir)
     corpus = _near_dup_input(spark, sf_dir)
-
-    corpus.where(F.col("doc_id") < 1000000).write.mode("append").parquet(
-        landing
-    )
-    s = spark.readStream.schema("doc_id long, text string").parquet(landing)
-    q = streaming_near_dup_dedup(s, out, store, ckpt)
-    q.awaitTermination()
-
-    surv1 = spark.read.parquet(out).select("doc_id")
+    surv1 = spark.read.parquet(st["out"]).select("doc_id")
     surv2 = near_dup_against_store(
-        corpus.where(F.col("doc_id") >= 1000000), store
+        corpus.where(F.col("doc_id") >= 1000000), st["store"]
     ).select("doc_id")
     result = surv1.unionByName(surv2).localCheckpoint()
     release_caches()

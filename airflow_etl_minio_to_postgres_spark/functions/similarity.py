@@ -606,6 +606,70 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_grouped(
+    results: list[tuple[DataFrame, str]],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion — :func:`rrf_fuse` for BATCHED
+    retrieval: each input is a multi-query result table
+    ``(query_id_col, id_col, score_col)`` (the shape
+    ``ivf_topk_batch`` / ``text.bm25_topk_batch`` return), and fusion
+    runs independently inside every query group.  This is the hybrid
+    step of a batched retrieval pipeline and the fused side of the
+    hybrid health eval (fused served lists vs fused brute-force truth
+    through :func:`ann_recall_at_k`).
+
+    Semantics per query group are exactly :func:`rrf_fuse`: rank by
+    (score desc, id) row_number within the (list, query) pair, fused
+    score ``Σ_lists 1/(k_rrf + rank)``, an id absent from a list
+    contributes 0 for it, output cut to the top ``k`` per query by
+    (fused desc, id).  Scale shape: inputs are top-k result tables
+    (≤ Σ k_i rows PER QUERY, result-sized, never corpus-sized), the
+    rank windows partition on the query id (no global single-partition
+    window — the batched form stays parallel where the single-query
+    form cannot), and the full-outer join chain keys on
+    (query, id)."""
+    if not results:
+        raise ValueError("rrf_fuse_grouped: results must be non-empty")
+    from pyspark.sql import Window
+
+    fused = None
+    rank_cols = []
+    for i, (r, score_col) in enumerate(results):
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        ranked = r.select(
+            query_id_col,
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(int(k_rrf)) + F.row_number().over(w))
+            ).alias(f"_rrf{i}"),
+        )
+        rank_cols.append(f"_rrf{i}")
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, [query_id_col, id_col], "full")
+        )
+    expr = F.coalesce(F.col(rank_cols[0]), F.lit(0.0))
+    for c in rank_cols[1:]:
+        expr = expr + F.coalesce(F.col(c), F.lit(0.0))
+    scored = fused.select(query_id_col, id_col, expr.alias("rrf"))
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def ann_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -572,6 +572,125 @@ def bm25_topk_indexed(
     )
 
 
+def bm25_topk_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Serve BM25 top-``k`` for a TABLE of queries from a
+    :func:`write_inverted_index` layout — the sparse twin of
+    ``similarity.ivf_topk_batch``, completing the serving symmetry
+    (dense and sparse each have direct / indexed / batched forms).
+    ``queries`` is ``(query_id_col, terms_col: array<string>)``.
+
+    Shape at scale: the union of all queries' terms drives ONE
+    partition-pruned postings scan shared by every query — probe
+    buckets are computed with the ENGINE'S OWN hash over the distinct
+    terms (bounded by Σ|query terms|, eval-sized — the
+    ``ivf_topk_batch`` probe-collect pattern), the scan carries
+    ``term_bucket IN (...)`` (PartitionFilters) plus ``term IN (...)``
+    so only matching postings survive the scan.  Per-term df is a
+    window over the PRUNED postings computed BEFORE the query join
+    (postings are one row per (doc, term); joining first would fan a
+    term's rows out once per query using it and inflate df).  The
+    (query id, term) pairs are then broadcast in — each posting meets
+    only the queries that asked for its term — and a per-query top-k
+    window finishes (rank by score desc, then doc id).  The broadcast
+    presumes an eval-sized query set, exactly the ``ivf_topk_batch``
+    caveat: a corpus-scale query table would co-partition both sides
+    on the term instead.
+
+    Consistency contract (pinned in tests): per-query results are
+    bit-identical to :func:`bm25_topk_indexed` run one query at a time
+    with the same (k, k1, b) — same pruned-df window, same broadcast
+    sidecar stats, same double math, same (score desc, id) ties.
+    Returns (query_id_col, id_col, score), ≤ k rows per query."""
+    import os as _os
+
+    stats = spark.read.parquet(_os.path.join(path, "_stats"))
+    n_buckets = int(stats.collect()[0]["n_buckets"])
+    pairs = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(F.col(terms_col)).alias("term"),
+        )
+        .withColumn("term", F.lower(F.col("term")))
+        .distinct()
+    )
+    terms = sorted(r[0] for r in pairs.select("term").distinct().collect())
+    if not terms:
+        raise ValueError("bm25_topk_batch: queries contain no terms")
+    buckets = sorted(
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(path)
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    from pyspark.sql import Window
+
+    with_df = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    scored = (
+        with_df.join(F.broadcast(pairs), "term")
+        .crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.col("n_docs").alias("_n_docs"),
+                    F.col("avgdl").alias("_avgdl"),
+                )
+            )
+        )
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfp",
+            F.col("tf")
+            * F.lit(float(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("dl") / F.col("_avgdl")
+                )
+            ),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("_idf") * F.col("_tfp")).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

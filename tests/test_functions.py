@@ -1214,6 +1214,185 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([])
 
 
+def test_bm25_batch_matches_indexed_per_query_and_prunes(spark, tmp_path):
+    """The batched sparse serve must be bit-identical to
+    bm25_topk_indexed run one query at a time (same pruned-df window,
+    same sidecar stats, same tie-breaks), its ONE shared postings scan
+    must carry term_bucket PartitionFilters for the UNION of all
+    queries' buckets, and df must come from the postings BEFORE the
+    query join (two queries sharing a term must not double its df)."""
+    import re
+
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"spark join window filter doc{i} " + "pad " * (i % 5))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv_batch")
+    write_inverted_index(df, path, n_buckets=16)
+
+    # 'spark' appears in q1 AND q2: a post-join df would count it twice
+    qsets = {10: ["spark", "doc7"], 20: ["spark", "filter"], 30: ["doc3"]}
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in qsets.items()],
+        "qid long, terms array<string>",
+    )
+    batch = bm25_topk_batch(spark, path, queries, k=5)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*term_bucket#\d+ IN \(", plan), plan
+
+    got = {
+        q: [(r.doc_id, r.score) for r in rows]
+        for q, rows in (
+            (q, batch.where(batch.qid == q).orderBy(
+                batch.score.desc(), "doc_id").collect())
+            for q in qsets
+        )
+    }
+    for q, terms in qsets.items():
+        solo = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, path, terms, k=5).collect()
+        ]
+        assert got[q] == solo, f"qid={q}"
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_batch(
+            spark,
+            path,
+            spark.createDataFrame([], "qid long, terms array<string>"),
+        )
+
+
+def test_rrf_fuse_grouped_matches_single_query_fusion(spark):
+    """Per-query grouped fusion must reproduce rrf_fuse applied to each
+    query's lists in isolation — including the absent-from-one-list
+    zero contribution and the per-query top-k cut."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        rrf_fuse,
+        rrf_fuse_grouped,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1, 9.0), (1, 2, 5.0), (1, 3, 5.0), (2, 7, 4.0), (2, 8, 6.0)],
+        "qid long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 3, 0.9), (1, 4, 0.8), (2, 8, 0.1)],
+        "qid long, doc_id long, cosine double",
+    )
+    grouped = rrf_fuse_grouped([(a, "score"), (b, "cosine")], k=3)
+    for q in (1, 2):
+        solo = rrf_fuse(
+            [
+                (a.where(a.qid == q).drop("qid"), "score"),
+                (b.where(b.qid == q).drop("qid"), "cosine"),
+            ],
+            k=3,
+        ).collect()
+        got = (
+            grouped.where(grouped.qid == q)
+            .orderBy(grouped.rrf.desc(), "doc_id")
+            .select("doc_id", "rrf")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in solo], f"qid={q}"
+
+
+def test_hybrid_retrieval_health_eval(spark, tmp_path):
+    """The hybrid health check a production retrieval pipeline runs on
+    a schedule: fused (BM25 + dense) SERVED lists — bm25_topk_batch
+    over the inverted index and ivf_topk_batch over the IVF index,
+    fused per query with rrf_fuse_grouped — measured by ann_recall_at_k
+    against the fused BRUTE-FORCE truth.  At exhaustive settings
+    (nprobe = n_cells; the sparse path is exact by construction) the
+    served hybrid must reproduce the truth exactly (recall 1.0 per
+    query); at nprobe=1 recall stays a valid per-query [0,1] metric."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ann_recall_at_k,
+        ivf_topk_batch,
+        rrf_fuse_grouped,
+        write_ivf_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+        write_inverted_index,
+    )
+
+    words = ["spark", "join", "window", "filter", "merge", "agg"]
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(words[j % 6] for j in range(i, i + 3)),
+                [float((i * 7 + d * 3) % 11 - 5) for d in range(4)],
+            )
+            for i in range(30)
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [5.0, 0.0, 0.0, 0.0]), (1, [-5.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 5.0, -5.0, 0.0])],
+        "cid int, cvec array<double>",
+    )
+    inv = str(tmp_path / "inv")
+    ivf = str(tmp_path / "ivf")
+    write_inverted_index(corpus.select("doc_id", "text"), inv, n_buckets=16)
+    write_ivf_index(
+        corpus.select("doc_id", "embedding"), centroids, ivf,
+        id_col="doc_id",
+    )
+
+    queries = spark.createDataFrame(
+        [
+            (100, ["spark", "merge"], [1.0, 2.0, -1.0, 0.5]),
+            (200, ["window"], [-2.0, 1.0, 3.0, -0.5]),
+        ],
+        "qid long, terms array<string>, qvec array<double>",
+    )
+
+    def hybrid(nprobe):
+        sparse = bm25_topk_batch(
+            spark, inv, queries.select("qid", "terms"), k=5
+        )
+        dense = ivf_topk_batch(
+            spark, ivf, centroids, queries.select("qid", "qvec"),
+            k=5, nprobe=nprobe, id_col="doc_id",
+        )
+        return rrf_fuse_grouped(
+            [(sparse, "score"), (dense, "cosine")], k=5
+        )
+
+    truth = hybrid(nprobe=3)  # 3 cells: provably brute force
+    served_exact = hybrid(nprobe=3)
+    recall_exact = ann_recall_at_k(
+        served_exact, truth, k=5, query_id_col="qid", id_col="doc_id"
+    ).collect()
+    assert sorted(r.qid for r in recall_exact) == [100, 200]
+    assert all(r.recall == 1.0 for r in recall_exact)
+
+    served_fast = hybrid(nprobe=1)
+    recall_fast = {
+        r.qid: r.recall
+        for r in ann_recall_at_k(
+            served_fast, truth, k=5, query_id_col="qid", id_col="doc_id"
+        ).collect()
+    }
+    assert sorted(recall_fast) == [100, 200]
+    assert all(0.0 <= v <= 1.0 for v in recall_fast.values())
+
+
 def test_population_stability_index_detects_shift(spark):
     """PSI contract: identical distributions score ~0; a shifted
     current distribution crosses the 0.25 'shifted' rule of thumb; a

@@ -199,14 +199,86 @@ def population_stability_index(
     """
     if n_buckets < 2:
         raise ValueError("population_stability_index: n_buckets >= 2")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
     r = ref.select(value.alias("_v")).where(F.col("_v").isNotNull())
     c = cur.select(value.alias("_v")).where(F.col("_v").isNotNull())
-    cuts = r.agg(
-        F.percentile(
-            F.col("_v"), F.array(*[F.lit(p) for p in probs])
-        ).alias("_cuts")
-    )
+    cuts = psi_ref_cuts(r, n_buckets)
+    rc = psi_bucket_counts(r, cuts, "_rc")
+    cc = psi_bucket_counts(c, cuts, "_cc")
+    return psi_parts(rc, cc, eps)
+
+
+def population_stability_index_by(
+    ref: DataFrame,
+    cur: DataFrame,
+    value: Column,
+    by: list[str],
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Segment-level PSI — :func:`population_stability_index` computed
+    independently per group of ``by`` columns (per source, per
+    event_type, per language): the monitor shape that catches a drift
+    CONFINED to one segment, which the global PSI dilutes below its
+    thresholds when the segment is small.
+
+    Each segment gets its OWN reference cutpoints (each segment's
+    distribution is its own baseline — the standard segmented-PSI
+    definition), computed in one grouped percentile aggregate and
+    broadcast-joined back on the segment key; both sides fold to
+    ≤ |segments| x n_buckets count rows, and the parts come from ONE
+    grouped :func:`psi_parts` plan — per-segment results identical to
+    calling the global operator once per slice (pinned in tests),
+    without a plan branch per segment.  Segments with no reference
+    rows are NOT scored (no cutpoints exist to bucket against — new
+    segments are a row-count expectation's job, not a drift metric's);
+    NULL values are excluded per the global contract.  Returns one row
+    per (segment, bucket): ``(*by, bucket, p_ref, p_cur, psi_part)``;
+    per-segment PSI is ``sum(psi_part)`` within the segment."""
+    if n_buckets < 2:
+        raise ValueError("population_stability_index_by: n_buckets >= 2")
+    if not by:
+        raise ValueError("population_stability_index_by: by must be non-empty")
+    gcols = list(by)
+    r = ref.select(*gcols, value.alias("_v")).where(F.col("_v").isNotNull())
+    c = cur.select(*gcols, value.alias("_v")).where(F.col("_v").isNotNull())
+    cuts = psi_ref_cuts(r, n_buckets, group_cols=gcols)
+    rc = psi_bucket_counts(r, cuts, "_rc", group_cols=gcols)
+    cc = psi_bucket_counts(c, cuts, "_cc", group_cols=gcols)
+    return psi_parts(rc, cc, eps, group_cols=gcols)
+
+
+def psi_ref_cuts(
+    r: DataFrame, n_buckets: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The reference side's equal-mass cutpoints as a
+    ``(_cuts: array<double>)`` frame — factored out so the streaming
+    drift monitor freezes the SAME cutpoints the batch operator would
+    compute (shared code, the near-dup screen's cannot-drift policy).
+    Expects a pre-filtered ``_v`` frame; with ``group_cols`` returns
+    one cutpoint row per group (the segmented form)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    agg = F.percentile(
+        F.col("_v"), F.array(*[F.lit(p) for p in probs])
+    ).alias("_cuts")
+    if group_cols:
+        return r.groupBy(*group_cols).agg(agg)
+    return r.agg(agg)
+
+
+def psi_bucket_counts(
+    side: DataFrame,
+    cuts: DataFrame,
+    name: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold one side's ``_v`` values into per-bucket counts against the
+    broadcast cutpoints: ``bucket = 1 + |{cut : v >= cut}|`` (ties all
+    land in the upper bucket on both engines).  Map-side combined to
+    ≤ n_buckets rows per group — the only stage that sees the side's
+    rows.  With ``group_cols`` the cutpoints join on the group key
+    (each segment buckets against its own baseline; rows whose segment
+    has no reference cutpoints drop out here)."""
+    gcols = list(group_cols or [])
     bucket = (
         F.lit(1)
         + F.aggregate(
@@ -216,25 +288,43 @@ def population_stability_index(
             + F.when(F.col("_v") >= cut, F.lit(1)).otherwise(F.lit(0)),
         )
     ).cast("long")
+    if gcols:
+        with_cuts = side.join(F.broadcast(cuts), gcols)
+    else:
+        with_cuts = side.crossJoin(F.broadcast(cuts))
+    return (
+        with_cuts.select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
 
-    def _counts(side: DataFrame, name: str) -> DataFrame:
-        return (
-            side.crossJoin(F.broadcast(cuts))
-            .select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
 
-    rc = _counts(r, "_rc")
-    cc = _counts(c, "_cc")
-    joined = rc.join(cc, "bucket", "full").select(
-        "bucket",
+def psi_parts(
+    rc: DataFrame,
+    cc: DataFrame,
+    eps: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI per-bucket parts from two bucket-count frames (``(bucket,
+    _rc)`` and ``(bucket, _cc)``) — the bucket-count-sized back half of
+    :func:`population_stability_index`, shared verbatim with the
+    streaming drift monitor's report reader so batch and streamed PSI
+    agree bit-for-bit.  Full-joins the sides (a bucket empty on BOTH
+    contributes no row), floors proportions at ``eps``.
+
+    ``group_cols`` turns the same math into MANY independent
+    comparisons in one plan (the drift report's per-batch PSI: both
+    frames carry the group columns, totals aggregate per group and
+    broadcast back) — identical per-group results to calling the
+    ungrouped form once per slice, without a plan branch per group."""
+    gcols = list(group_cols or [])
+    keys = gcols + ["bucket"]
+    joined = rc.join(cc, keys, "full").select(
+        *keys,
         F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
         F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
     )
-    tot = joined.agg(
-        F.sum("_rc").alias("_rt"), F.sum("_cc").alias("_ct")
-    )
+    aggs = [F.sum("_rc").alias("_rt"), F.sum("_cc").alias("_ct")]
     e = F.lit(float(eps))
     p_ref = F.greatest(
         F.try_divide(F.col("_rc").cast("double"), F.col("_rt")), e
@@ -242,15 +332,17 @@ def population_stability_index(
     p_cur = F.greatest(
         F.try_divide(F.col("_cc").cast("double"), F.col("_ct")), e
     )
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            p_ref.alias("p_ref"),
-            p_cur.alias("p_cur"),
-            (
-                (p_cur - p_ref) * F.log(F.try_divide(p_cur, p_ref))
-            ).alias("psi_part"),
-        )
-        .orderBy("bucket")
-    )
+    if gcols:
+        tot = joined.groupBy(*gcols).agg(*aggs)
+        with_tot = joined.join(F.broadcast(tot), gcols)
+    else:
+        tot = joined.agg(*aggs)
+        with_tot = joined.crossJoin(F.broadcast(tot))
+    return with_tot.select(
+        *keys,
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        (
+            (p_cur - p_ref) * F.log(F.try_divide(p_cur, p_ref))
+        ).alias("psi_part"),
+    ).orderBy(*keys)

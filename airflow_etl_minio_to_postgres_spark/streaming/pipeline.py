@@ -1545,3 +1545,142 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def streaming_drift_monitor(
+    raw_stream: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    out_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 10,
+):
+    """Continuously monitor a stream's value distribution against a
+    FROZEN reference — the streaming face of
+    :func:`...operators.audit.population_stability_index`: production
+    drift monitoring runs per ingest micro-batch, not as a nightly
+    batch diff, so the PSI operator needs a maintainer the way the IVF
+    and inverted indexes have one.
+
+    At monitor start the reference is folded ONCE into its equal-mass
+    cutpoints and per-bucket counts (``psi_ref_cuts`` /
+    ``psi_bucket_counts`` — the SAME shared helpers the batch operator
+    calls, so frozen state and batch math cannot drift) and lands in a
+    ``_ref`` sidecar under ``out_path`` (cuts + counts + n_buckets:
+    self-describing, the inverted index's ``_stats`` pattern).  The
+    reference is frozen for the monitor's life — the IVF
+    centroid-freeze contract: re-basing the reference is a new monitor
+    (or a rebuilt sidecar), never an in-place mutation, because
+    per-batch rows scored against shifting cutpoints are incomparable.
+
+    Per batch: ONE fold of the batch's values into ≤ n_buckets count
+    rows (map-side combined; the only stage that sees the batch's
+    rows), written to ``out_path`` partitioned by ``_commit_id`` with
+    dynamic partition overwrite — a crash-replayed batch rewrites
+    exactly its own partition (the shared replay mechanism; no marker
+    needed because counts are partition-decomposable, unlike the
+    inverted index's stats merge).  The monitor log is
+    bucket-count-sized per batch regardless of batch volume.  Read it
+    with :func:`drift_report`, whose per-batch PSI is bit-equal to the
+    batch operator run on the same slice (pinned in tests).  Returns
+    the started StreamingQuery."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        psi_bucket_counts,
+        psi_ref_cuts,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    out_local = _local_path(out_path)
+    token = _commit_token(checkpoint_path)
+    r = ref.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    cuts = psi_ref_cuts(r, n_buckets)
+    sidecar = (
+        psi_bucket_counts(r, cuts, "_rc")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("n_buckets", F.lit(int(n_buckets)))
+    )
+    sidecar.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_local, "_ref")
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        _drift_process_batch(batch_df, batch_id, out_local, token, value_col)
+
+    return (
+        raw_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _drift_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    token: str,
+    value_col: str,
+) -> None:
+    """One :func:`streaming_drift_monitor` micro-batch — module-level so
+    the replay contract (same batch twice == once) is directly
+    testable, like the other foreachBatch sinks."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        psi_bucket_counts,
+    )
+
+    spark = batch_df.sparkSession
+    cuts = (
+        spark.read.parquet(os.path.join(out_path, "_ref"))
+        .select("_cuts")
+        .limit(1)
+    )
+    c = batch_df.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    counts = (
+        psi_bucket_counts(c, cuts, "_cc")
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+        .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
+    )
+    (
+        counts.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_id")
+        .parquet(out_path)
+    )
+
+
+def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
+    """Per-batch PSI report over a :func:`streaming_drift_monitor` log:
+    one row per (batch, bucket) with the exact
+    :func:`...operators.audit.psi_parts` columns plus ``_batch_id`` —
+    sum ``psi_part`` within a batch for its total PSI.  Bit-equal to
+    running the batch operator on each batch's slice (the sidecar holds
+    the frozen reference counts; ``psi_parts`` is shared verbatim).
+    Cost: the log and sidecar are bucket-count-sized — |batches| x
+    n_buckets rows, metadata-scale at any corpus size."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        psi_parts,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    out_local = _local_path(out_path)
+    rc = spark.read.parquet(os.path.join(out_local, "_ref")).select(
+        "bucket", "_rc"
+    )
+    log = spark.read.parquet(out_local).select("_batch_id", "bucket", "_cc")
+    batches = log.select("_batch_id").distinct()
+    # the frozen reference counts, replicated per observed batch —
+    # ONE grouped psi_parts plan regardless of how many batches the
+    # monitor has logged (both frames are |batches| x n_buckets rows)
+    rc_per_batch = batches.crossJoin(F.broadcast(rc))
+    return psi_parts(
+        rc_per_batch, log, eps=1e-6, group_cols=["_batch_id"]
+    )

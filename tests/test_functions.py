@@ -1558,3 +1558,66 @@ def test_curriculum_order_positions_dense_and_deterministic(spark):
         per_bucket[r.bucket].append(r.pos)
     for bkt, ps in per_bucket.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), bkt
+
+
+def test_population_stability_index_by_segments(spark):
+    """Segmented PSI: per-segment rows are bit-equal to the global
+    operator run on each segment's slices (one grouped plan vs N
+    slice plans), a segment absent from the reference is not scored,
+    and a drift confined to one small segment scores high there while
+    the global PSI dilutes it."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+        population_stability_index_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(2000)]
+        + [("b", float(i % 100)) for i in range(200)],
+        "seg string, v double",
+    )
+    cur = spark.createDataFrame(
+        # segment a: same law; segment b: shifted by 50; c: not in ref
+        [("a", float(i % 100)) for i in range(2000)]
+        + [("b", float(i % 100) + 50.0) for i in range(200)]
+        + [("c", float(i % 10)) for i in range(50)],
+        "seg string, v double",
+    )
+    got = population_stability_index_by(
+        ref, cur, F.col("v"), by=["seg"], n_buckets=5
+    )
+    segs = {r.seg for r in got.select("seg").distinct().collect()}
+    assert segs == {"a", "b"}  # c has no reference cutpoints
+    for s in ("a", "b"):
+        want = sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in population_stability_index(
+                ref.where(F.col("seg") == s),
+                cur.where(F.col("seg") == s),
+                F.col("v"),
+                n_buckets=5,
+            ).collect()
+        )
+        have = sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in got.where(got.seg == s).collect()
+        )
+        assert have == want, f"segment {s}"
+    psi = {
+        s: sum(r.psi_part for r in got.where(got.seg == s).collect())
+        for s in ("a", "b")
+    }
+    glob = sum(
+        r.psi_part
+        for r in population_stability_index(
+            ref, cur, F.col("v"), n_buckets=5
+        ).collect()
+    )
+    assert psi["b"] > 0.25  # the confined shift is loud per-segment
+    assert psi["a"] < 0.01
+    assert glob < psi["b"]  # and diluted globally
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        population_stability_index_by(ref, cur, F.col("v"), by=[])

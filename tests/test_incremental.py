@@ -1389,3 +1389,81 @@ def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
     # fresh docs survived
     assert not any(100 <= d < 200 for d in got)
     assert {200 + i for i in range(5)} <= got
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Per-batch PSI read from the monitor log must be bit-equal to the
+    batch population_stability_index run on each batch's slice against
+    the same reference (shared cutpoint/count/parts helpers), the
+    reference sidecar must be frozen across batches, and a
+    crash-replayed batch must rewrite its own partition (report
+    unchanged)."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _commit_token,
+        _drift_process_batch,
+        drift_report,
+        streaming_drift_monitor,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    ref = ev.where(F.col("user_id") % 3 == 0)
+    b0 = ev.where(F.col("user_id") % 3 == 1)
+    b1 = ev.where(F.col("user_id") % 3 == 2).withColumn(
+        "value", F.col("value") * 2.0  # a genuine shift for batch 1
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    def run_pass():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_drift_monitor(s, ref, "value", out, ckpt, n_buckets=5)
+        q.awaitTermination()
+
+    b0.write.mode("append").parquet(landing)
+    run_pass()
+    sidecar0 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "_ref")).collect()
+    )
+    b1.write.mode("append").parquet(landing)
+    run_pass()
+    sidecar1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "_ref")).collect()
+    )
+    assert sidecar0 == sidecar1  # reference frozen across passes
+
+    rep = drift_report(spark, out)
+    got = {
+        b: sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in rep.where(rep._batch_id == b).collect()
+        )
+        for b in (0, 1)
+    }
+    for b, cur in ((0, b0), (1, b1)):
+        want = sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in population_stability_index(
+                ref, cur, F.col("value"), n_buckets=5
+            ).collect()
+        )
+        assert got[b] == want, f"batch {b}"
+    # the doubled batch genuinely drifts harder than the same-law one
+    psi = {b: sum(p for _, _, _, p in rows) for b, rows in got.items()}
+    assert psi[1] > psi[0]
+
+    # crash replay: re-running batch 1's sink is idempotent
+    before = sorted(tuple(r) for r in rep.collect())
+    token = _commit_token(ckpt)
+    _drift_process_batch(b1, 1, out, token, "value")
+    rep2 = sorted(
+        tuple(r) for r in drift_report(spark, out).collect()
+    )
+    assert rep2 == before

@@ -440,7 +440,11 @@ def write_inverted_index(
     table readers ignore it), making the index self-describing:
     serving reads ``n_buckets`` from the sidecar, never guesses.
     Empty-string tokens are not indexed.  Re-running overwrites
-    (idempotent rebuild).  Returns ``path``."""
+    (idempotent rebuild).  A corpus with ZERO indexable tokens is
+    refused loudly after the write (a partitioned parquet table with
+    no rows has no footers — every later serve would fail with an
+    unreadable-schema error far from the cause; checked from file
+    metadata, no extra pass over the corpus).  Returns ``path``."""
     import os as _os
 
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
@@ -477,6 +481,21 @@ def write_inverted_index(
         .partitionBy("term_bucket")
         .parquet(path)
     )
+    # metadata-only emptiness probe on the filesystem Spark wrote to
+    # (globStatus, any scheme) — never os.path on a URI
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    gp = jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(path, "term_bucket=*", "*")
+    )
+    fs = gp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    matches = fs.globStatus(gp)
+    if matches is None or len(matches) == 0:
+        raise ValueError(
+            f"write_inverted_index: corpus at {path!r} produced zero "
+            "postings (no non-empty tokens) — an empty index cannot "
+            "be served"
+        )
     stats.write.mode("overwrite").parquet(_os.path.join(path, "_stats"))
     return path
 

@@ -1154,3 +1154,165 @@ def test_rrf_fuse_matches_python_model(spark, list_a, list_b):
         for r in rrf_fuse([(a, "score"), (b, "cosine")], k=5).collect()
     ]
     assert got == expected
+
+
+@given(
+    rows_a=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=18,
+    ),
+    rows_b=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=18,
+    ),
+)
+@SPARK_SETTINGS
+def test_rrf_fuse_grouped_matches_python_model(spark, rows_a, rows_b):
+    """rrf_fuse_grouped vs a pure-Python per-query rank model over
+    arbitrary (qid, id, score) tables: each query group ranks and
+    fuses independently (ranks never leak across groups), absentees
+    contribute 0, per-query top-k by (fused desc, id)."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        rrf_fuse_grouped,
+    )
+
+    da = {(q, i): s for q, i, s in rows_a}  # last write wins per key
+    db = {(q, i): s for q, i, s in rows_b}
+    if not da:
+        da = {(0, 0): 0}
+    if not db:
+        db = {(0, 0): 0}
+    a = spark.createDataFrame(
+        [(q, i, float(s)) for (q, i), s in da.items()],
+        "qid long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(q, i, float(s)) for (q, i), s in db.items()],
+        "qid long, doc_id long, cosine double",
+    )
+
+    def ranks(d, q):
+        ordered = sorted(
+            ((i, s) for (qq, i), s in d.items() if qq == q),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return {i: r + 1 for r, (i, _) in enumerate(ordered)}
+
+    expected = []
+    for q in sorted({q for q, _ in da} | {q for q, _ in db}):
+        ra, rb = ranks(da, q), ranks(db, q)
+        fused = {
+            i: (1.0 / (60 + ra[i]) if i in ra else 0.0)
+            + (1.0 / (60 + rb[i]) if i in rb else 0.0)
+            for i in set(ra) | set(rb)
+        }
+        expected.extend(
+            (q, i, f)
+            for i, f in sorted(
+                fused.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:3]
+        )
+    got = sorted(
+        ((r.qid, r.doc_id, r.rrf)
+         for r in rrf_fuse_grouped(
+             [(a, "score"), (b, "cosine")], k=3
+         ).collect()),
+        key=lambda t: (t[0], -t[2], t[1]),
+    )
+    assert got == sorted(expected, key=lambda t: (t[0], -t[2], t[1]))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["spark", "join", "window", "filter", "merge", "agg"]
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    queries=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "window"]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@SPARK_SETTINGS
+def test_bm25_batch_matches_python_model(spark, tmp_path, docs, queries):
+    """bm25_topk_batch (served from a freshly-built inverted index) vs
+    the same pure-Python Okapi model as the direct path's property
+    test, per query of an arbitrary query TABLE — pinning that the
+    shared pruned scan, the df-before-query-join order, and the
+    per-query window cut reproduce the model for every query at
+    once."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv_prop")
+    if not any(docs):  # zero indexable tokens: the builder refuses
+        import pytest
+
+        with pytest.raises(ValueError, match="zero postings"):
+            write_inverted_index(df, path, n_buckets=8)
+        return
+    write_inverted_index(df, path, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(q, terms) for q, terms in enumerate(queries)],
+        "qid long, terms array<string>",
+    )
+
+    k1, b = 1.2, 0.75
+    toks = {i: (list(words) or [""]) for i, words in enumerate(docs)}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def score(i, terms):
+        s = 0.0
+        for t in sorted(set(x.lower() for x in terms)):
+            tf = toks[i].count(t)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            dl = len(toks[i])
+            s += idf * (
+                tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+        return s
+
+    expected = []
+    for q, terms in enumerate(queries):
+        per_q = sorted(
+            ((i, score(i, terms)) for i in toks if score(i, terms) > 0.0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:20]
+        expected.extend((q, i, s) for i, s in per_q)
+    got = sorted(
+        ((r.qid, r.doc_id, r.score)
+         for r in bm25_topk_batch(
+             spark, path, qdf, k=20, k1=k1, b=b
+         ).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    expected = sorted(expected, key=lambda t: (t[0], t[1]))
+    assert [(q, i) for q, i, _ in got] == [(q, i) for q, i, _ in expected]
+    for (gq, gi, gs), (_, _, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-12, (gq, gi, gs, es)

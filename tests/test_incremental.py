@@ -1467,3 +1467,85 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
         tuple(r) for r in drift_report(spark, out).collect()
     )
     assert rep2 == before
+
+
+def test_streamed_hybrid_batched_serving_matches_batch_build(spark, tmp_path):
+    """The fully-continuous hybrid retrieval story: BOTH serving
+    indexes maintained by their streaming upsert sinks over two
+    micro-batches, served through the BATCHED paths (bm25_topk_batch +
+    ivf_topk_batch), fused per query with rrf_fuse_grouped — must be
+    bit-equal to the same hybrid served from one-shot batch builds
+    over the same corpus (streamed maintenance is serving-equivalent
+    end-to-end, not just per index)."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_batch,
+        rrf_fuse_grouped,
+        write_ivf_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.queries import _BM25_TERMS
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        streaming_inverted_index_upsert,
+        streaming_ivf_index_upsert,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", SF_SMOKE)
+    cents = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = (
+        embs.where(F.col("vec_id").isin([5, 17]))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .withColumn("terms", F.lit(_BM25_TERMS).cast("array<string>"))
+    )
+
+    inv_s = str(tmp_path / "inv_s")
+    ivf_s = str(tmp_path / "ivf_s")
+    inv_b = str(tmp_path / "inv_b")
+    ivf_b = str(tmp_path / "ivf_b")
+
+    land_d = str(tmp_path / "land_docs")
+    land_e = str(tmp_path / "land_embs")
+    for half in (0, 1):
+        docs.where(F.col("doc_id") % 2 == half).write.mode("append").parquet(
+            land_d
+        )
+        embs.where(F.col("vec_id") % 2 == half).write.mode("append").parquet(
+            land_e
+        )
+        q1 = streaming_inverted_index_upsert(
+            spark.readStream.schema(docs.schema).parquet(land_d),
+            inv_s,
+            str(tmp_path / "ck_inv"),
+            n_buckets=32,
+        )
+        q2 = streaming_ivf_index_upsert(
+            spark.readStream.schema(embs.schema).parquet(land_e),
+            cents,
+            ivf_s,
+            str(tmp_path / "ck_ivf"),
+        )
+        q1.awaitTermination()
+        q2.awaitTermination()
+
+    write_inverted_index(docs, inv_b, n_buckets=32)
+    write_ivf_index(embs, cents, ivf_b)
+
+    def hybrid(inv, ivf):
+        sparse = bm25_topk_batch(
+            spark, inv, queries.select("qid", "terms"), k=10
+        )
+        dense = ivf_topk_batch(
+            spark, ivf, cents, queries.select("qid", "qvec"),
+            k=10, nprobe=2,
+        ).withColumnRenamed("vec_id", "doc_id")
+        return rrf_fuse_grouped([(sparse, "score"), (dense, "cosine")], k=10)
+
+    streamed = sorted(tuple(r) for r in hybrid(inv_s, ivf_s).collect())
+    built = sorted(tuple(r) for r in hybrid(inv_b, ivf_b).collect())
+    assert streamed == built
+    assert len(built) == 20  # 10 fused rows per query

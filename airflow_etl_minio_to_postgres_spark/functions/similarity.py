@@ -1249,3 +1249,29 @@ def quantize_int8(
             lambda v: F.round(v / F.col("scale")).cast("int"),
         ).alias("qvec"),
     )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct float vectors from a :func:`quantize_int8` table:
+    ``vec[i] = qvec[i] * scale`` — the read side of the int8 storage
+    path, so a quantized corpus plugs straight into every serving
+    operator (``topk_cosine`` / ``knn_join`` / the IVF family) and the
+    recall cost of quantization becomes MEASURABLE through
+    :func:`ann_recall_at_k` (quantized serving vs full-precision
+    truth) instead of assumed.  Expression-only (one ``transform`` in
+    the scan stage, shuffle-free); reconstruction error per coordinate
+    is bounded by ``scale/2``, the symmetric-quantization contract the
+    quantizer documents.  Keeps every other column; replaces nothing
+    but adds ``vec_col``."""
+    return df.withColumn(
+        vec_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda v: v.cast("double") * F.col(scale_col),
+        ),
+    )

@@ -1621,3 +1621,80 @@ def test_population_stability_index_by_segments(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         population_stability_index_by(ref, cur, F.col("v"), by=[])
+
+
+def test_quantized_serving_recall_is_measurable(spark):
+    """The int8 storage path closes its own quality loop: dequantize a
+    quantize_int8 corpus, serve exact cosine top-k from it, and measure
+    recall@k against full-precision truth with ann_recall_at_k —
+    quantization cost becomes a number, not an assumption.
+    Reconstruction error respects the scale/2 contract; cosine is
+    per-vector-scale invariant so recall on these embeddings stays
+    high; a coarsened (3-bit-equivalent) quantization measurably loses
+    recall, proving the metric discriminates."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ann_recall_at_k,
+        dequantize_int8,
+        ivf_knn_join,
+        quantize_int8,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, "embeddings", SF_SMOKE).limit(200)
+    cents = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = embs.where(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    q = quantize_int8(embs)
+    deq = dequantize_int8(q).select("vec_id", "embedding")
+
+    # reconstruction error bounded by scale/2 per coordinate
+    errs = (
+        dequantize_int8(q, vec_col="_re")
+        .join(embs.select("vec_id", "embedding"), "vec_id")
+        .select(
+            (
+                F.array_max(
+                    F.zip_with(
+                        F.col("_re"),
+                        F.col("embedding"),
+                        lambda a, b: F.abs(a - b.cast("double")),
+                    )
+                )
+                / F.col("scale")
+            ).alias("ratio")
+        )
+        .agg(F.max("ratio"))
+        .collect()[0][0]
+    )
+    assert errs <= 0.5 + 1e-9
+
+    # nprobe = n_cells: provably brute force on both sides
+    truth = ivf_knn_join(queries, embs, cents, k=5, nprobe=3)
+    served = ivf_knn_join(queries, deq, cents, k=5, nprobe=3)
+    rec = ann_recall_at_k(served, truth, k=5).agg(
+        F.avg("recall").alias("r")
+    ).collect()[0][0]
+    assert 0.9 <= rec <= 1.0, rec
+
+    # a deliberately coarse quantizer (scale x32 ~ 3-bit) loses recall
+    coarse = dequantize_int8(
+        q.withColumn(
+            "qvec",
+            F.transform(
+                F.col("qvec"),
+                lambda v: F.round(v / F.lit(32.0)).cast("int") * 32,
+            ),
+        )
+    ).select("vec_id", "embedding")
+    served_c = ivf_knn_join(queries, coarse, cents, k=5, nprobe=3)
+    rec_c = ann_recall_at_k(served_c, truth, k=5).agg(
+        F.avg("recall").alias("r")
+    ).collect()[0][0]
+    assert rec_c < rec, (rec_c, rec)

@@ -231,7 +231,10 @@ def population_stability_index_by(
     without a plan branch per segment.  Segments with no reference
     rows are NOT scored (no cutpoints exist to bucket against — new
     segments are a row-count expectation's job, not a drift metric's);
-    NULL values are excluded per the global contract.  Returns one row
+    NULL SEGMENT KEYS are likewise not scored (the cutpoint join is an
+    equi-join; fill or filter NULL keys upstream if "unknown" should
+    be a segment); NULL values are excluded per the global contract.
+    Returns one row
     per (segment, bucket): ``(*by, bucket, p_ref, p_cur, psi_part)``;
     per-segment PSI is ``sum(psi_part)`` within the segment."""
     if n_buckets < 2:

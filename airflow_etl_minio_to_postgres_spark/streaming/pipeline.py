@@ -1571,7 +1571,10 @@ def streaming_drift_monitor(
     reference is frozen for the monitor's life — the IVF
     centroid-freeze contract: re-basing the reference is a new monitor
     (or a rebuilt sidecar), never an in-place mutation, because
-    per-batch rows scored against shifting cutpoints are incomparable.
+    per-batch rows scored against shifting cutpoints are incomparable
+    — and ENFORCED: a restart recomputes the sidecar from the passed
+    reference and refuses loudly if it differs from the frozen one
+    (both are bucket-count-sized, so the equality check is free).
 
     Per batch: ONE fold of the batch's values into ≤ n_buckets count
     rows (map-side combined; the only stage that sees the batch's
@@ -1603,9 +1606,32 @@ def streaming_drift_monitor(
         .crossJoin(F.broadcast(cuts))
         .withColumn("n_buckets", F.lit(int(n_buckets)))
     )
-    sidecar.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_local, "_ref")
-    )
+    spark = ref.sparkSession
+    ref_path = os.path.join(out_local, "_ref")
+    if _fs_exists(spark, ref_path):
+        # a restart must present the SAME frozen reference: silently
+        # re-basing cutpoints makes every already-logged batch
+        # incomparable with every future one (the silver legacy-layout
+        # guard posture — fail loudly, never re-base in place)
+        rows_sized = n_buckets + 1  # counts rows are <= n_buckets
+        old = sorted(
+            tuple(t)
+            for t in spark.read.parquet(ref_path)
+            .limit(rows_sized)
+            .collect()
+        )
+        new = sorted(tuple(t) for t in sidecar.limit(rows_sized).collect())
+        if old != new:
+            raise ValueError(
+                f"streaming_drift_monitor: the reference sidecar at "
+                f"{ref_path!r} was frozen from a DIFFERENT reference "
+                "than the one passed now — per-batch PSI rows scored "
+                "against shifting cutpoints are incomparable.  Pass "
+                "the original reference, or re-base deliberately with "
+                "a fresh out_path (a new monitor)"
+            )
+    else:
+        sidecar.coalesce(1).write.mode("overwrite").parquet(ref_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         _drift_process_batch(batch_df, batch_id, out_local, token, value_col)

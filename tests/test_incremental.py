@@ -1468,6 +1468,21 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
     )
     assert rep2 == before
 
+    # restarting against a CHANGED reference must refuse loudly —
+    # silently re-based cutpoints would make the log incomparable
+    import pytest
+
+    drifted_ref = ref.withColumn("value", F.col("value") * 3.0)
+    with pytest.raises(ValueError, match="DIFFERENT reference"):
+        streaming_drift_monitor(
+            spark.readStream.schema(schema).parquet(landing),
+            drifted_ref,
+            "value",
+            out,
+            ckpt,
+            n_buckets=5,
+        )
+
 
 def test_streamed_hybrid_batched_serving_matches_batch_build(spark, tmp_path):
     """The fully-continuous hybrid retrieval story: BOTH serving

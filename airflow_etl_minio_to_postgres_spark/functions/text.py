@@ -629,7 +629,11 @@ def bm25_topk_batch(
     bit-identical to :func:`bm25_topk_indexed` run one query at a time
     with the same (k, k1, b) — same pruned-df window, same broadcast
     sidecar stats, same double math, same (score desc, id) ties.
-    Returns (query_id_col, id_col, score), ≤ k rows per query."""
+    Returns (query_id_col, id_col, score), ≤ k rows per query.  A
+    query whose terms array is NULL or empty contributes NO rows (the
+    explode drops it — the batch analogue of the single-query path's
+    non-empty-terms requirement, which still applies to the table as
+    a whole)."""
     import os as _os
 
     stats = spark.read.parquet(_os.path.join(path, "_stats"))

@@ -1698,6 +1698,20 @@ def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
     out_local = _local_path(out_path)
+    jvm = spark.sparkContext._jvm
+    gp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(out_local, "_commit_id=*", "*")
+    )
+    fs = gp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    matches = fs.globStatus(gp)
+    if matches is None or len(matches) == 0:
+        # a sidecar-only directory would otherwise fail schema
+        # inference with an error pointing nowhere near the cause
+        raise ValueError(
+            f"drift_report: no batches logged at {out_path!r} yet "
+            "(only the _ref sidecar exists) — run the monitor over "
+            "at least one non-empty micro-batch first"
+        )
     rc = spark.read.parquet(os.path.join(out_local, "_ref")).select(
         "bucket", "_rc"
     )

@@ -670,6 +670,93 @@ def rrf_fuse_grouped(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_id_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of retrieval results
+    (Carbonell & Goldstein): greedily re-rank each query's candidate
+    list by ``lam * rel - (1 - lam) * max_{s in selected} cos(d, s)``
+    — the standard post-retrieval step that stops a RAG top-k from
+    being five paraphrases of the same passage.  ``candidates`` is a
+    per-query result table ``(query_id_col, id_col, score_col,
+    vec_col)`` — the shape the serving operators return joined back to
+    their vectors; ``lam = 1`` reproduces pure relevance order.
+
+    Shape at scale: inputs are top-N RESULT tables (≤ N rows per
+    query — result-sized, never corpus-sized), and greedy selection
+    has a loop-carried dependency (step i needs the i-1 picks) that a
+    relational form could only fake with k chained self-joins — so
+    this is a deliberate Arrow crossing: ONE ``applyInPandas`` per
+    query group, O(k·N) numpy inside the batch, plan-pinned like the
+    package's other five crossings.  Determinism: candidates are
+    canonically ordered (score desc, id) before the loop and every
+    pick's ties resolve to the first candidate in that order (higher
+    relevance, then smaller id), duplicate (query, id) rows are
+    dropped first, and a zero-norm vector similarity counts as 0.0
+    (the try_divide posture).  Returns (query_id_col, id_col,
+    score_col, mmr, rank) with rank 1..k per query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_schema = candidates.schema
+    out_schema = T.StructType(
+        [
+            in_schema[query_id_col],
+            in_schema[id_col],
+            in_schema[score_col],
+            T.StructField("mmr", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    kk, ll = int(k), float(lam)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (
+            # sort BEFORE dedup so the kept duplicate is deterministic
+            # (the highest-scored row per id), whatever the input order
+            pdf.sort_values([score_col, id_col], ascending=[False, True])
+            .drop_duplicates(subset=[id_col], keep="first")
+            .reset_index(drop=True)
+        )
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        picked_mmr: list[float] = []
+        max_sim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        while avail.any() and len(picked) < kk:
+            mmr = np.where(avail, ll * rel - (1.0 - ll) * max_sim, -np.inf)
+            best = int(np.argmax(mmr))  # first max in canonical order
+            picked.append(best)
+            picked_mmr.append(float(mmr[best]))
+            avail[best] = False
+            denom = norms * norms[best]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(denom > 0.0, vecs @ vecs[best] / denom, 0.0)
+            max_sim = np.maximum(max_sim, sim)
+        out = pdf.iloc[picked][[query_id_col, id_col, score_col]].copy()
+        out["mmr"] = picked_mmr
+        out["rank"] = np.arange(1, len(picked) + 1, dtype=np.int64)
+        return out
+
+    return (
+        candidates.select(query_id_col, id_col, score_col, vec_col)
+        .groupBy(query_id_col)
+        .applyInPandas(_mmr, schema=out_schema)
+    )
+
+
 def ann_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

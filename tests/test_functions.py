@@ -1698,3 +1698,78 @@ def test_quantized_serving_recall_is_measurable(spark):
         F.avg("recall").alias("r")
     ).collect()[0][0]
     assert rec_c < rec, (rec_c, rec)
+
+
+def test_mmr_rerank_diversifies_and_matches_model(spark):
+    """MMR re-ranking: lam=1 reproduces pure relevance order; at
+    lam=0.5 a near-duplicate of the top pick is displaced by a less
+    relevant but diverse candidate; scores match a pure-Python greedy
+    model to 1e-12; short groups return all their rows; duplicate
+    (query, id) rows keep the highest-scored copy."""
+    import math
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        mmr_rerank,
+    )
+
+    # q1: doc 1 and doc 2 are near-identical vectors; doc 3 orthogonal
+    rows = [
+        (1, 1, 0.99, [1.0, 0.0, 0.0]),
+        (1, 2, 0.98, [0.999, 0.001, 0.0]),
+        (1, 3, 0.50, [0.0, 1.0, 0.0]),
+        (2, 7, 0.30, [0.5, 0.5, 0.0]),  # a single-candidate query
+    ]
+    cands = spark.createDataFrame(
+        rows, "qid long, doc_id long, score double, embedding array<double>"
+    )
+
+    rel = mmr_rerank(cands, k=2, lam=1.0)
+    # the deliberate Arrow crossing is grouped-map, never row-wise UDF
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    got_rel = [
+        (r.doc_id, r.rank)
+        for r in rel.where(rel.qid == 1).orderBy("rank").collect()
+    ]
+    assert got_rel == [(1, 1), (2, 2)]  # pure relevance keeps the dup
+
+    div = mmr_rerank(cands, k=2, lam=0.5)
+    got_div = {
+        r.doc_id: (r.rank, r.mmr)
+        for r in div.where(div.qid == 1).collect()
+    }
+    assert sorted(got_div) == [1, 3]  # the near-dup was displaced
+    assert got_div[1][0] == 1 and got_div[3][0] == 2
+
+    # python model for q1 at lam=0.5
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    v = {i: e for _, i, _, e in rows[:3]}
+    s = {i: sc for _, i, sc, _ in rows[:3]}
+    m1 = 0.5 * s[1]  # first pick: no penalty
+    m3 = 0.5 * s[3] - 0.5 * cos(v[3], v[1])
+    assert abs(got_div[1][1] - m1) < 1e-12
+    assert abs(got_div[3][1] - m3) < 1e-12
+
+    # short group: all rows, rank respected
+    q2 = [(r.doc_id, r.rank) for r in div.where(div.qid == 2).collect()]
+    assert q2 == [(7, 1)]
+
+    # duplicate (qid, id): the higher-scored copy wins deterministically
+    dup = cands.unionByName(
+        spark.createDataFrame(
+            [(1, 3, 0.10, [0.0, 0.0, 1.0])],
+            "qid long, doc_id long, score double, embedding array<double>",
+        )
+    )
+    d2 = mmr_rerank(dup, k=3, lam=0.5)
+    kept = {
+        r.doc_id: r.score
+        for r in d2.where(d2.qid == 1).collect()
+    }
+    assert kept[3] == 0.50

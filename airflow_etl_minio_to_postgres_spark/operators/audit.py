@@ -234,7 +234,10 @@ def population_stability_index_by(
     NULL SEGMENT KEYS are likewise not scored (the cutpoint join is an
     equi-join; fill or filter NULL keys upstream if "unknown" should
     be a segment); NULL values are excluded per the global contract.
-    Returns one row
+    Segment cardinality should be dimension-sized (sources, types,
+    languages — the cutpoint table broadcasts at |segments| x
+    n_buckets doubles); a corpus-cardinality key is not a segmentation,
+    it's a per-row score.  Returns one row
     per (segment, bucket): ``(*by, bucket, p_ref, p_cur, psi_part)``;
     per-segment PSI is ``sum(psi_part)`` within the segment."""
     if n_buckets < 2:

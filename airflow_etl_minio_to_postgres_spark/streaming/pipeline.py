@@ -1681,6 +1681,61 @@ def _drift_process_batch(
     )
 
 
+def compact_drift_log(
+    spark: SparkSession, out_path: str, compact_seq: int = 0
+) -> int:
+    """Housekeeping for a :func:`streaming_drift_monitor` log: fold the
+    one-tiny-file-per-batch ``_commit_id`` partitions into ONE
+    ``compact-<seq>`` commit — the drift-log face of
+    :func:`compact_ivf_index`.  Every row keeps its ``_batch_id``
+    DATA column, so :func:`drift_report` is bit-equal before and after
+    (pinned in tests); the ``_ref`` sidecar is carried through the
+    atomic swap unchanged (a generic ``compact_parquet`` over the root
+    would flatten the ``_commit_id`` layout AND drop the sidecar —
+    this is why the log has its own compactor).  Same run-window
+    contract as the other compactors: only between cleanly-terminated
+    runs, because a pending replay's dynamic overwrite would duplicate
+    rather than replace rows folded into the compact commit.  Local-FS
+    only (atomic ``os.replace`` swap).  Idempotent in content.
+    Returns the log row count."""
+    import shutil
+
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
+    out_local = _local_path(out_path)
+    df = spark.read.parquet(out_local)
+    if "_batch_id" not in df.columns or "_commit_id" not in df.columns:
+        raise ValueError(
+            f"compact_drift_log: {out_path!r} has columns "
+            f"{sorted(df.columns)} — not a streaming_drift_monitor log"
+        )
+    data_cols = [c for c in df.columns if c != "_commit_id"]
+    compacted = (
+        df.select(*data_cols)
+        .withColumn("_commit_id", F.lit(f"compact-{int(compact_seq)}"))
+        .coalesce(1)
+    )
+    tmp = out_local.rstrip("/") + "__compact_tmp"
+    old = out_local.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("_commit_id")
+        .parquet(tmp)
+    )
+    # the frozen reference rides the same swap as the counts it scores
+    shutil.copytree(
+        os.path.join(out_local, "_ref"), os.path.join(tmp, "_ref")
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_local, old)
+    os.replace(tmp, out_local)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(out_local).count()
+
+
 def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
     """Per-batch PSI report over a :func:`streaming_drift_monitor` log:
     one row per (batch, bucket) with the exact

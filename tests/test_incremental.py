@@ -1483,6 +1483,24 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
             n_buckets=5,
         )
 
+    # compaction: one commit, fewer files, sidecar carried, report
+    # bit-equal (a generic compact_parquet would destroy both)
+    import glob as _glob
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_drift_log,
+    )
+
+    files_before = len(_glob.glob(os.path.join(out, "_commit_id=*", "*.parquet")))
+    n = compact_drift_log(spark, out)
+    files_after = len(_glob.glob(os.path.join(out, "_commit_id=*", "*.parquet")))
+    assert files_after < files_before
+    assert _glob.glob(os.path.join(out, "_commit_id=compact-0", "*"))
+    assert os.path.isdir(os.path.join(out, "_ref"))
+    assert n == len(before)
+    rep3 = sorted(tuple(r) for r in drift_report(spark, out).collect())
+    assert rep3 == before
+
 
 def test_streamed_hybrid_batched_serving_matches_batch_build(spark, tmp_path):
     """The fully-continuous hybrid retrieval story: BOTH serving

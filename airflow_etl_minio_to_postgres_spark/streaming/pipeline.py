@@ -1736,7 +1736,9 @@ def compact_drift_log(
     return spark.read.parquet(out_local).count()
 
 
-def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
+def drift_report(
+    spark: SparkSession, out_path: str, cumulative: bool = False
+) -> DataFrame:
     """Per-batch PSI report over a :func:`streaming_drift_monitor` log:
     one row per (batch, bucket) with the exact
     :func:`...operators.audit.psi_parts` columns plus ``_batch_id`` —
@@ -1744,7 +1746,14 @@ def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
     running the batch operator on each batch's slice (the sidecar holds
     the frozen reference counts; ``psi_parts`` is shared verbatim).
     Cost: the log and sidecar are bucket-count-sized — |batches| x
-    n_buckets rows, metadata-scale at any corpus size."""
+    n_buckets rows, metadata-scale at any corpus size.
+
+    ``cumulative=True`` answers the companion question — "has
+    EVERYTHING ingested so far drifted?" — by prefix-summing the
+    logged counts per bucket over the batch order (counts are
+    additive, so batch b's row is exactly the batch operator run on
+    the union of slices 0..b; pinned in tests).  One running-sum
+    window over the bucket-count-sized log, same cost class."""
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         psi_parts,
     )
@@ -1772,6 +1781,31 @@ def drift_report(spark: SparkSession, out_path: str) -> DataFrame:
     )
     log = spark.read.parquet(out_local).select("_batch_id", "bucket", "_cc")
     batches = log.select("_batch_id").distinct()
+    if cumulative:
+        from pyspark.sql import Window
+
+        # densify to the (batch x logged-bucket) grid so the running
+        # sum carries a bucket forward through batches that missed it,
+        # then keep only rows whose prefix sum is non-zero — exactly
+        # the row set the batch operator produces on the union slice
+        buckets = log.select("bucket").distinct()
+        dense = (
+            batches.crossJoin(buckets)
+            .join(log, ["_batch_id", "bucket"], "left")
+            .select(
+                "_batch_id",
+                "bucket",
+                F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
+            )
+        )
+        w = (
+            Window.partitionBy("bucket")
+            .orderBy("_batch_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        log = dense.select(
+            "_batch_id", "bucket", F.sum("_cc").over(w).alias("_cc")
+        ).where(F.col("_cc") > 0)
     # the frozen reference counts, replicated per observed batch —
     # ONE grouped psi_parts plan regardless of how many batches the
     # monitor has logged (both frames are |batches| x n_buckets rows)

@@ -1483,6 +1483,25 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
             n_buckets=5,
         )
 
+    # cumulative mode: batch b's rows == the batch operator on the
+    # union of slices 0..b (counts are additive)
+    cum = drift_report(spark, out, cumulative=True)
+    got_cum = {
+        b: sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in cum.where(cum._batch_id == b).collect()
+        )
+        for b in (0, 1)
+    }
+    for b, slices in ((0, b0), (1, b0.unionByName(b1))):
+        want = sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in population_stability_index(
+                ref, slices, F.col("value"), n_buckets=5
+            ).collect()
+        )
+        assert got_cum[b] == want, f"cumulative batch {b}"
+
     # compaction: one commit, fewer files, sidecar carried, report
     # bit-equal (a generic compact_parquet would destroy both)
     import glob as _glob

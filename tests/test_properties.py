@@ -1391,3 +1391,62 @@ def test_mmr_rerank_matches_python_model(spark, cands, k, lam):
     assert [i for i, _ in got] == [i for i, _ in picked]
     for (gi, gm), (_, em) in zip(got, picked):
         assert gm == em, (gi, gm, em)
+
+
+@given(
+    ref_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(0, 30),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    cur_rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),  # c: never in ref
+            st.integers(0, 30),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    n_buckets=st.integers(2, 4),
+)
+@SPARK_SETTINGS
+def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
+    """population_stability_index_by vs the global operator run on each
+    segment's slices, over arbitrary segmented multisets: bit-equal
+    per-segment rows; segments absent from the reference (including
+    cur-only and NULL keys) produce no rows."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+        population_stability_index_by,
+    )
+
+    ref = spark.createDataFrame(
+        [(s, float(v)) for s, v in ref_rows], "seg string, v double"
+    )
+    cur = spark.createDataFrame(
+        [(s, float(v)) for s, v in cur_rows], "seg string, v double"
+    )
+    got = population_stability_index_by(
+        ref, cur, F.col("v"), by=["seg"], n_buckets=n_buckets
+    ).collect()
+    got_by_seg = {}
+    for r in got:
+        got_by_seg.setdefault(r.seg, []).append(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+        )
+    ref_segs = {s for s, _ in ref_rows if s is not None}
+    assert set(got_by_seg) <= ref_segs  # no NULL / cur-only segments
+    for s in ref_segs:
+        want = sorted(
+            (r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in population_stability_index(
+                ref.where(F.col("seg") == s),
+                cur.where(F.col("seg") == s),
+                F.col("v"),
+                n_buckets=n_buckets,
+            ).collect()
+        )
+        assert sorted(got_by_seg.get(s, [])) == want, f"segment {s}"

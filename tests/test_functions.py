@@ -1773,3 +1773,41 @@ def test_mmr_rerank_diversifies_and_matches_model(spark):
         for r in d2.where(d2.qid == 1).collect()
     }
     assert kept[3] == 0.50
+
+
+def test_rrf_fuse_three_lists_fold(spark):
+    """The N-list fold generality both RRF forms claim: with THREE
+    ranked lists, fused scores are the sum of all three reciprocal
+    ranks (absentees contributing 0 per list), identically in the
+    single-query and grouped forms."""
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        rrf_fuse,
+        rrf_fuse_grouped,
+    )
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 0.9), (3, 0.8)], "doc_id long, cosine double")
+    c = spark.createDataFrame([(3, 7.0), (1, 6.0)], "doc_id long, bm25 double")
+    want = {
+        1: 1.0 / 61 + 0.0 + 1.0 / 62,
+        2: 1.0 / 62 + 1.0 / 61 + 0.0,
+        3: 0.0 + 1.0 / 62 + 1.0 / 61,
+    }
+    got = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse(
+            [(a, "score"), (b, "cosine"), (c, "bm25")], k=10
+        ).collect()
+    }
+    assert got == want
+
+    ga = a.withColumn("qid", F.lit(0))
+    gb = b.withColumn("qid", F.lit(0))
+    gc = c.withColumn("qid", F.lit(0))
+    got_g = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse_grouped(
+            [(ga, "score"), (gb, "cosine"), (gc, "bm25")], k=10
+        ).collect()
+    }
+    assert got_g == want

@@ -441,18 +441,35 @@ def write_inverted_index(
     serving reads ``n_buckets`` from the sidecar, never guesses.
     Empty-string tokens are not indexed.  Re-running overwrites
     (idempotent rebuild).  A corpus with ZERO indexable tokens is
-    refused loudly after the write (a partitioned parquet table with
-    no rows has no footers — every later serve would fail with an
-    unreadable-schema error far from the cause; checked from file
-    metadata, no extra pass over the corpus).  Returns ``path``."""
+    refused loudly BEFORE the overwrite touches ``path`` (a
+    partitioned parquet table with no rows has no footers — every
+    later serve would fail far from the cause; worse, refusing only
+    AFTER the write would let an accidental rebuild from an empty
+    corpus destroy a good serving index first).  The guard rides the
+    same one-row stats aggregate the sidecar needs — collected here
+    instead of written lazily, so the check costs no extra corpus
+    pass.  Returns ``path``."""
     import os as _os
 
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     d = df.select(F.col(id_col), words.alias("_w"))
-    stats = d.agg(
+    srow = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(F.col("_w"))).alias("avgdl"),
-        F.lit(int(n_buckets)).alias("n_buckets"),
+        F.sum(
+            F.size(F.filter(F.col("_w"), lambda w: w != ""))
+        ).alias("_n_tokens"),
+    ).collect()[0]
+    if not srow["_n_tokens"]:
+        raise ValueError(
+            f"write_inverted_index: corpus for {path!r} produced zero "
+            "postings (no non-empty tokens) — an empty index cannot "
+            "be served; existing index left untouched"
+        )
+    spark = df.sparkSession
+    stats = spark.createDataFrame(
+        [(srow["n_docs"], srow["avgdl"], int(n_buckets))],
+        "n_docs bigint, avgdl double, n_buckets int",
     )
     # doc length rides through the explode (a function of the doc, so
     # max in the tf aggregate recovers it exactly) — the posting build
@@ -481,21 +498,6 @@ def write_inverted_index(
         .partitionBy("term_bucket")
         .parquet(path)
     )
-    # metadata-only emptiness probe on the filesystem Spark wrote to
-    # (globStatus, any scheme) — never os.path on a URI
-    spark = df.sparkSession
-    jvm = spark.sparkContext._jvm
-    gp = jvm.org.apache.hadoop.fs.Path(
-        _os.path.join(path, "term_bucket=*", "*")
-    )
-    fs = gp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    matches = fs.globStatus(gp)
-    if matches is None or len(matches) == 0:
-        raise ValueError(
-            f"write_inverted_index: corpus at {path!r} produced zero "
-            "postings (no non-empty tokens) — an empty index cannot "
-            "be served"
-        )
     stats.write.mode("overwrite").parquet(_os.path.join(path, "_stats"))
     return path
 

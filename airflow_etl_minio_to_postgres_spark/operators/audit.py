@@ -192,8 +192,13 @@ def population_stability_index(
     Contract: NULL values are excluded on both sides (no quantile is
     defined for them); a bucket empty on either side contributes with
     its proportion floored at ``eps`` (repr-embed the same eps in any
-    oracle) so the log stays finite; an EMPTY side yields NULL
-    proportions — feed non-empty frames.  Returns one row per bucket:
+    oracle) so the log stays finite; an entirely EMPTY side is floored
+    the same way (``try_divide(cnt, 0)`` is NULL and ``greatest``
+    skips NULLs, so every proportion on that side reads ``eps``),
+    which deliberately yields a large finite PSI — "all the data
+    vanished" IS maximal drift, and the alternative (NULL parts
+    summing to a NULL PSI) would silently read as "no signal", the
+    rubber-stamp direction.  Returns one row per bucket:
     ``(bucket, p_ref, p_cur, psi_part)``; total PSI is
     ``sum(psi_part)``.
     """

@@ -505,8 +505,28 @@ def recluster_zorder_parquet(
     last pass (re-sort only those directories under dynamic partition
     overwrite) rather than the whole table; at any scale the read side
     needs no change — pruning reads the same footer stats either way.
-    Returns ``path``."""
-    df = spark.read.parquet(_local_path(path))
+    A hive-partitioned location is REFUSED: this rewrite stages flat,
+    which would silently demote the partition columns to data columns
+    and break every reader that relies on directory pruning — use
+    :func:`recluster_zorder_partitions`, which re-sorts per partition
+    and preserves the layout.  Returns ``path``."""
+    lpath = _local_path(path)
+    hive_dirs = [
+        e
+        for e in os.listdir(lpath)
+        if "=" in e
+        and not e.startswith(("_", "."))
+        and os.path.isdir(os.path.join(lpath, e))
+    ]
+    if hive_dirs:
+        raise ValueError(
+            f"recluster_zorder_parquet: {path!r} is hive-partitioned "
+            f"(found {sorted(hive_dirs)[:3]}...) — an in-place flat "
+            "rewrite would demote the partition columns and break "
+            "directory pruning; use recluster_zorder_partitions to "
+            "re-sort within the partition layout"
+        )
+    df = spark.read.parquet(lpath)
     helper_cols = ["_zval"]
     zcols = list(zorder_cols)
     if rank_bucket:

@@ -1172,7 +1172,12 @@ def streaming_inverted_index_upsert(
     streamed and one-shot sidecars agree bit-for-bit).  Replay safety
     for the merge is the rollup's marker mechanism verbatim: the
     last-merged ``(token, batch_id)`` rides a ``_last_batch`` file
-    promoted by the SAME atomic swap as the stats it describes.
+    promoted by the SAME atomic swap as the stats it describes.  The
+    marker is ALSO the lineage guard: pointing a NEW checkpoint at an
+    existing index raises before any write (a foreign token would
+    double-count both postings and stats — the drift monitor's
+    changed-reference stance); resume the original checkpoint or
+    rebuild.
 
     Like the IVF maintainer, append-only: a document re-delivered in a
     LATER batch duplicates its postings and inflates the stats — dedup
@@ -1227,6 +1232,33 @@ def _inv_index_process_batch(
     )
 
     spark = batch_df.sparkSession
+    stats_path = os.path.join(index_path, "_stats")
+    marker = os.path.join(stats_path, "_last_batch")
+    # Lineage guard BEFORE any write: the marker only disambiguates
+    # replays within ONE checkpoint lineage.  A NEW checkpoint pointed
+    # at an existing index would silently double-count BOTH the
+    # postings (old _commit_id partitions are never overwritten by the
+    # new token's commit ids) and the sidecar stats partials — refuse
+    # loudly instead, the drift monitor's changed-reference stance.
+    last_id_merged = -1
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            last_token, _, last_id = f.read().strip().partition(":")
+        if last_token != token:
+            raise ValueError(
+                f"inverted index at {index_path!r} was maintained under "
+                f"a different checkpoint lineage (marker token "
+                f"{last_token!r}, this stream's token {token!r}) — "
+                "merging would double-count postings and sidecar "
+                "stats.  Resume the original checkpoint, or rebuild "
+                "with write_inverted_index and a fresh checkpoint."
+            )
+        last_id_merged = int(last_id)
+    if batch_id <= last_id_merged:
+        # crash-replayed batch: the marker is promoted atomically WITH
+        # the stats, only after the postings commit — so both the
+        # postings and the stats for this batch are already on disk
+        return
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     d = batch_df.select(F.col(id_col), words.alias("_w"))
     # dl rides through the explode (function of the doc; max recovers
@@ -1258,13 +1290,6 @@ def _inv_index_process_batch(
         .parquet(index_path)
     )
 
-    stats_path = os.path.join(index_path, "_stats")
-    marker = os.path.join(stats_path, "_last_batch")
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            last_token, _, last_id = f.read().strip().partition(":")
-        if last_token == token and batch_id <= int(last_id):
-            return  # crash-replayed batch: stats already merged
     partial = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.col("_w"))).cast("long").alias("sum_dl"),

@@ -1811,3 +1811,29 @@ def test_rrf_fuse_three_lists_fold(spark):
         ).collect()
     }
     assert got_g == want
+
+
+def test_population_stability_index_empty_side_is_maximal_drift(spark):
+    """An entirely EMPTY current frame floors every p_cur at eps
+    (try_divide by a 0 total is NULL; greatest skips NULLs), yielding
+    a large FINITE PSI — 'all the data vanished' reads as maximal
+    drift, deliberately, instead of NULL parts summing to a NULL PSI
+    that a monitor would misread as 'no signal' (round-12 advisor
+    finding, pinned as documented behavior)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index,
+    )
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    rows = population_stability_index(
+        ref, empty, F.col("v"), n_buckets=10
+    ).collect()
+    assert len(rows) == 10
+    assert all(r.p_cur == 1e-06 for r in rows)
+    total = sum(r.psi_part for r in rows)
+    assert total > 0.25 and total < float("inf")

@@ -1601,3 +1601,118 @@ def test_streamed_hybrid_batched_serving_matches_batch_build(spark, tmp_path):
     built = sorted(tuple(r) for r in hybrid(inv_b, ivf_b).collect())
     assert streamed == built
     assert len(built) == 20  # 10 fused rows per query
+
+
+def test_streaming_inverted_index_refuses_foreign_lineage(spark, tmp_path):
+    """Pointing a NEW checkpoint (different lineage token) at an
+    existing streamed index must raise BEFORE any write: the old
+    _commit_id partitions would never be overwritten by the new
+    token's commit ids, so proceeding would double-count both the
+    postings and the sidecar stats partials (round-12 advisor
+    finding).  The index must be byte-unchanged after the refusal."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _inv_index_process_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join doc{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    _inv_index_process_batch(docs, 0, idx, "tok-a", n_buckets=8)
+    before = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    stats_before = spark.read.parquet(
+        _os.path.join(idx, "_stats")
+    ).collect()[0]
+
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        _inv_index_process_batch(docs, 0, idx, "tok-b", n_buckets=8)
+
+    after = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    stats_after = spark.read.parquet(
+        _os.path.join(idx, "_stats")
+    ).collect()[0]
+    assert after == before
+    assert tuple(stats_after) == tuple(stats_before)
+    # the ORIGINAL lineage can still continue past the refusal
+    more = spark.createDataFrame(
+        [(100, "window filter")], "doc_id long, text string"
+    )
+    _inv_index_process_batch(more, 1, idx, "tok-a", n_buckets=8)
+    assert spark.read.parquet(
+        _os.path.join(idx, "_stats")
+    ).collect()[0]["n_docs"] == 11
+
+
+def test_write_inverted_index_refusal_leaves_existing_index_intact(
+    spark, tmp_path
+):
+    """An accidental rebuild from a zero-token corpus must refuse
+    BEFORE the overwrite: the previous post-write check replaced a
+    good serving index with footerless empty postings and no _stats
+    sidecar before raising (round-12 advisor finding)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv_guard")
+    write_inverted_index(docs, idx, n_buckets=8)
+    served_before = [
+        tuple(r) for r in bm25_topk_indexed(spark, idx, ["spark"], k=5).collect()
+    ]
+
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, None)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="zero postings"):
+        write_inverted_index(empty, idx, n_buckets=8)
+
+    # the index still serves, and the sidecar survived
+    served_after = [
+        tuple(r) for r in bm25_topk_indexed(spark, idx, ["spark"], k=5).collect()
+    ]
+    assert served_after == served_before
+    assert spark.read.parquet(
+        _os.path.join(idx, "_stats")
+    ).collect()[0]["n_docs"] == 12
+
+
+def test_recluster_zorder_parquet_refuses_hive_partitioned(spark, tmp_path):
+    """recluster_zorder_parquet stages a FLAT rewrite; run against a
+    hive-partitioned location it would silently demote the partition
+    columns to data columns and break directory pruning (round-12
+    advisor finding) — it must refuse with a pointer to the
+    partition-scoped form, leaving the layout untouched."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_parquet,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "id % 4 as day", "id * 7 % 100 as x"
+    )
+    path = str(tmp_path / "hive")
+    df.write.partitionBy("day").parquet(path)
+    dirs_before = sorted(_os.listdir(path))
+
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        recluster_zorder_parquet(spark, path, ["x"], bits=6)
+
+    assert sorted(_os.listdir(path)) == dirs_before
+    assert spark.read.parquet(path).count() == 100

@@ -31,6 +31,7 @@ from airflow_etl_minio_to_postgres_spark.operators.temporal import (
 from airflow_etl_minio_to_postgres_spark.operators.audit import (
     k_anonymity_stats,
     population_stability_index,
+    population_stability_index_by,
     validate_expectations,
 )
 from airflow_etl_minio_to_postgres_spark.operators.joins import (
@@ -79,6 +80,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes as _hyperplanes,
     ann_recall_at_k,
+    dequantize_int8,
     ivf_knn_join,
     ivf_topk,
     ivf_topk_batch,
@@ -88,6 +90,7 @@ from airflow_etl_minio_to_postgres_spark.functions.similarity import (
     label_centroids,
     quantize_int8,
     rrf_fuse,
+    rrf_fuse_grouped,
     semantic_decontaminate,
     semantic_dedup,
     topk_cosine,
@@ -103,6 +106,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     assign_splits,
     bm25_topk,
+    bm25_topk_batch,
     bm25_topk_indexed,
     chunk_text,
     curriculum_order,
@@ -128,7 +132,9 @@ from airflow_etl_minio_to_postgres_spark.functions.text import (
 )
 from airflow_etl_minio_to_postgres_spark.plans.medallion import run_medallion
 from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+    compact_inverted_index,
     compact_ivf_index,
+    drift_report,
     hourly_agg_stream,
     run_available_now,
     run_stateful_user_counts,
@@ -138,6 +144,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     stream_static_enrichment,
     stream_stream_attribution,
     streaming_dedup,
+    streaming_drift_monitor,
     streaming_inverted_index_upsert,
     streaming_ivf_index_upsert,
     streaming_near_dup_dedup,
@@ -149,6 +156,7 @@ from airflow_etl_minio_to_postgres_spark.sources.files import (
     read_csv,
     read_jsonl,
     recluster_zorder_parquet,
+    recluster_zorder_partitions,
     write_csv,
     write_jsonl,
     write_orc,
@@ -2575,6 +2583,47 @@ _BM25_SQL = f"""
     """
 
 
+# One batch-built inverted index shared by the sparse serving entries
+# (indexed / batched-hybrid) and one STREAMED build shared by the
+# continuous entries (streamed / compacted) — the memoized-medallion
+# pattern the dense family uses (_STREAM_IVF_MEMO): the build runs once
+# per (process, sf_dir) and each entry times only its own serving/eval
+# work.  Compaction mutates the shared streamed index IN PLACE, which is
+# safe by its own contract (bit-equal serving before and after — exactly
+# what the entries sharing it re-prove).
+_INV_INDEX_MEMO: dict[str, str] = {}
+_STREAM_INV_MEMO: dict[str, str] = {}
+
+
+def _batch_inv_index(spark: SparkSession, sf_dir: str) -> str:
+    got = _INV_INDEX_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="inv_index_")
+    path = os.path.join(base, "index")
+    write_inverted_index(d, path, n_buckets=64)
+    _INV_INDEX_MEMO[sf_dir] = path
+    return path
+
+
+def _streamed_inv_index(spark: SparkSession, sf_dir: str) -> str:
+    got = _STREAM_INV_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    base = tempfile.mkdtemp(prefix="stream_inv_")
+    index = os.path.join(base, "index")
+    q = streaming_inverted_index_upsert(
+        stream_documents(spark, sf_dir),
+        index,
+        os.path.join(base, "ckpt"),
+        n_buckets=64,
+    )
+    q.awaitTermination()
+    _STREAM_INV_MEMO[sf_dir] = index
+    return index
+
+
 @register("docs_bm25_indexed", _BM25_SQL)
 def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED sparse serving path (functions/text.py
@@ -2586,10 +2635,7 @@ def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (PartitionFilters, pinned in tests).  Checked against
     the IDENTICAL oracle as the direct docs_bm25_topk — serving from
     the index is proven bit-equal to re-tokenizing the corpus."""
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="inv_index_")
-    path = os.path.join(base, "index")
-    write_inverted_index(d, path, n_buckets=64)
+    path = _batch_inv_index(spark, sf_dir)
     return bm25_topk_indexed(
         spark, path, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
     )
@@ -2608,15 +2654,28 @@ def docs_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the IDENTICAL oracle as the direct and one-shot
     indexed entries, so streamed maintenance is proven
     serving-equivalent to a batch rebuild."""
-    base = tempfile.mkdtemp(prefix="stream_inv_")
-    index = os.path.join(base, "index")
-    q = streaming_inverted_index_upsert(
-        stream_documents(spark, sf_dir),
-        index,
-        os.path.join(base, "ckpt"),
-        n_buckets=64,
+    index = _streamed_inv_index(spark, sf_dir)
+    return bm25_topk_indexed(
+        spark, index, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
     )
-    q.awaitTermination()
+
+
+@register("docs_bm25_compacted", _BM25_SQL)
+def docs_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-index housekeeping (streaming/pipeline.py
+    compact_inverted_index) registered end-to-end — the BM25 twin of
+    emb_ivf_index_compacted, closing the sparse lifecycle: the
+    STREAMED index's per-batch ``_commit_id`` posting fragments are
+    folded into one compact commit per term bucket (preserving the
+    ``term_bucket`` partition level the serving path prunes on — a
+    flat compact would destroy the pruning), and the SAME
+    bm25_topk_indexed serving path reads the compacted layout —
+    checked against the IDENTICAL oracle as the direct / one-shot /
+    streamed entries, so build → stream-maintain → compact → serve is
+    proven value-equal across the whole chain.  The fragmentation
+    drop itself is footer-measured in pytest."""
+    index = _streamed_inv_index(spark, sf_dir)
+    compact_inverted_index(spark, index, compact_seq=0)
     return bm25_topk_indexed(
         spark, index, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
     )
@@ -2687,6 +2746,140 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir), query_id=0, k=10
     ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([(bm, "score"), (dn, "cosine")], k=10, k_rrf=60)
+
+
+# The batched hybrid eval's query set: three queries, each with a sparse
+# terms list (generated into BOTH engines' text) and a dense query
+# vector (embeddings row of the same id — vec_id IS the document id).
+_HYBRID_BATCH_TERMS = {
+    0: ["spark", "join"],
+    1: ["window", "filter"],
+    2: ["merge", "agg"],
+}
+
+_HYBRID_QT_VALUES = ", ".join(
+    f"({q}, '{t}')"
+    for q, terms in sorted(_HYBRID_BATCH_TERMS.items())
+    for t in terms
+)
+_HYBRID_ALL_TERMS = sorted(
+    {t for terms in _HYBRID_BATCH_TERMS.values() for t in terms}
+)
+
+_HYBRID_HEALTH_SQL = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
+        FROM d
+    ),
+    qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
+           FROM (VALUES {_HYBRID_QT_VALUES}) AS t(qid, term)),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ({', '.join(f"'{t}'" for t in _HYBRID_ALL_TERMS)})
+        GROUP BY 1, 2
+    ),
+    wdf AS (
+        SELECT *, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+        FROM tf
+    ),
+    lens AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM d),
+    parts AS (
+        SELECT qt.qid, wdf.doc_id,
+               ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r}
+                  / (tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r}
+                             + {_BM25_B!r} * dl / stats.avgdl))) AS part
+        FROM wdf JOIN lens USING (doc_id) CROSS JOIN stats
+        JOIN qt USING (term)
+    ),
+    bm_s AS (SELECT qid, doc_id, sum(part) AS score
+             FROM parts GROUP BY 1, 2),
+    bm AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM bm_s) t WHERE rnk <= 10),
+    corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cvec FROM corp WHERE vec_id < 8),
+    sims AS (
+        SELECT corp.vec_id, cid, {{_COS_VC}} AS sim FROM corp, cent
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp
+           WHERE vec_id IN ({', '.join(str(q) for q in sorted(_HYBRID_BATCH_TERMS))})),
+    qsims AS (
+        SELECT qid, cid, {{_COS_QV_CVEC}} AS sim FROM qs, cent
+    ),
+    qassign AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM qsims
+        ) t WHERE rn = 1
+    ),
+    dna AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qassign.qid, corp.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qassign.qid
+                                  ORDER BY {{_COS_VQ}} DESC,
+                                           corp.vec_id) AS rnk
+        FROM corp
+        JOIN assigned USING (vec_id)
+        JOIN qassign ON assigned.cid = qassign.cid
+        JOIN qs ON qs.qid = qassign.qid
+    ) t WHERE rnk <= 10),
+    dne AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qs.qid, corp.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {{_COS_VQ}} DESC,
+                                           corp.vec_id) AS rnk
+        FROM corp, qs
+    ) t WHERE rnk <= 10),
+    fa AS (
+        SELECT coalesce(b.qid, d.qid) AS qid,
+               coalesce(b.doc_id, d.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + b.rnk), 0.0)
+               + coalesce(1.0 / (60 + d.rnk), 0.0) AS rrf
+        FROM bm b FULL OUTER JOIN dna d
+        ON b.qid = d.qid AND b.doc_id = d.doc_id
+    ),
+    fa10 AS (SELECT qid, doc_id FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id) AS rn
+        FROM fa) t WHERE rn <= 10),
+    fe AS (
+        SELECT coalesce(b.qid, d.qid) AS qid,
+               coalesce(b.doc_id, d.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + b.rnk), 0.0)
+               + coalesce(1.0 / (60 + d.rnk), 0.0) AS rrf
+        FROM bm b FULL OUTER JOIN dne d
+        ON b.qid = d.qid AND b.doc_id = d.doc_id
+    ),
+    fe10 AS (SELECT qid, doc_id FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id) AS rn
+        FROM fe) t WHERE rn <= 10)
+    SELECT e.qid,
+           count(a.doc_id)::DOUBLE / least(count(*), 10)::DOUBLE AS recall
+    FROM fe10 e LEFT JOIN fa10 a
+    ON e.qid = a.qid AND e.doc_id = a.doc_id
+    GROUP BY e.qid
+    """
 
 
 @register(
@@ -3619,6 +3812,56 @@ _COS_QV_CVEC_SQL = (
     " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
 )
 
+# The hybrid-health oracle is authored next to the other hybrid entries
+# but needs the cosine fragments defined here — resolved once, at module
+# load (the only braces left in the template are these placeholders).
+_HYBRID_HEALTH_SQL = _HYBRID_HEALTH_SQL.format(
+    _COS_VC=_COS_VC_SQL,
+    _COS_QV_CVEC=_COS_QV_CVEC_SQL,
+    _COS_VQ=_COS_VQ_SQL,
+)
+
+
+@register("docs_hybrid_batch_health", _HYBRID_HEALTH_SQL)
+def docs_hybrid_batch_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched hybrid-retrieval health eval — the one entry that
+    composes the whole production serving stack: BM25 served for a
+    query TABLE from the materialized inverted index
+    (functions/text.py bm25_topk_batch — one PartitionFilters-pruned
+    postings scan shared by all queries, df computed before the query
+    join), dense cosine served from the stream-maintained IVF index at
+    the serving nprobe (ivf_topk_batch), the two lists fused per query
+    by reciprocal-rank fusion (rrf_fuse_grouped — rank windows
+    partitioned on qid, result-sized inputs), and the fused SERVED
+    lists scored against fused BRUTE-FORCE truth (sparse scoring is
+    exact, so truth differs only in the dense leg: ivf_knn_join at
+    nprobe = n_cells) through ann_recall_at_k.  The number a retrieval
+    team watches: "how much recall does my hybrid stack lose to ANN
+    approximation?"  Everything after the two pruned scans is
+    result-sized (≤ 20 rows per query into the fusion)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    inv = _batch_inv_index(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(q, terms) for q, terms in sorted(_HYBRID_BATCH_TERMS.items())],
+        "qid long, terms array<string>",
+    )
+    sparse = bm25_topk_batch(
+        spark, inv, qterms, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+    index, cents = _streamed_ivf_index(spark, sf_dir)
+    qs = e.where(
+        F.col("vec_id").isin(sorted(_HYBRID_BATCH_TERMS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    dna = ivf_topk_batch(
+        spark, index, cents, qs, k=10, nprobe=1
+    ).withColumnRenamed("vec_id", "doc_id")
+    dne = ivf_knn_join(qs, e, cents, k=10, nprobe=8).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused_served = rrf_fuse_grouped([(sparse, "score"), (dna, "cosine")], k=10)
+    fused_truth = rrf_fuse_grouped([(sparse, "score"), (dne, "cosine")], k=10)
+    return ann_recall_at_k(fused_served, fused_truth, k=10, id_col="doc_id")
+
 
 @register(
     "emb_ivf_topk_batch",
@@ -3871,6 +4114,72 @@ def emb_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ivf_knn_join(qs, e, cents, k=5, nprobe=8, exclude_self=True)
     return ann_recall_at_k(approx, exact, k=5)
+
+
+@register(
+    "emb_quantized_recall",
+    f"""
+    WITH corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)
+               / 127.0 AS scale
+        FROM corp
+    ),
+    dq AS (
+        SELECT vec_id,
+               list_transform(v, x -> round(x / scale) * scale) AS v
+        FROM sc
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp WHERE vec_id % 20 = 7),
+    served AS (SELECT qid, vec_id FROM (
+        SELECT qs.qid, dq.vec_id,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {_COS_VQ_SQL} DESC,
+                                           dq.vec_id) AS rn
+        FROM dq, qs WHERE dq.vec_id != qs.qid
+    ) t WHERE rn <= 5),
+    exact AS (SELECT qid, vec_id FROM (
+        SELECT qs.qid, corp.vec_id,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {_COS_VQ_SQL} DESC,
+                                           corp.vec_id) AS rn
+        FROM corp, qs WHERE corp.vec_id != qs.qid
+    ) t WHERE rn <= 5)
+    SELECT e.qid,
+           count(s.vec_id)::DOUBLE / least(count(*), 5)::DOUBLE AS recall
+    FROM exact e LEFT JOIN served s USING (qid, vec_id)
+    GROUP BY e.qid
+    """,
+)
+def emb_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 storage path's quality loop (functions/similarity.py
+    quantize_int8 + dequantize_int8 + ann_recall_at_k): recall@5 of
+    cosine top-k served from the DEQUANTIZED corpus against
+    full-precision truth — quantization cost as a measured number per
+    query, not an assumption.  Quantization is expression-only in the
+    scan stage (per-vector symmetric scale, double arithmetic
+    end-to-end, so the oracle replays every quantized value
+    bit-exactly); both top-k sides run through the SAME cell-bucketed
+    ivf_knn_join at nprobe = n_cells (provably brute force — the
+    recall measures quantization alone, no ANN approximation mixed
+    in), queries drawn from the corpus with self excluded.  The
+    companion pytest pins the discrimination property: a 3-bit
+    coarsening measurably drops this number."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(F.col("vec_id") % 20 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    deq = dequantize_int8(quantize_int8(e)).select("vec_id", "embedding")
+    served = ivf_knn_join(qs, deq, cents, k=5, nprobe=8, exclude_self=True)
+    truth = ivf_knn_join(qs, e, cents, k=5, nprobe=8, exclude_self=True)
+    return ann_recall_at_k(served, truth, k=5)
 
 
 # One streamed-index build shared by the continuous-ANN-serving entries
@@ -4880,6 +5189,53 @@ def events_zorder_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             path
         )
     recluster_zorder_parquet(spark, path, ["bu", "bh"], bits=10, n_files=8)
+    back = spark.read.parquet(path)
+    return back.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
+
+
+@register(
+    "events_zorder_recluster_parts",
+    f"""
+    SELECT event_id, {_ZVAL_SQL} AS zval
+    FROM (
+        SELECT event_id, user_id % 1024 AS bu,
+               (epoch_us(ts) // 3600000000) % 1024 AS bh
+        FROM events
+    ) t
+    """,
+)
+def events_zorder_recluster_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-SCOPED optimize pass (sources/files.py
+    recluster_zorder_partitions) registered end-to-end — the true
+    Delta ``OPTIMIZE ... WHERE`` shape the flat recluster refuses to
+    imitate: the events curve columns land hive-partitioned with TWO
+    curve-oblivious appended batches interleaved INSIDE each
+    partition, then only partitions pk=0 and pk=2 are re-sorted onto
+    the Morton curve (one pruned read, one range exchange, atomic
+    per-partition swaps) while pk=1/pk=3 stay byte-untouched (pinned
+    by footer pytest).  The read-back of the WHOLE table is checked
+    against the IDENTICAL curve oracle as events_zorder_curve — the
+    scoped rewrite is proven lossless at the value level, touched and
+    untouched partitions alike."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("bu"),
+        (F.expr("unix_micros(ts) div 3600000000") % 1024).alias("bh"),
+        (F.col("event_id") % 4).alias("pk"),
+    )
+    base = tempfile.mkdtemp(prefix="zorder_parts_")
+    path = os.path.join(base, "events_zp")
+    # interleave the fragmenting batches WITHIN each partition (an
+    # event_id-parity split would correlate with pk's parity and leave
+    # partitions single-batch — no fragmentation to fold)
+    for m in (0, 1):
+        ev.where(F.expr("event_id div 4") % 2 == m).write.mode(
+            "append"
+        ).partitionBy("pk").parquet(path)
+    recluster_zorder_partitions(
+        spark, path, ["bu", "bh"], "pk", partitions=[0, 2], bits=10,
+        n_files=4,
+    )
     back = spark.read.parquet(path)
     return back.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
 
@@ -5898,9 +6254,10 @@ def events_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_key_skew_report(e, "user_id", top_n=10)
 
 
-@register(
-    "events_value_drift",
-    f"""
+# Shared by events_value_drift (batch operator) and events_drift_report
+# (streamed monitor log read back cumulatively) — two engine paths, ONE
+# truth: the streamed path must reproduce the batch PSI bit-for-bit.
+_PSI_EVENTS_SQL = f"""
     WITH r AS (SELECT value AS v FROM events
                WHERE event_type = 'click' AND value IS NOT NULL),
     c AS (SELECT value AS v FROM events
@@ -5932,8 +6289,10 @@ def events_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / greatest(rcnt::DOUBLE / rt, 1e-06)) AS psi_part
     FROM j CROSS JOIN tot
     ORDER BY bucket
-    """,
-)
+    """
+
+
+@register("events_value_drift", _PSI_EVENTS_SQL)
 def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (operators/audit.py
     population_stability_index): PSI of purchase-event values against
@@ -5949,6 +6308,111 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "click"),
         e.where(F.col("event_type") == "purchase"),
         F.col("value"),
+        n_buckets=10,
+    )
+
+
+@register("events_drift_report", _PSI_EVENTS_SQL)
+def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMED drift monitor read back (streaming/pipeline.py
+    streaming_drift_monitor + drift_report): purchase events arrive as
+    a stream and each micro-batch folds into a replay-safe
+    bucket-count log against the click reference frozen in the _ref
+    sidecar; the report's CUMULATIVE last row-set is then exactly the
+    batch operator run on everything ingested — checked against the
+    IDENTICAL oracle as events_value_drift, so the two engine paths
+    (batch diff and per-ingest monitor) are proven to share one truth.
+    Selecting the cumulative final batch makes the entry independent
+    of how the file source happened to split micro-batches.  Per
+    batch the monitor sees the batch's rows exactly once (map-side
+    fold to ≤ n_buckets count rows); the report itself is
+    bucket-count-sized at any corpus volume."""
+    e = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="drift_monitor_")
+    out = os.path.join(base, "log")
+    q = streaming_drift_monitor(
+        stream_events(spark, sf_dir).where(
+            F.col("event_type") == "purchase"
+        ),
+        e.where(F.col("event_type") == "click"),
+        "value",
+        out,
+        os.path.join(base, "ckpt"),
+        n_buckets=10,
+    )
+    q.awaitTermination()
+    rep = drift_report(spark, out, cumulative=True)
+    last = rep.agg(F.max("_batch_id")).collect()[0][0]
+    return rep.where(F.col("_batch_id") == F.lit(last)).select(
+        "bucket", "p_ref", "p_cur", "psi_part"
+    )
+
+
+@register(
+    "events_value_drift_by_type",
+    f"""
+    WITH r AS (SELECT event_type AS seg, value AS v FROM events
+               WHERE event_id % 2 = 0 AND value IS NOT NULL
+                 AND event_type IS NOT NULL),
+    c AS (SELECT event_type AS seg, value AS v FROM events
+          WHERE event_id % 2 = 1 AND value IS NOT NULL
+            AND event_type IS NOT NULL),
+    cuts AS (
+        SELECT seg,
+               quantile_cont(v,
+                             [{', '.join(repr(p) for p in _QBUCKET_PROBS)}])
+                   AS cs
+        FROM r GROUP BY seg
+    ),
+    rb AS (SELECT r.seg,
+                  1 + len(list_filter(cuts.cs, x -> r.v >= x)) AS bucket
+           FROM r JOIN cuts USING (seg)),
+    cb AS (SELECT c.seg,
+                  1 + len(list_filter(cuts.cs, x -> c.v >= x)) AS bucket
+           FROM c JOIN cuts USING (seg)),
+    rc AS (SELECT seg, bucket, count(*) AS rcnt FROM rb GROUP BY 1, 2),
+    cc AS (SELECT seg, bucket, count(*) AS ccnt FROM cb GROUP BY 1, 2),
+    j AS (
+        SELECT coalesce(rc.seg, cc.seg) AS seg,
+               coalesce(rc.bucket, cc.bucket) AS bucket,
+               coalesce(rcnt, 0) AS rcnt, coalesce(ccnt, 0) AS ccnt
+        FROM rc FULL OUTER JOIN cc
+        ON rc.seg = cc.seg AND rc.bucket = cc.bucket
+    ),
+    tot AS (SELECT seg, sum(rcnt) AS rt, sum(ccnt) AS ct
+            FROM j GROUP BY seg)
+    SELECT j.seg AS event_type, CAST(bucket AS BIGINT) AS bucket,
+           greatest(rcnt::DOUBLE / rt, 1e-06) AS p_ref,
+           greatest(ccnt::DOUBLE / ct, 1e-06) AS p_cur,
+           (greatest(ccnt::DOUBLE / ct, 1e-06)
+            - greatest(rcnt::DOUBLE / rt, 1e-06))
+           * ln(greatest(ccnt::DOUBLE / ct, 1e-06)
+                / greatest(rcnt::DOUBLE / rt, 1e-06)) AS psi_part
+    FROM j JOIN tot USING (seg)
+    ORDER BY 1, 2
+    """,
+)
+def events_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED drift (operators/audit.py
+    population_stability_index_by): PSI of an even/odd event split
+    computed independently per event_type — the monitor shape that
+    catches a drift CONFINED to one segment, which the global PSI
+    dilutes below its thresholds when the segment is small (a
+    property test drives that scenario explicitly).  Each segment
+    buckets against its OWN reference cutpoints, computed in ONE
+    grouped percentile aggregate and broadcast back on the segment
+    key; both sides fold to ≤ |segments| x n_buckets count rows and
+    the parts come from ONE grouped psi_parts plan — per-segment
+    results bit-equal to running the global operator once per slice
+    (pinned in tests)."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isNotNull()
+    )
+    return population_stability_index_by(
+        e.where(F.col("event_id") % 2 == 0),
+        e.where(F.col("event_id") % 2 == 1),
+        F.col("value"),
+        by=["event_type"],
         n_buckets=10,
     )
 

@@ -254,7 +254,13 @@ def ivf_topk_indexed(
         sim = (num / den) if den else float("-inf")
         scored.append((sim, -int(row["cid"])))
     probes = [-nc for _, nc in sorted(scored, reverse=True)[: int(nprobe)]]
-    corpus = spark.read.parquet(path).where(F.col("cid").isin(probes))
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    corpus = spark.read.parquet(resolve_data_root(spark, path)).where(
+        F.col("cid").isin(probes)
+    )
     if exclude_id is not None:
         corpus = corpus.where(F.col(id_col) != exclude_id)
     qcol = F.array(*[F.lit(x) for x in q])
@@ -335,8 +341,12 @@ def ivf_topk_batch(
     # once per row — and each query norm once into the broadcast —
     # replaces two O(dim) folds per (row, query) pair with one dot
     # product; bit-identical (same sqrt-then-multiply, same fold order)
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
     corpus = (
-        spark.read.parquet(path)
+        spark.read.parquet(resolve_data_root(spark, path))
         .where(F.col("cid").isin(cells))
         .withColumn("_cnorm", norm_expr(F.col(vec_col)))
     )

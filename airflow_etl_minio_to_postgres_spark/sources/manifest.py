@@ -1,0 +1,183 @@
+"""Manifest-published index generations — the OBJECT-STORE commit
+protocol for the maintenance family.
+
+The local-FS maintenance ops (``compact_*`` / ``recluster_*`` /
+rollup markers) publish by atomic ``os.replace`` directory swaps, which
+object stores do not have (S3 "rename" is copy+delete, not atomic, and
+not cheap at index scale).  The 100 TB shape is the Iceberg/Delta
+commit on plain parquet, reduced to its minimum here:
+
+1. **Write a NEW immutable generation prefix** next to the old one
+   (``<root>/gen-000002/...``) — never mutate data in place.
+2. **Atomically publish** a tiny versioned manifest object
+   (``<root>/_manifests/manifest-000002.json``) naming that
+   generation.  Publishing is the CREATION of a new object — a single
+   PUT, atomic on every store — never an overwrite or a rename, so
+   there is no window where a reader can observe a half-published
+   pointer (the Delta ``_delta_log/<version>.json`` shape).  Readers
+   resolve the highest-numbered manifest; no manifest at all means the
+   root IS the data (the pre-manifest legacy layout, so adoption is
+   incremental per index).
+3. **GC unreferenced generations** strictly AFTER the publish.  A crash
+   anywhere leaves a servable index: before the publish, readers still
+   resolve the old generation (the orphan new prefix is invisible and
+   is collected by the next maintenance run); after the publish but
+   before GC, readers already resolve the new generation and the stale
+   one is just unreferenced storage for the next run to collect.
+
+Single-maintainer contract: like every compactor in this package,
+commits run between cleanly-terminated maintenance runs — the versioned
+manifest makes a lost-update visible (two racing maintainers would try
+to create the same manifest name) but this module does not arbitrate
+races.  GC grace: a reader that resolved generation N and is still
+scanning it while a LATER maintenance run collects N can fail mid-read
+— production deployments keep the last few generations (Iceberg's
+``expire_snapshots`` grace window); here GC keeps exactly the current
+one because the test corpus has no long-running concurrent readers.
+
+Everything goes through the Hadoop FileSystem API of the path's own
+scheme — no ``os.*`` calls — so the same code serves ``file://`` URIs,
+HDFS, and s3a without a local-filesystem downgrade.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import SparkSession
+
+MANIFEST_DIR = "_manifests"
+_MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
+_GEN_RE = re.compile(r"gen-(\d{6})$")
+
+
+def _join(root: str, *parts: str) -> str:
+    return "/".join([root.rstrip("/"), *parts])
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs
+
+
+def _list_names(spark: SparkSession, path: str) -> list[str]:
+    jvm, fs = _fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def latest_manifest(
+    spark: SparkSession, root: str
+) -> tuple[int, dict] | None:
+    """The highest-numbered published manifest as ``(seq, payload)``,
+    or ``None`` for a legacy (never-committed) layout.  One metadata
+    ``listStatus`` of the manifest directory — the whole read-side
+    cost of the protocol."""
+    names = _list_names(spark, _join(root, MANIFEST_DIR))
+    seqs = sorted(
+        int(m.group(1))
+        for n in names
+        if (m := _MANIFEST_RE.fullmatch(n)) is not None
+    )
+    if not seqs:
+        return None
+    seq = seqs[-1]
+    jvm, fs = _fs_for(spark, root)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
+    )
+    stream = fs.open(mpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return seq, json.loads(text)
+
+
+def resolve_data_root(spark: SparkSession, root: str) -> str:
+    """Where an index's CURRENT data actually lives: the generation the
+    latest manifest names, or ``root`` itself when no manifest was ever
+    published (legacy layout — zero behavior change for indexes that
+    never ran a manifest-based maintenance op)."""
+    got = latest_manifest(spark, root)
+    if got is None:
+        return root
+    return _join(root, got[1]["generation"])
+
+
+def next_seq(spark: SparkSession, root: str) -> int:
+    """The next commit sequence number: one past everything visible —
+    published manifests AND orphan generation prefixes (a crashed
+    run's generation that never got its manifest must not be reused
+    for a different payload; the overwrite-mode write makes reuse safe
+    anyway, but a fresh number keeps every prefix immutable-once-
+    published)."""
+    seqs = [0]
+    got = latest_manifest(spark, root)
+    if got is not None:
+        seqs.append(got[0])
+    for n in _list_names(spark, root):
+        m = _GEN_RE.fullmatch(n)
+        if m is not None:
+            seqs.append(int(m.group(1)))
+    return max(seqs) + 1
+
+
+def publish_generation(
+    spark: SparkSession, root: str, seq: int, generation: str
+) -> None:
+    """Step 2 — the atomic commit point: CREATE
+    ``_manifests/manifest-<seq>.json`` naming ``generation``.  A new
+    object, one PUT; ``overwrite=False`` so a racing maintainer (out of
+    contract, but cheap to catch) fails loudly instead of silently
+    replacing a published commit."""
+    jvm, fs = _fs_for(spark, root)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
+    )
+    out = fs.create(mpath, False)
+    try:
+        out.write(bytearray(json.dumps({"generation": generation}).encode()))
+    finally:
+        out.close()
+
+
+def gc_generations(
+    spark: SparkSession,
+    root: str,
+    keep_seq: int,
+    keep_generation: str,
+    legacy_payload: bool = True,
+) -> list[str]:
+    """Step 3 — collect everything the current manifest does not
+    reference: older/orphan ``gen-*`` prefixes, manifests below
+    ``keep_seq``, and (``legacy_payload``) the pre-manifest flat hive
+    partition directories at the root left behind by the FIRST
+    manifest-based commit.  Runs strictly after the publish; a crash
+    here costs storage, never correctness.  Returns deleted names."""
+    jvm, fs = _fs_for(spark, root)
+    deleted = []
+    for n in _list_names(spark, root):
+        drop = False
+        m = _GEN_RE.fullmatch(n)
+        if m is not None:
+            drop = n != keep_generation
+        elif legacy_payload and "=" in n:
+            drop = True  # pre-manifest hive partition dir at the root
+        if drop:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, n)), True)
+            deleted.append(n)
+    for n in _list_names(spark, _join(root, MANIFEST_DIR)):
+        m = _MANIFEST_RE.fullmatch(n)
+        if m is not None and int(m.group(1)) < keep_seq:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_join(root, MANIFEST_DIR, n)),
+                False,
+            )
+            deleted.append(f"{MANIFEST_DIR}/{n}")
+    return deleted

@@ -1132,6 +1132,9 @@ def _ivf_index_process_batch(
     from airflow_etl_minio_to_postgres_spark.functions.similarity import (
         ivf_assign,
     )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
 
     assigned = ivf_assign(batch_df, centroids, id_col, vec_col)
     (
@@ -1140,8 +1143,11 @@ def _ivf_index_process_batch(
         .repartition("cid")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        # batches land in the index's CURRENT generation: after a
+        # manifest-based compaction the root holds only the manifest
+        # and generation prefixes, and serving resolves the same way
         .partitionBy("cid", "_commit_id")
-        .parquet(index_path)
+        .parquet(resolve_data_root(batch_df.sparkSession, index_path))
     )
 
 
@@ -1342,15 +1348,32 @@ def compact_ivf_index(
     replaying batch's dynamic overwrite would then duplicate rather
     than replace.  ``availableNow`` runs terminate cleanly by
     construction.  Also accepts a batch :func:`write_ivf_index` layout
-    (no ``_commit_id``) and simply refragments it per cell.  Local-FS
-    only (atomic ``os.replace`` swap).  Idempotent in content.
-    Returns the index row count."""
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    (no ``_commit_id``) and simply refragments it per cell.
+
+    OBJECT-STORE CAPABLE — the family's first manifest-committed
+    maintenance op (``sources/manifest.py``): the compacted layout
+    lands in a NEW immutable ``gen-<seq>`` prefix, a versioned manifest
+    object is atomically PUBLISHED (single PUT, never a rename — the
+    Delta-log shape, so ``file://`` URIs, HDFS, and s3a all work with
+    no local-FS downgrade), and unreferenced generations are GC'd
+    strictly after the publish.  A crash at ANY point leaves a
+    servable index: pre-publish, readers resolve the old generation
+    (the orphan prefix is collected next run); post-publish/pre-GC,
+    readers already resolve the new one.  The serving paths
+    (``ivf_topk_indexed`` / ``ivf_topk_batch``) and the streaming
+    maintainer resolve the manifest on every call; an index that never
+    compacted has no manifest and reads exactly as before.  Idempotent
+    in content.  Returns the index row count."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        _join,
+        gc_generations,
+        next_seq,
+        publish_generation,
+        resolve_data_root,
     )
 
-    index_path = _local_path(index_path)
-    df = spark.read.parquet(index_path)
+    data_root = resolve_data_root(spark, index_path)
+    df = spark.read.parquet(data_root)
     if "cid" not in df.columns:
         raise ValueError(
             f"index at {index_path!r} has columns {sorted(df.columns)} — "
@@ -1370,21 +1393,16 @@ def compact_ivf_index(
     # one shuffle keyed on the partition column -> one writer task
     # (about one file) per cell
     compacted = compacted.repartition("cid")
-    import shutil
-
-    tmp = index_path.rstrip("/") + "__compact_tmp"
-    old = index_path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    seq = next_seq(spark, index_path)
+    gen = f"gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy(*part_cols)
-        .parquet(tmp)
+        .parquet(_join(index_path, gen))
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(index_path, old)
-    os.replace(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(index_path).count()
+    publish_generation(spark, index_path, seq, gen)
+    gc_generations(spark, index_path, seq, gen)
+    return spark.read.parquet(_join(index_path, gen)).count()
 
 
 def compact_inverted_index(

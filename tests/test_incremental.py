@@ -1161,7 +1161,11 @@ def test_compact_ivf_index_merges_files_and_serves_bit_equal(
     assert compact_ivf_index(spark, streamed, compact_seq=0) == n
     files_after = len(data_files(streamed))
     assert files_after < files_before
-    got = spark.read.parquet(streamed)
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    got = spark.read.parquet(resolve_data_root(spark, streamed))
     assert got.count() == n
     assert set(
         r[0] for r in got.select("_commit_id").distinct().collect()
@@ -1716,3 +1720,108 @@ def test_recluster_zorder_parquet_refuses_hive_partitioned(spark, tmp_path):
 
     assert sorted(_os.listdir(path)) == dirs_before
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_ivf_index_manifest_commit_over_uri(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest commit protocol (sources/manifest.py) — the
+    object-store shape of the maintenance family, proven on a
+    ``file://`` URI with NO local-path downgrade: the compacted layout
+    lands in a new gen-<seq> prefix, a versioned manifest object is
+    the atomic publish, and GC runs strictly after.  Crash windows:
+
+    * crash BETWEEN publish and GC (injected): readers already resolve
+      the NEW generation (bit-equal serving) while the stale one is
+      just unreferenced storage — and the NEXT maintenance run
+      collects it;
+    * crash BEFORE publish (orphan generation prefix, simulated):
+      readers keep resolving the published generation, and the next
+      run both skips the orphan's sequence number and collects it."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming import (
+        pipeline as pl,
+    )
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    local = str(tmp_path / "idx")
+    uri = "file://" + local
+    write_ivf_index(e, cents, local)
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+
+    def serve():
+        return [
+            tuple(r)
+            for r in ivf_topk_indexed(
+                spark, uri, cents, qv, k=5, nprobe=2, exclude_id=7
+            ).collect()
+        ]
+
+    before = serve()
+    n = e.count()
+
+    # ---- crash injected between publish and GC ----
+    real_gc = mf.gc_generations
+
+    def exploding_gc(*a, **kw):
+        raise RuntimeError("crash before GC")
+
+    monkeypatch.setattr(pl, "gc_generations", exploding_gc, raising=False)
+    # compact_ivf_index imports gc_generations locally from the module,
+    # so patch the manifest module itself
+    monkeypatch.setattr(mf, "gc_generations", exploding_gc)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash before GC"):
+        compact_uri = pl.compact_ivf_index
+        compact_uri(spark, uri, compact_seq=0)
+    monkeypatch.setattr(mf, "gc_generations", real_gc)
+
+    # the publish happened: readers resolve the NEW generation,
+    # serving is bit-equal, and the legacy flat payload is still there
+    # (unreferenced storage, not corruption)
+    assert mf.latest_manifest(spark, uri)[0] == 1
+    assert mf.resolve_data_root(spark, uri).endswith("gen-000001")
+    assert serve() == before
+    assert any("=" in name for name in _os.listdir(local))
+
+    # ---- orphan generation (a run that crashed before publish) ----
+    orphan = _os.path.join(local, "gen-000002")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "junk"), "w") as f:
+        f.write("half-written")
+
+    # the next run GCs both the stale flat payload and the orphan,
+    # skips the orphan's sequence number, and serving stays bit-equal
+    assert pl.compact_ivf_index(spark, uri, compact_seq=1) == n
+    assert mf.latest_manifest(spark, uri)[0] == 3
+    # only the manifest dir and the current generation remain (plus the
+    # flat writer's inert _SUCCESS/.crc markers, which readers ignore)
+    names = sorted(
+        x
+        for x in _os.listdir(local)
+        if not x.startswith((".", "_")) or x == "_manifests"
+    )
+    assert names == ["_manifests", "gen-000003"]
+    assert serve() == before
+    # exactly one manifest survives (older ones collected)
+    manifests = [
+        x
+        for x in _os.listdir(_os.path.join(local, "_manifests"))
+        if x.startswith("manifest-")
+    ]
+    assert manifests == ["manifest-000003.json"]

@@ -6349,6 +6349,90 @@ def events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_streaming_drift_by_seg",
+    f"""
+    WITH r AS (SELECT user_id % 3 AS seg, value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL
+                 AND user_id IS NOT NULL),
+    c AS (SELECT user_id % 3 AS seg, value AS v FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+            AND user_id IS NOT NULL),
+    cuts AS (
+        SELECT seg,
+               quantile_cont(v,
+                             [{', '.join(repr(p) for p in _QBUCKET_PROBS)}])
+                   AS cs
+        FROM r GROUP BY seg
+    ),
+    rb AS (SELECT r.seg,
+                  1 + len(list_filter(cuts.cs, x -> r.v >= x)) AS bucket
+           FROM r JOIN cuts USING (seg)),
+    cb AS (SELECT c.seg,
+                  1 + len(list_filter(cuts.cs, x -> c.v >= x)) AS bucket
+           FROM c JOIN cuts USING (seg)),
+    rc AS (SELECT seg, bucket, count(*) AS rcnt FROM rb GROUP BY 1, 2),
+    cc AS (SELECT seg, bucket, count(*) AS ccnt FROM cb GROUP BY 1, 2),
+    j AS (
+        SELECT coalesce(rc.seg, cc.seg) AS seg,
+               coalesce(rc.bucket, cc.bucket) AS bucket,
+               coalesce(rcnt, 0) AS rcnt, coalesce(ccnt, 0) AS ccnt
+        FROM rc FULL OUTER JOIN cc
+        ON rc.seg = cc.seg AND rc.bucket = cc.bucket
+    ),
+    tot AS (SELECT seg, sum(rcnt) AS rt, sum(ccnt) AS ct
+            FROM j GROUP BY seg)
+    SELECT j.seg, CAST(bucket AS BIGINT) AS bucket,
+           greatest(rcnt::DOUBLE / rt, 1e-06) AS p_ref,
+           greatest(ccnt::DOUBLE / ct, 1e-06) AS p_cur,
+           (greatest(ccnt::DOUBLE / ct, 1e-06)
+            - greatest(rcnt::DOUBLE / rt, 1e-06))
+           * ln(greatest(ccnt::DOUBLE / ct, 1e-06)
+                / greatest(rcnt::DOUBLE / rt, 1e-06)) AS psi_part
+    FROM j JOIN tot USING (seg)
+    ORDER BY 1, 2
+    """,
+)
+def events_streaming_drift_by_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENTED streaming drift monitor end-to-end
+    (streaming/pipeline.py streaming_drift_monitor(by=...) +
+    drift_report): purchase events stream in, each micro-batch folds
+    to per-(segment, bucket) counts against per-segment cutpoints
+    frozen from the click reference in the _ref sidecar, and the
+    report (which discovers the segmentation from the sidecar — no
+    ``by`` restated at read time) is read cumulatively at its final
+    batch — exactly the batch segmented operator on everything
+    ingested, which the oracle replays with a grouped quantile_cont.
+    Completes the drift story's symmetry: global/segmented x
+    batch/streamed, every face sharing psi_ref_cuts /
+    psi_bucket_counts / psi_parts so none can drift from the
+    others."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull()
+    )
+    seg = (F.col("user_id") % 3).alias("seg")
+    base = tempfile.mkdtemp(prefix="drift_monitor_seg_")
+    out = os.path.join(base, "log")
+    q = streaming_drift_monitor(
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("user_id").isNotNull())
+        .select(seg, "value"),
+        e.where(F.col("event_type") == "click").select(seg, "value"),
+        "value",
+        out,
+        os.path.join(base, "ckpt"),
+        n_buckets=10,
+        by=["seg"],
+    )
+    q.awaitTermination()
+    rep = drift_report(spark, out, cumulative=True)
+    last = rep.agg(F.max("_batch_id")).collect()[0][0]
+    return rep.where(F.col("_batch_id") == F.lit(last)).select(
+        "seg", "bucket", "p_ref", "p_cur", "psi_part"
+    )
+
+
+@register(
     "events_value_drift_by_type",
     f"""
     WITH r AS (SELECT event_type AS seg, value AS v FROM events

@@ -1597,6 +1597,7 @@ def streaming_drift_monitor(
     out_path: str,
     checkpoint_path: str,
     n_buckets: int = 10,
+    by: list[str] | None = None,
 ):
     """Continuously monitor a stream's value distribution against a
     FROZEN reference — the streaming face of
@@ -1628,8 +1629,25 @@ def streaming_drift_monitor(
     inverted index's stats merge).  The monitor log is
     bucket-count-sized per batch regardless of batch volume.  Read it
     with :func:`drift_report`, whose per-batch PSI is bit-equal to the
-    batch operator run on the same slice (pinned in tests).  Returns
-    the started StreamingQuery."""
+    batch operator run on the same slice (pinned in tests).
+
+    ``by`` turns the monitor SEGMENTED — the streaming face of
+    :func:`...operators.audit.population_stability_index_by`,
+    completing the drift story's symmetry the way ``rrf_fuse_grouped``
+    completed retrieval's: each segment freezes its OWN cutpoints in
+    the ``_ref`` sidecar (one grouped percentile aggregate), every
+    batch folds to ≤ |segments| x n_buckets count rows keyed on the
+    segment columns, and :func:`drift_report` discovers the
+    segmentation from the sidecar's columns (self-describing — no
+    ``by`` re-stated at read time) and reports per (batch, segment,
+    bucket), per-segment bit-equal to the batch segmented operator on
+    the same slice (pinned in tests).  Segment cardinality must be
+    dimension-sized (the batch operator's contract); batch rows whose
+    segment has no frozen cutpoints drop out of the fold — a NEW
+    segment appearing mid-stream is a re-base event (new monitor),
+    exactly like a changed reference.  NULL segment keys are not
+    scored (equi-join), NULL values are excluded, matching the batch
+    operator.  Returns the started StreamingQuery."""
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         psi_bucket_counts,
         psi_ref_cuts,
@@ -1638,32 +1656,32 @@ def streaming_drift_monitor(
         _local_path,
     )
 
+    gcols = list(by or [])
     out_local = _local_path(out_path)
     token = _commit_token(checkpoint_path)
-    r = ref.select(F.col(value_col).alias("_v")).where(
+    r = ref.select(*gcols, F.col(value_col).alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    cuts = psi_ref_cuts(r, n_buckets)
-    sidecar = (
-        psi_bucket_counts(r, cuts, "_rc")
-        .crossJoin(F.broadcast(cuts))
-        .withColumn("n_buckets", F.lit(int(n_buckets)))
-    )
+    cuts = psi_ref_cuts(r, n_buckets, group_cols=gcols or None)
+    counts = psi_bucket_counts(r, cuts, "_rc", group_cols=gcols or None)
+    if gcols:
+        sidecar = counts.join(F.broadcast(cuts), gcols)
+    else:
+        sidecar = counts.crossJoin(F.broadcast(cuts))
+    sidecar = sidecar.withColumn("n_buckets", F.lit(int(n_buckets)))
     spark = ref.sparkSession
     ref_path = os.path.join(out_local, "_ref")
     if _fs_exists(spark, ref_path):
         # a restart must present the SAME frozen reference: silently
         # re-basing cutpoints makes every already-logged batch
         # incomparable with every future one (the silver legacy-layout
-        # guard posture — fail loudly, never re-base in place)
-        rows_sized = n_buckets + 1  # counts rows are <= n_buckets
+        # guard posture — fail loudly, never re-base in place).  The
+        # sidecar is bucket-count-sized (x |segments| when segmented,
+        # dimension-sized by contract), so the full compare is free.
         old = sorted(
-            tuple(t)
-            for t in spark.read.parquet(ref_path)
-            .limit(rows_sized)
-            .collect()
+            tuple(t) for t in spark.read.parquet(ref_path).collect()
         )
-        new = sorted(tuple(t) for t in sidecar.limit(rows_sized).collect())
+        new = sorted(tuple(t) for t in sidecar.collect())
         if old != new:
             raise ValueError(
                 f"streaming_drift_monitor: the reference sidecar at "
@@ -1677,7 +1695,9 @@ def streaming_drift_monitor(
         sidecar.coalesce(1).write.mode("overwrite").parquet(ref_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        _drift_process_batch(batch_df, batch_id, out_local, token, value_col)
+        _drift_process_batch(
+            batch_df, batch_id, out_local, token, value_col, by=gcols
+        )
 
     return (
         raw_stream.writeStream.foreachBatch(_sink)
@@ -1693,25 +1713,30 @@ def _drift_process_batch(
     out_path: str,
     token: str,
     value_col: str,
+    by: list[str] | None = None,
 ) -> None:
     """One :func:`streaming_drift_monitor` micro-batch — module-level so
     the replay contract (same batch twice == once) is directly
-    testable, like the other foreachBatch sinks."""
+    testable, like the other foreachBatch sinks.  With ``by`` the
+    batch folds per (segment, bucket) against each segment's own
+    frozen cutpoints (one grouped fold, still ≤ |segments| x n_buckets
+    rows out)."""
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         psi_bucket_counts,
     )
 
+    gcols = list(by or [])
     spark = batch_df.sparkSession
-    cuts = (
-        spark.read.parquet(os.path.join(out_path, "_ref"))
-        .select("_cuts")
-        .limit(1)
-    )
-    c = batch_df.select(F.col(value_col).alias("_v")).where(
+    ref = spark.read.parquet(os.path.join(out_path, "_ref"))
+    if gcols:
+        cuts = ref.select(*gcols, "_cuts").dropDuplicates(gcols)
+    else:
+        cuts = ref.select("_cuts").limit(1)
+    c = batch_df.select(*gcols, F.col(value_col).alias("_v")).where(
         F.col("_v").isNotNull()
     )
     counts = (
-        psi_bucket_counts(c, cuts, "_cc")
+        psi_bucket_counts(c, cuts, "_cc", group_cols=gcols or None)
         .withColumn("_batch_id", F.lit(int(batch_id)))
         .withColumn("_commit_id", F.lit(f"{token}-{batch_id}"))
     )
@@ -1796,7 +1821,14 @@ def drift_report(
     logged counts per bucket over the batch order (counts are
     additive, so batch b's row is exactly the batch operator run on
     the union of slices 0..b; pinned in tests).  One running-sum
-    window over the bucket-count-sized log, same cost class."""
+    window over the bucket-count-sized log, same cost class.
+
+    A SEGMENTED monitor's log (``streaming_drift_monitor(by=...)``) is
+    detected from the sidecar's columns — the report needs no ``by``
+    restated: rows come back per (batch, segment, bucket), bit-equal
+    per segment to ``population_stability_index_by`` on the same slice
+    (pinned in tests), and the cumulative window runs per (segment,
+    bucket) cell."""
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         psi_parts,
     )
@@ -1819,40 +1851,50 @@ def drift_report(
             "(only the _ref sidecar exists) — run the monitor over "
             "at least one non-empty micro-batch first"
         )
-    rc = spark.read.parquet(os.path.join(out_local, "_ref")).select(
-        "bucket", "_rc"
+    ref = spark.read.parquet(os.path.join(out_local, "_ref"))
+    gcols = [
+        c
+        for c in ref.columns
+        if c not in ("bucket", "_rc", "_cuts", "n_buckets")
+    ]
+    rc = ref.select(*gcols, "bucket", "_rc")
+    log = spark.read.parquet(out_local).select(
+        "_batch_id", *gcols, "bucket", "_cc"
     )
-    log = spark.read.parquet(out_local).select("_batch_id", "bucket", "_cc")
     batches = log.select("_batch_id").distinct()
+    cell_keys = gcols + ["bucket"]
     if cumulative:
         from pyspark.sql import Window
 
-        # densify to the (batch x logged-bucket) grid so the running
-        # sum carries a bucket forward through batches that missed it,
+        # densify to the (batch x logged-cell) grid so the running
+        # sum carries a cell forward through batches that missed it,
         # then keep only rows whose prefix sum is non-zero — exactly
         # the row set the batch operator produces on the union slice
-        buckets = log.select("bucket").distinct()
+        cells = log.select(*cell_keys).distinct()
         dense = (
-            batches.crossJoin(buckets)
-            .join(log, ["_batch_id", "bucket"], "left")
+            batches.crossJoin(cells)
+            .join(log, ["_batch_id", *cell_keys], "left")
             .select(
                 "_batch_id",
-                "bucket",
+                *cell_keys,
                 F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
             )
         )
         w = (
-            Window.partitionBy("bucket")
+            Window.partitionBy(*cell_keys)
             .orderBy("_batch_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         log = dense.select(
-            "_batch_id", "bucket", F.sum("_cc").over(w).alias("_cc")
+            "_batch_id",
+            *cell_keys,
+            F.sum("_cc").over(w).alias("_cc"),
         ).where(F.col("_cc") > 0)
     # the frozen reference counts, replicated per observed batch —
     # ONE grouped psi_parts plan regardless of how many batches the
-    # monitor has logged (both frames are |batches| x n_buckets rows)
+    # monitor has logged (both frames are |batches| x |segments| x
+    # n_buckets rows)
     rc_per_batch = batches.crossJoin(F.broadcast(rc))
     return psi_parts(
-        rc_per_batch, log, eps=1e-6, group_cols=["_batch_id"]
+        rc_per_batch, log, eps=1e-6, group_cols=["_batch_id", *gcols]
     )

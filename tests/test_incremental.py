@@ -1825,3 +1825,119 @@ def test_compact_ivf_index_manifest_commit_over_uri(
         if x.startswith("manifest-")
     ]
     assert manifests == ["manifest-000003.json"]
+
+
+def test_streaming_drift_monitor_segmented_matches_batch_by(
+    spark, tmp_path
+):
+    """The by=-aware monitor — the streaming face of
+    population_stability_index_by, completing the drift story's
+    symmetry: per-segment cutpoints frozen in the _ref sidecar,
+    per-(segment, bucket) counts in the same replay-safe log, and
+    drift_report (which discovers the segmentation from the sidecar,
+    no by restated) per-segment bit-equal to the batch segmented
+    operator on each slice; cumulative mode per-segment bit-equal on
+    the union; replay idempotent; changed segmented reference refused
+    loudly."""
+    from airflow_etl_minio_to_postgres_spark.operators.audit import (
+        population_stability_index_by,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _commit_token,
+        _drift_process_batch,
+        drift_report,
+        streaming_drift_monitor,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    ref = ev.where(F.col("user_id") % 3 == 0)
+    b0 = ev.where(F.col("user_id") % 3 == 1)
+    b1 = ev.where(F.col("user_id") % 3 == 2).withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") * 10.0)
+        .otherwise(F.col("value")),  # drift CONFINED to one segment
+        # (x10: at smoke-SF slice sizes the un-drifted segments carry
+        # ~0.2 PSI of pure sampling noise at 5 buckets; the injected
+        # shift must clearly dominate that floor)
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "drift_by")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    def run_pass():
+        s = spark.readStream.schema(schema).parquet(landing)
+        q = streaming_drift_monitor(
+            s, ref, "value", out, ckpt, n_buckets=5, by=["event_type"]
+        )
+        q.awaitTermination()
+
+    b0.write.mode("append").parquet(landing)
+    run_pass()
+    b1.write.mode("append").parquet(landing)
+    run_pass()
+
+    def rows_of(df):
+        return sorted(
+            (r.event_type, r.bucket, r.p_ref, r.p_cur, r.psi_part)
+            for r in df.collect()
+        )
+
+    rep = drift_report(spark, out)
+    assert "event_type" in rep.columns
+    for b, cur in ((0, b0), (1, b1)):
+        got = rows_of(rep.where(rep._batch_id == b))
+        want = rows_of(
+            population_stability_index_by(
+                ref, cur, F.col("value"), by=["event_type"], n_buckets=5
+            )
+        )
+        assert got == want, f"batch {b}"
+
+    # the drift is visible IN the drifted segment and nowhere else
+    seg_psi = {
+        r.event_type: 0.0
+        for r in rep.where(rep._batch_id == 1).collect()
+    }
+    for r in rep.where(rep._batch_id == 1).collect():
+        seg_psi[r.event_type] += r.psi_part
+    others = max(v for k, v in seg_psi.items() if k != "click")
+    assert seg_psi["click"] > 0.1 and seg_psi["click"] > 3 * others
+
+    # replay idempotence with segments
+    before = sorted(tuple(r) for r in rep.collect())
+    _drift_process_batch(
+        b1, 1, out, _commit_token(ckpt), "value", by=["event_type"]
+    )
+    assert sorted(
+        tuple(r) for r in drift_report(spark, out).collect()
+    ) == before
+
+    # cumulative: per-segment bit-equal to the by-operator on the union
+    cum = drift_report(spark, out, cumulative=True)
+    got_cum = rows_of(cum.where(cum._batch_id == 1))
+    want_cum = rows_of(
+        population_stability_index_by(
+            ref,
+            b0.unionByName(b1),
+            F.col("value"),
+            by=["event_type"],
+            n_buckets=5,
+        )
+    )
+    assert got_cum == want_cum
+
+    # a changed segmented reference refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="DIFFERENT reference"):
+        streaming_drift_monitor(
+            spark.readStream.schema(schema).parquet(landing),
+            ref.withColumn("value", F.col("value") * 3.0),
+            "value",
+            out,
+            ckpt,
+            n_buckets=5,
+            by=["event_type"],
+        )

@@ -1941,3 +1941,152 @@ def test_streaming_drift_monitor_segmented_matches_batch_by(
             n_buckets=5,
             by=["event_type"],
         )
+
+
+def test_retrieval_chain_end_to_end(spark, tmp_path):
+    """The full production retrieval flow in ONE pin — the composition
+    a retrieval team would copy first: stream-maintained sparse AND
+    dense indexes -> batched serving from both on-disk layouts
+    (bm25_topk_batch / ivf_topk_batch) -> per-query RRF fusion ->
+    MMR diversification of the fused list -> recall eval of the fused
+    SERVED lists against fused brute-force truth.  Pins: the chain is
+    deterministic end-to-end (two runs bit-equal), lam=1 MMR
+    reproduces pure fused order, and the measured hybrid recall stays
+    above the floor the settings were tuned for."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ann_recall_at_k,
+        ivf_knn_join,
+        ivf_topk_batch,
+        mmr_rerank,
+        rrf_fuse_grouped,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        streaming_inverted_index_upsert,
+        streaming_ivf_index_upsert,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", SF_SMOKE)
+    cents = embs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    # 1. stream-maintain BOTH indexes (two batches each)
+    land_d, land_e = str(tmp_path / "ld"), str(tmp_path / "le")
+    inv, ivf = str(tmp_path / "inv"), str(tmp_path / "ivf")
+    for m in (0, 1):
+        docs.where(F.col("doc_id") % 2 == m).write.mode("append").parquet(
+            land_d
+        )
+        embs.where(F.col("vec_id") % 2 == m).write.mode("append").parquet(
+            land_e
+        )
+        q1 = streaming_inverted_index_upsert(
+            spark.readStream.schema(docs.schema).parquet(land_d),
+            inv,
+            str(tmp_path / "ck_inv"),
+            n_buckets=32,
+        )
+        q2 = streaming_ivf_index_upsert(
+            spark.readStream.schema(embs.schema).parquet(land_e),
+            cents,
+            ivf,
+            str(tmp_path / "ck_ivf"),
+        )
+        q1.awaitTermination()
+        q2.awaitTermination()
+
+    queries = spark.createDataFrame(
+        [
+            (0, ["spark", "join"]),
+            (1, ["window", "filter"]),
+            (2, ["merge", "agg"]),
+        ],
+        "qid long, terms array<string>",
+    ).join(
+        embs.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ),
+        "qid",
+    )
+
+    def chain():
+        # 2. batched serving from both on-disk layouts
+        sparse = bm25_topk_batch(
+            spark, inv, queries.select("qid", "terms"), k=10
+        )
+        dense = ivf_topk_batch(
+            spark, ivf, cents, queries.select("qid", "qvec"),
+            k=10, nprobe=2,
+        ).withColumnRenamed("vec_id", "doc_id")
+        # 3. per-query reciprocal-rank fusion
+        fused = rrf_fuse_grouped(
+            [(sparse, "score"), (dense, "cosine")], k=10
+        )
+        # 4. MMR diversification (vectors joined back onto the list)
+        with_vecs = fused.join(
+            embs.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        diversified = mmr_rerank(
+            with_vecs, k=5, lam=0.7, score_col="rrf"
+        )
+        # 5. recall eval: fused SERVED vs fused brute-force truth
+        truth_dense = ivf_knn_join(
+            queries.select("qid", "qvec"), embs, cents, k=10, nprobe=8
+        ).withColumnRenamed("vec_id", "doc_id")
+        truth = rrf_fuse_grouped(
+            [(sparse, "score"), (truth_dense, "cosine")], k=10
+        )
+        rec = ann_recall_at_k(fused, truth, k=10, id_col="doc_id")
+        return fused, diversified, rec
+
+    fused1, div1, rec1 = chain()
+    f1 = sorted(tuple(r) for r in fused1.collect())
+    d1 = sorted(tuple(r) for r in div1.collect())
+    r1 = sorted(tuple(r) for r in rec1.collect())
+
+    # deterministic end-to-end: the whole chain twice, bit-equal
+    fused2, div2, rec2 = chain()
+    assert sorted(tuple(r) for r in fused2.collect()) == f1
+    assert sorted(tuple(r) for r in div2.collect()) == d1
+    assert sorted(tuple(r) for r in rec2.collect()) == r1
+
+    # every query produced a full diversified page
+    per_q = {}
+    for qid, *_ in d1:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert per_q == {0: 5, 1: 5, 2: 5}
+
+    # lam=1 MMR == pure fused order (rank by rrf desc, doc_id)
+    with_vecs = fused1.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    pure = mmr_rerank(with_vecs, k=5, lam=1.0, score_col="rrf")
+    want = {
+        qid: [
+            doc
+            for _, doc in sorted(
+                ((rrf, doc) for q2, doc, rrf in f1 if q2 == qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+        ]
+        for qid in (0, 1, 2)
+    }
+    got = {}
+    for r in pure.orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.doc_id)
+    assert got == want
+
+    # measured hybrid recall above the tuned floor (sparse is exact,
+    # dense approximation at nprobe=2 over 8 cells)
+    rec_avg = sum(rec for _, rec in r1) / len(r1)
+    assert rec_avg >= 0.85, r1

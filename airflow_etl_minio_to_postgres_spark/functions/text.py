@@ -527,6 +527,11 @@ def bm25_topk_indexed(
 
     if not query_terms:
         raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    path = resolve_data_root(spark, path)
     terms = sorted({t.lower() for t in query_terms})
     stats = spark.read.parquet(_os.path.join(path, "_stats"))
     srow = stats.collect()[0]
@@ -638,6 +643,11 @@ def bm25_topk_batch(
     a whole)."""
     import os as _os
 
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    path = resolve_data_root(spark, path)
     stats = spark.read.parquet(_os.path.join(path, "_stats"))
     n_buckets = int(stats.collect()[0]["n_buckets"])
     pairs = (

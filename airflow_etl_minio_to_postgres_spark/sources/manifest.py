@@ -147,19 +147,41 @@ def publish_generation(
         out.close()
 
 
+def copy_tree(spark: SparkSession, src: str, dst: str) -> bool:
+    """Recursive copy through the paths' own filesystems (works across
+    schemes) — how a self-describing index's sidecar (``_stats`` with
+    its replay marker, ``_ref``) rides INTO a new generation so the
+    manifest flip publishes the WHOLE index atomically.  Returns False
+    if ``src`` does not exist (nothing to carry)."""
+    jvm, fs_src = _fs_for(spark, src)
+    _, fs_dst = _fs_for(spark, dst)
+    spath = jvm.org.apache.hadoop.fs.Path(src)
+    if not fs_src.exists(spath):
+        return False
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs_src, spath, fs_dst, jvm.org.apache.hadoop.fs.Path(dst),
+        False, True, conf,
+    )
+    return True
+
+
 def gc_generations(
     spark: SparkSession,
     root: str,
     keep_seq: int,
     keep_generation: str,
     legacy_payload: bool = True,
+    legacy_sidecars: tuple[str, ...] = (),
 ) -> list[str]:
     """Step 3 — collect everything the current manifest does not
     reference: older/orphan ``gen-*`` prefixes, manifests below
-    ``keep_seq``, and (``legacy_payload``) the pre-manifest flat hive
+    ``keep_seq``, (``legacy_payload``) the pre-manifest flat hive
     partition directories at the root left behind by the FIRST
-    manifest-based commit.  Runs strictly after the publish; a crash
-    here costs storage, never correctness.  Returns deleted names."""
+    manifest-based commit, and any named ``legacy_sidecars`` at the
+    root (their live copies now travel inside each generation).  Runs
+    strictly after the publish; a crash here costs storage, never
+    correctness.  Returns deleted names."""
     jvm, fs = _fs_for(spark, root)
     deleted = []
     for n in _list_names(spark, root):
@@ -169,6 +191,8 @@ def gc_generations(
             drop = n != keep_generation
         elif legacy_payload and "=" in n:
             drop = True  # pre-manifest hive partition dir at the root
+        elif n in legacy_sidecars:
+            drop = True  # root-level sidecar superseded by the gen copy
         if drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, n)), True)
             deleted.append(n)

@@ -1238,6 +1238,14 @@ def _inv_index_process_batch(
     )
 
     spark = batch_df.sparkSession
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    # after a manifest-based compaction the postings AND the _stats
+    # sidecar live under the current generation — resolve once per
+    # batch (one listStatus; a never-compacted index resolves to root)
+    index_path = resolve_data_root(spark, index_path)
     stats_path = os.path.join(index_path, "_stats")
     marker = os.path.join(stats_path, "_last_batch")
     # Lineage guard BEFORE any write: the marker only disambiguates
@@ -1413,21 +1421,36 @@ def compact_inverted_index(
     :func:`compact_ivf_index`: fold the per-batch ``_commit_id``
     posting partitions into ONE ``compact-<seq>`` commit per term
     bucket, preserving the ``term_bucket`` partition level the serving
-    path prunes on.  The ``_stats`` sidecar is untouched (it is already
-    one merged row, not per-batch fragments).  Same run-window contract
-    as the other compactors: only between cleanly-terminated runs.
-    Also accepts a batch :func:`...functions.text.write_inverted_index`
-    layout (no ``_commit_id``) and simply refragments it per bucket.
-    Local-FS only (atomic swap).  Idempotent in content.  Returns the
-    postings row count."""
-    import shutil
+    path prunes on.  Same run-window contract as the other compactors:
+    only between cleanly-terminated runs.  Also accepts a batch
+    :func:`...functions.text.write_inverted_index` layout (no
+    ``_commit_id``) and simply refragments it per bucket.
 
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    OBJECT-STORE CAPABLE — the manifest protocol's second adopter
+    (``sources/manifest.py``; :func:`compact_ivf_index` is the dense
+    twin), with the adopter-specific wrinkle the RUNBOOK prescribes:
+    this index is SELF-DESCRIBING via its ``_stats`` sidecar (merged
+    corpus stats + the maintainer's replay/lineage marker), so the
+    sidecar is COPIED INTO the new ``gen-<seq>`` prefix before the
+    manifest publish — one pointer flip commits postings and stats
+    together, and the serving/maintainer paths find both under the
+    resolved generation.  GC then also collects the superseded
+    root-level ``_stats`` left behind by the first commit.  Crash
+    windows identical to the dense twin: pre-publish, readers stay on
+    the old generation; post-publish/pre-GC, stale prefixes are
+    unreferenced storage for the next run.  Idempotent in content.
+    Returns the postings row count."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        _join,
+        copy_tree,
+        gc_generations,
+        next_seq,
+        publish_generation,
+        resolve_data_root,
     )
 
-    index_path = _local_path(index_path)
-    df = spark.read.parquet(index_path)
+    data_root = resolve_data_root(spark, index_path)
+    df = spark.read.parquet(data_root)
     if "term_bucket" not in df.columns:
         raise ValueError(
             f"index at {index_path!r} has columns {sorted(df.columns)} — "
@@ -1447,24 +1470,25 @@ def compact_inverted_index(
         part_cols.append("_commit_id")
     compacted = compacted.repartition("term_bucket")
 
-    stats_src = os.path.join(index_path, "_stats")
-    tmp = index_path.rstrip("/") + "__compact_tmp"
-    old = index_path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    seq = next_seq(spark, index_path)
+    gen = f"gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy(*part_cols)
-        .parquet(tmp)
+        .parquet(_join(index_path, gen))
     )
-    # carry the sidecar (and its replay marker) into the staged copy so
-    # the swap is atomic for the whole self-describing index
-    if os.path.exists(stats_src):
-        shutil.copytree(stats_src, os.path.join(tmp, "_stats"))
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(index_path, old)
-    os.replace(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(index_path).count()
+    # the sidecar (merged stats + replay/lineage marker) rides INTO the
+    # generation, so the manifest flip publishes the whole index
+    copy_tree(
+        spark,
+        _join(data_root, "_stats"),
+        _join(index_path, gen, "_stats"),
+    )
+    publish_generation(spark, index_path, seq, gen)
+    gc_generations(
+        spark, index_path, seq, gen, legacy_sidecars=("_stats",)
+    )
+    return spark.read.parquet(_join(index_path, gen)).count()
 
 
 def compact_near_dup_store(

@@ -1322,17 +1322,40 @@ def test_compact_inverted_index_merges_files_and_serves_bit_equal(
 
     assert compact_inverted_index(spark, streamed, compact_seq=0) == n
     assert len(data_files(streamed)) < files_before
-    got = spark.read.parquet(streamed)
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    data_root = resolve_data_root(spark, streamed)
+    got = spark.read.parquet(data_root)
+    assert got.count() == n
     assert set(
         r[0] for r in got.select("_commit_id").distinct().collect()
     ) == {"compact-0"}
-    # sidecar + marker survived the swap
-    assert _os.path.exists(_os.path.join(streamed, "_stats", "_last_batch"))
+    # sidecar + marker rode INTO the published generation
+    assert _os.path.exists(_os.path.join(data_root, "_stats", "_last_batch"))
+    assert not _os.path.exists(_os.path.join(streamed, "_stats"))
     after = [
         tuple(r)
         for r in bm25_topk_indexed(spark, streamed, terms, k=5).collect()
     ]
     assert after == before
+
+    # the maintainer CONTINUES against the compacted index: a new batch
+    # lands in the current generation and serving reflects it
+    extra = spark.createDataFrame(
+        [(1000, "spark doc7 spark")], "doc_id long, text string"
+    )
+    extra.write.mode("append").parquet(landing)
+    run_batch()
+    assert spark.read.parquet(
+        _os.path.join(resolve_data_root(spark, streamed), "_stats")
+    ).collect()[0]["n_docs"] == 31
+    served = [
+        r.doc_id
+        for r in bm25_topk_indexed(spark, streamed, terms, k=5).collect()
+    ]
+    assert 1000 in served
 
 
 def test_near_dup_against_store_matches_streaming_screen(spark, tmp_path):
@@ -2090,3 +2113,73 @@ def test_retrieval_chain_end_to_end(spark, tmp_path):
     # dense approximation at nprobe=2 over 8 cells)
     rec_avg = sum(rec for _, rec in r1) / len(r1)
     assert rec_avg >= 0.85, r1
+
+
+def test_compact_inverted_index_manifest_commit_over_uri(spark, tmp_path):
+    """The manifest protocol's second adopter — the sparse twin of the
+    IVF crash-window test, plus the adopter-specific property: the
+    self-describing ``_stats`` sidecar (merged stats + replay/lineage
+    marker) rides INTO each published generation, so one pointer flip
+    commits postings and stats together, over a ``file://`` URI with
+    no local-path downgrade, and BOTH serving forms (single-query and
+    batched) resolve the generation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_batch,
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i} " + "pad " * (i % 3))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    local = str(tmp_path / "inv")
+    uri = "file://" + local
+    write_inverted_index(docs, local, n_buckets=8)
+    qtable = spark.createDataFrame(
+        [(0, ["spark"]), (1, ["doc7", "join"])],
+        "qid long, terms array<string>",
+    )
+
+    def serve():
+        single = [
+            tuple(r)
+            for r in bm25_topk_indexed(spark, uri, ["spark"], k=5).collect()
+        ]
+        batched = sorted(
+            tuple(r) for r in bm25_topk_batch(spark, uri, qtable, k=5).collect()
+        )
+        return single, batched
+
+    before = serve()
+    n = spark.read.parquet(local).count()
+    assert compact_inverted_index(spark, uri, compact_seq=0) == n
+
+    # one generation, sidecar inside it, legacy root payload + sidecar
+    # collected, serving (both forms) bit-equal through the manifest
+    assert mf.latest_manifest(spark, uri)[0] == 1
+    gen = mf.resolve_data_root(spark, uri)
+    assert gen.endswith("gen-000001")
+    assert _os.path.exists(
+        _os.path.join(local, "gen-000001", "_stats")
+    )
+    assert not _os.path.exists(_os.path.join(local, "_stats"))
+    assert not any(
+        "=" in name for name in _os.listdir(local)
+    )  # flat term_bucket dirs GC'd
+    assert serve() == before
+
+    # second commit supersedes the first, still bit-equal
+    assert compact_inverted_index(spark, uri, compact_seq=1) == n
+    assert mf.latest_manifest(spark, uri)[0] == 2
+    assert not _os.path.exists(_os.path.join(local, "gen-000001"))
+    assert serve() == before

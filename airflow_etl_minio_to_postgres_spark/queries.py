@@ -136,6 +136,7 @@ from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
     compact_ivf_index,
     drift_report,
     hourly_agg_stream,
+    migrate_legacy_silver,
     run_available_now,
     run_stateful_user_counts,
     stream_documents,
@@ -1932,6 +1933,36 @@ ids AS (
 )
 def medallion_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_demo_medallion(spark, sf_dir).silver
+
+
+@register(
+    "medallion_silver_migrated",
+    _MEDALLION_CTE
+    + """
+    SELECT property_title, zip, market, hoa, hoa_flag, taxes,
+           reviewed_status, source, paint, underwriting_rehab,
+           previous_rent, list_price, order_key
+    FROM silver
+    """,
+)
+def medallion_silver_migrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy-silver migration (streaming/pipeline.py
+    migrate_legacy_silver) registered end-to-end: the silver frame is
+    written in the pre-round-11 FLAT layout (plain appended
+    part-files — the shape incremental_silver's legacy guard refuses
+    to resume onto), migrated once to the ``_commit_id``-partitioned
+    replay-safe layout (pre-migration rows get lineage ``legacy-0``),
+    and the read-back minus the lineage column is checked against the
+    IDENTICAL oracle as medallion_silver — the one-shot rewrite is
+    proven value-lossless, and a second call is a no-op (idempotence
+    pinned in pytest).  One full-table rewrite by design; the
+    migration runs once per table, ever."""
+    silver = _run_demo_medallion(spark, sf_dir).silver
+    base = tempfile.mkdtemp(prefix="legacy_silver_")
+    path = os.path.join(base, "silver")
+    silver.write.parquet(path)  # the legacy flat layout
+    migrate_legacy_silver(spark, path)
+    return spark.read.parquet(path).drop("_commit_id")
 
 
 @register(

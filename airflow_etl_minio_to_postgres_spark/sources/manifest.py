@@ -173,32 +173,60 @@ def gc_generations(
     keep_generation: str,
     legacy_payload: bool = True,
     legacy_sidecars: tuple[str, ...] = (),
+    keep_last: int = 1,
 ) -> list[str]:
-    """Step 3 — collect everything the current manifest does not
-    reference: older/orphan ``gen-*`` prefixes, manifests below
-    ``keep_seq``, (``legacy_payload``) the pre-manifest flat hive
-    partition directories at the root left behind by the FIRST
-    manifest-based commit, and any named ``legacy_sidecars`` at the
-    root (their live copies now travel inside each generation).  Runs
-    strictly after the publish; a crash here costs storage, never
-    correctness.  Returns deleted names."""
+    """Step 3 — collect everything the retention policy does not keep:
+    older/orphan ``gen-*`` prefixes, superseded manifests,
+    (``legacy_payload``) the pre-manifest flat hive partition
+    directories at the root left behind by the FIRST manifest-based
+    commit, and any named ``legacy_sidecars`` at the root (their live
+    copies now travel inside each generation).  Runs strictly after
+    the publish; a crash here costs storage, never correctness.
+
+    ``keep_last`` is the GC GRACE WINDOW (Iceberg's
+    ``expire_snapshots`` shape): retain the ``keep_last`` most recent
+    PUBLISHED generations (and their manifests), so a long-running
+    reader that resolved generation N-1 before the new publish can
+    finish scanning it.  The default 1 keeps only the current
+    generation — right for the test corpus, where no reader outlives a
+    maintenance run; production deployments size it to their longest
+    query.  Orphan prefixes (a crashed run's generation that never got
+    a manifest) are always collected — no reader can have resolved
+    them.  The pre-manifest flat payload counts as the oldest
+    generation: it survives while fewer than ``keep_last`` generations
+    have been published.  Returns deleted names."""
     jvm, fs = _fs_for(spark, root)
+    keep_last = max(1, int(keep_last))
+    published = sorted(
+        int(m.group(1))
+        for n in _list_names(spark, _join(root, MANIFEST_DIR))
+        if (m := _MANIFEST_RE.fullmatch(n)) is not None
+        and int(m.group(1)) <= keep_seq
+    )
+    kept_seqs = set(published[-keep_last:]) | {keep_seq}
+    # our writers name generations gen-<seq>; a payload using another
+    # convention keeps only the current generation (the safe floor)
+    kept_gens = {f"gen-{s:06d}" for s in kept_seqs} | {keep_generation}
+    drop_flat = legacy_payload and len(published) >= keep_last
     deleted = []
     for n in _list_names(spark, root):
         drop = False
         m = _GEN_RE.fullmatch(n)
         if m is not None:
-            drop = n != keep_generation
-        elif legacy_payload and "=" in n:
-            drop = True  # pre-manifest hive partition dir at the root
+            seq = int(m.group(1))
+            # orphans (never published) are always collected
+            drop = n not in kept_gens or seq not in kept_seqs
+        elif "=" in n:
+            drop = drop_flat  # pre-manifest hive partition dir
         elif n in legacy_sidecars:
-            drop = True  # root-level sidecar superseded by the gen copy
+            drop = drop_flat  # root sidecar superseded by the gen copy
         if drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, n)), True)
             deleted.append(n)
+    min_kept = min(kept_seqs)
     for n in _list_names(spark, _join(root, MANIFEST_DIR)):
         m = _MANIFEST_RE.fullmatch(n)
-        if m is not None and int(m.group(1)) < keep_seq:
+        if m is not None and int(m.group(1)) < min_kept:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(_join(root, MANIFEST_DIR, n)),
                 False,

@@ -676,8 +676,15 @@ def near_dup_store_scan(
     loudly on a pre-partitioned legacy store (flat ``(doc_id, minhash,
     shingles)`` rows) — reading it as absent would silently skip the
     cross-batch screen; migrate with
-    :func:`migrate_legacy_near_dup_store`."""
-    store = spark.read.parquet(store_path)
+    :func:`migrate_legacy_near_dup_store`.  Manifest-aware: after a
+    :func:`compact_near_dup_store` commit the store lives under the
+    current generation (one ``listStatus`` to resolve; a
+    never-compacted store reads as before)."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    store = spark.read.parquet(resolve_data_root(spark, store_path))
     required = {"band_key", "band_bucket", "_commit_id"}
     if not required <= set(store.columns):
         raise ValueError(
@@ -920,8 +927,14 @@ def _near_dup_process_batch(
         _minhash_table,
         band_keys_expr,
     )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
 
     spark = batch_df.sparkSession
+    # post-compaction the store lives under the current generation; the
+    # batch's accepted signatures must land there too
+    store_path = resolve_data_root(spark, store_path)
     commit_id = f"{token}-{batch_id}"
     rows_per_band = num_hashes // num_bands
     bucket_of = F.pmod(
@@ -1336,7 +1349,10 @@ def _inv_index_process_batch(
 
 
 def compact_ivf_index(
-    spark: SparkSession, index_path: str, compact_seq: int = 0
+    spark: SparkSession,
+    index_path: str,
+    compact_seq: int = 0,
+    keep_last: int = 1,
 ) -> int:
     """Housekeeping for a streamed :func:`streaming_ivf_index_upsert`
     index: fold the per-batch ``_commit_id`` partitions into ONE
@@ -1370,8 +1386,10 @@ def compact_ivf_index(
     readers already resolve the new one.  The serving paths
     (``ivf_topk_indexed`` / ``ivf_topk_batch``) and the streaming
     maintainer resolve the manifest on every call; an index that never
-    compacted has no manifest and reads exactly as before.  Idempotent
-    in content.  Returns the index row count."""
+    compacted has no manifest and reads exactly as before.
+    ``keep_last`` is the GC grace window (retain the N most recent
+    published generations for long-running readers; default 1).
+    Idempotent in content.  Returns the index row count."""
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         _join,
         gc_generations,
@@ -1409,12 +1427,15 @@ def compact_ivf_index(
         .parquet(_join(index_path, gen))
     )
     publish_generation(spark, index_path, seq, gen)
-    gc_generations(spark, index_path, seq, gen)
+    gc_generations(spark, index_path, seq, gen, keep_last=keep_last)
     return spark.read.parquet(_join(index_path, gen)).count()
 
 
 def compact_inverted_index(
-    spark: SparkSession, index_path: str, compact_seq: int = 0
+    spark: SparkSession,
+    index_path: str,
+    compact_seq: int = 0,
+    keep_last: int = 1,
 ) -> int:
     """Housekeeping for a streamed
     :func:`streaming_inverted_index_upsert` index — the sparse face of
@@ -1438,7 +1459,9 @@ def compact_inverted_index(
     root-level ``_stats`` left behind by the first commit.  Crash
     windows identical to the dense twin: pre-publish, readers stay on
     the old generation; post-publish/pre-GC, stale prefixes are
-    unreferenced storage for the next run.  Idempotent in content.
+    unreferenced storage for the next run.  ``keep_last`` is the GC
+    grace window (retain the N most recent published generations for
+    long-running readers; default 1).  Idempotent in content.
     Returns the postings row count."""
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         _join,
@@ -1486,13 +1509,17 @@ def compact_inverted_index(
     )
     publish_generation(spark, index_path, seq, gen)
     gc_generations(
-        spark, index_path, seq, gen, legacy_sidecars=("_stats",)
+        spark, index_path, seq, gen, legacy_sidecars=("_stats",),
+        keep_last=keep_last,
     )
     return spark.read.parquet(_join(index_path, gen)).count()
 
 
 def compact_near_dup_store(
-    spark: SparkSession, store_path: str, compact_seq: int = 0
+    spark: SparkSession,
+    store_path: str,
+    compact_seq: int = 0,
+    keep_last: int = 1,
 ) -> int:
     """Housekeeping for the band-partitioned near-dup signature store:
     merge the per-batch ``_commit_id`` partitions into ONE
@@ -1512,16 +1539,26 @@ def compact_near_dup_store(
     compacting.  ``availableNow`` runs terminate cleanly by
     construction, so the natural slot is between scheduled backfills.
 
-    Local-FS only (the swap uses ``os.replace``), like the other
-    in-place migrations.  Idempotent in content: re-compacting a
-    compacted store rewrites the same rows.  Returns the store row
-    count."""
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    OBJECT-STORE CAPABLE — the manifest protocol's fourth adopter
+    (``sources/manifest.py``): the compacted store lands in a new
+    ``gen-<seq>`` prefix PRESERVING the ``band_bucket`` partition
+    level the screen prunes on, the versioned manifest is the atomic
+    publish, and GC runs strictly after (``keep_last`` = grace
+    window).  The store scan and the streaming sink resolve the
+    current generation per call; a never-compacted store has no
+    manifest and reads as before.  Idempotent in content:
+    re-compacting a compacted store rewrites the same rows.  Returns
+    the store row count."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        _join,
+        gc_generations,
+        next_seq,
+        publish_generation,
+        resolve_data_root,
     )
 
-    store_path = _local_path(store_path)
-    df = spark.read.parquet(store_path)
+    data_root = resolve_data_root(spark, store_path)
+    df = spark.read.parquet(data_root)
     required = {"band_key", "band_bucket", "_commit_id"}
     if not required <= set(df.columns):
         raise ValueError(
@@ -1538,21 +1575,16 @@ def compact_near_dup_store(
         # (one file) per band bucket
         .repartition("band_bucket")
     )
-    import shutil
-
-    tmp = store_path.rstrip("/") + "__compact_tmp"
-    old = store_path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    seq = next_seq(spark, store_path)
+    gen = f"gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy("band_bucket", "_commit_id")
-        .parquet(tmp)
+        .parquet(_join(store_path, gen))
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(store_path, old)
-    os.replace(tmp, store_path)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(store_path).count()
+    publish_generation(spark, store_path, seq, gen)
+    gc_generations(spark, store_path, seq, gen, keep_last=keep_last)
+    return spark.read.parquet(_join(store_path, gen)).count()
 
 
 def migrate_legacy_rollup(spark: SparkSession, out_path: str) -> int:
@@ -1676,12 +1708,16 @@ def streaming_drift_monitor(
         psi_bucket_counts,
         psi_ref_cuts,
     )
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
     )
 
     gcols = list(by or [])
-    out_local = _local_path(out_path)
+    # manifest-aware (and scheme-agnostic — the whole monitor family
+    # goes through Spark/Hadoop IO): after a compact_drift_log commit
+    # the _ref sidecar and the count log live under the current
+    # generation; a never-compacted monitor resolves to the root
+    out_local = resolve_data_root(ref.sparkSession, out_path)
     token = _commit_token(checkpoint_path)
     r = ref.select(*gcols, F.col(value_col).alias("_v")).where(
         F.col("_v").isNotNull()
@@ -1749,8 +1785,15 @@ def _drift_process_batch(
         psi_bucket_counts,
     )
 
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
     gcols = list(by or [])
     spark = batch_df.sparkSession
+    # identity for a pre-resolved generation path; resolves the current
+    # generation when handed the monitor root (the replay tests do)
+    out_path = resolve_data_root(spark, out_path)
     ref = spark.read.parquet(os.path.join(out_path, "_ref"))
     if gcols:
         cuts = ref.select(*gcols, "_cuts").dropDuplicates(gcols)
@@ -1774,30 +1817,42 @@ def _drift_process_batch(
 
 
 def compact_drift_log(
-    spark: SparkSession, out_path: str, compact_seq: int = 0
+    spark: SparkSession,
+    out_path: str,
+    compact_seq: int = 0,
+    keep_last: int = 1,
 ) -> int:
     """Housekeeping for a :func:`streaming_drift_monitor` log: fold the
     one-tiny-file-per-batch ``_commit_id`` partitions into ONE
     ``compact-<seq>`` commit — the drift-log face of
     :func:`compact_ivf_index`.  Every row keeps its ``_batch_id``
     DATA column, so :func:`drift_report` is bit-equal before and after
-    (pinned in tests); the ``_ref`` sidecar is carried through the
-    atomic swap unchanged (a generic ``compact_parquet`` over the root
-    would flatten the ``_commit_id`` layout AND drop the sidecar —
-    this is why the log has its own compactor).  Same run-window
-    contract as the other compactors: only between cleanly-terminated
-    runs, because a pending replay's dynamic overwrite would duplicate
-    rather than replace rows folded into the compact commit.  Local-FS
-    only (atomic ``os.replace`` swap).  Idempotent in content.
-    Returns the log row count."""
-    import shutil
+    (pinned in tests); the ``_ref`` sidecar rides INTO the published
+    generation (a generic ``compact_parquet`` over the root would
+    flatten the ``_commit_id`` layout AND drop the sidecar — this is
+    why the log has its own compactor).  Same run-window contract as
+    the other compactors: only between cleanly-terminated runs,
+    because a pending replay's dynamic overwrite would duplicate
+    rather than replace rows folded into the compact commit.
 
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    OBJECT-STORE CAPABLE — the manifest protocol's third adopter
+    (``sources/manifest.py``; the ``compact_inverted_index`` sidecar
+    recipe: copy ``_ref`` into the ``gen-<seq>`` prefix, publish the
+    manifest, GC the superseded root sidecar).  The monitor, the
+    per-batch sink, and :func:`drift_report` all resolve the current
+    generation per call; ``keep_last`` is the GC grace window.
+    Idempotent in content.  Returns the log row count."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        _join,
+        copy_tree,
+        gc_generations,
+        next_seq,
+        publish_generation,
+        resolve_data_root,
     )
 
-    out_local = _local_path(out_path)
-    df = spark.read.parquet(out_local)
+    data_root = resolve_data_root(spark, out_path)
+    df = spark.read.parquet(data_root)
     if "_batch_id" not in df.columns or "_commit_id" not in df.columns:
         raise ValueError(
             f"compact_drift_log: {out_path!r} has columns "
@@ -1809,23 +1864,23 @@ def compact_drift_log(
         .withColumn("_commit_id", F.lit(f"compact-{int(compact_seq)}"))
         .coalesce(1)
     )
-    tmp = out_local.rstrip("/") + "__compact_tmp"
-    old = out_local.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    seq = next_seq(spark, out_path)
+    gen = f"gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy("_commit_id")
-        .parquet(tmp)
+        .parquet(_join(out_path, gen))
     )
-    # the frozen reference rides the same swap as the counts it scores
-    shutil.copytree(
-        os.path.join(out_local, "_ref"), os.path.join(tmp, "_ref")
+    # the frozen reference rides INTO the generation the manifest flips
+    copy_tree(
+        spark, _join(data_root, "_ref"), _join(out_path, gen, "_ref")
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(out_local, old)
-    os.replace(tmp, out_local)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(out_local).count()
+    publish_generation(spark, out_path, seq, gen)
+    gc_generations(
+        spark, out_path, seq, gen, legacy_sidecars=("_ref",),
+        keep_last=keep_last,
+    )
+    return spark.read.parquet(_join(out_path, gen)).count()
 
 
 def drift_report(
@@ -1856,11 +1911,11 @@ def drift_report(
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         psi_parts,
     )
-    from airflow_etl_minio_to_postgres_spark.sources.files import (
-        _local_path,
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
     )
 
-    out_local = _local_path(out_path)
+    out_local = resolve_data_root(spark, out_path)
     jvm = spark.sparkContext._jvm
     gp = jvm.org.apache.hadoop.fs.Path(
         os.path.join(out_local, "_commit_id=*", "*")

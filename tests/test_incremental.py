@@ -933,11 +933,15 @@ def test_compact_near_dup_store_preserves_screen_and_merges_files(
         2, out, store,
     )
 
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
     def content():
         return sorted(
             map(
                 tuple,
-                spark.read.parquet(store)
+                spark.read.parquet(resolve_data_root(spark, store))
                 .select("doc_id", "band_key")
                 .collect(),
             )
@@ -954,9 +958,11 @@ def test_compact_near_dup_store_preserves_screen_and_merges_files(
     assert n == len(before)
     assert content() == before
     assert n_files() < files_before
+    # manifest protocol, adopter #4: the store lives in the generation
+    assert resolve_data_root(spark, store).endswith("gen-000001")
     commits = {
         r[0]
-        for r in spark.read.parquet(store)
+        for r in spark.read.parquet(resolve_data_root(spark, store))
         .select("_commit_id")
         .distinct()
         .collect()
@@ -1539,13 +1545,37 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
 
     files_before = len(_glob.glob(os.path.join(out, "_commit_id=*", "*.parquet")))
     n = compact_drift_log(spark, out)
-    files_after = len(_glob.glob(os.path.join(out, "_commit_id=*", "*.parquet")))
+    # the compacted log + its _ref sidecar live under the published
+    # generation now (manifest protocol, adopter #3)
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    data_root = resolve_data_root(spark, out)
+    assert data_root.endswith("gen-000001")
+    files_after = len(
+        _glob.glob(os.path.join(data_root, "_commit_id=*", "*.parquet"))
+    )
     assert files_after < files_before
-    assert _glob.glob(os.path.join(out, "_commit_id=compact-0", "*"))
-    assert os.path.isdir(os.path.join(out, "_ref"))
+    assert _glob.glob(os.path.join(data_root, "_commit_id=compact-0", "*"))
+    assert os.path.isdir(os.path.join(data_root, "_ref"))
+    assert not os.path.exists(os.path.join(out, "_ref"))
     assert n == len(before)
     rep3 = sorted(tuple(r) for r in drift_report(spark, out).collect())
     assert rep3 == before
+    # and the monitor RESUMES against the compacted log: the restart
+    # guard reads the generation's _ref (same frozen reference passes)
+    q = streaming_drift_monitor(
+        spark.readStream.schema(schema).parquet(landing),
+        ref,
+        "value",
+        out,
+        ckpt,
+        n_buckets=5,
+    )
+    q.awaitTermination()
+    rep4 = sorted(tuple(r) for r in drift_report(spark, out).collect())
+    assert rep4 == before  # no new files: the stream had nothing new
 
 
 def test_streamed_hybrid_batched_serving_matches_batch_build(spark, tmp_path):
@@ -2183,3 +2213,75 @@ def test_compact_inverted_index_manifest_commit_over_uri(spark, tmp_path):
     assert mf.latest_manifest(spark, uri)[0] == 2
     assert not _os.path.exists(_os.path.join(local, "gen-000001"))
     assert serve() == before
+
+
+def test_gc_grace_window_keeps_previous_generations(spark, tmp_path):
+    """keep_last — the Iceberg expire_snapshots shape: GC retains the
+    N most recent PUBLISHED generations so a long-running reader that
+    resolved the previous generation before a new publish can finish
+    scanning it.  The pre-manifest flat payload counts as the oldest
+    generation (survives while fewer than N generations exist); orphan
+    prefixes are always collected; serving stays bit-equal
+    throughout."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_ivf_index,
+    )
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    local = str(tmp_path / "idx")
+    write_ivf_index(e, cents, local)
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+
+    def serve():
+        return [
+            tuple(r)
+            for r in ivf_topk_indexed(
+                spark, local, cents, qv, k=5, nprobe=2, exclude_id=7
+            ).collect()
+        ]
+
+    before = serve()
+    n = e.count()
+
+    # commit 1 at keep_last=2: the flat payload is the "previous
+    # generation" and must survive
+    assert compact_ivf_index(spark, local, keep_last=2) == n
+    assert any("=" in x for x in _os.listdir(local))
+    assert serve() == before
+
+    # commit 2: gen-1 retained as grace, flat payload now collected
+    assert compact_ivf_index(spark, local, keep_last=2) == n
+    names = {x for x in _os.listdir(local) if x.startswith("gen-")}
+    assert names == {"gen-000001", "gen-000002"}
+    assert not any("=" in x for x in _os.listdir(local))
+    # an in-flight reader of the PREVIOUS generation can still scan it
+    assert spark.read.parquet(_os.path.join(local, "gen-000001")).count() == n
+    assert serve() == before
+
+    # commit 3: gen-1 ages out of the window, gen-2 is the grace copy
+    assert compact_ivf_index(spark, local, keep_last=2) == n
+    names = {x for x in _os.listdir(local) if x.startswith("gen-")}
+    assert names == {"gen-000002", "gen-000003"}
+    assert serve() == before
+    # both retained manifests survive, older ones are collected
+    manifests = sorted(
+        x
+        for x in _os.listdir(_os.path.join(local, "_manifests"))
+        if x.startswith("manifest-")
+    )
+    assert manifests == ["manifest-000002.json", "manifest-000003.json"]

@@ -8,7 +8,7 @@ not cheap at index scale).  The 100 TB shape is the Iceberg/Delta
 commit on plain parquet, reduced to its minimum here:
 
 1. **Write a NEW immutable generation prefix** next to the old one
-   (``<root>/gen-000002/...``) — never mutate data in place.
+   (``<root>/_gen-000002/...``) — never mutate data in place.
 2. **Atomically publish** a tiny versioned manifest object
    (``<root>/_manifests/manifest-000002.json``) naming that
    generation.  Publishing is the CREATION of a new object — a single
@@ -31,9 +31,17 @@ manifest makes a lost-update visible (two racing maintainers would try
 to create the same manifest name) but this module does not arbitrate
 races.  GC grace: a reader that resolved generation N and is still
 scanning it while a LATER maintenance run collects N can fail mid-read
-— production deployments keep the last few generations (Iceberg's
-``expire_snapshots`` grace window); here GC keeps exactly the current
-one because the test corpus has no long-running concurrent readers.
+— ``gc_generations(keep_last=N)`` is the Iceberg ``expire_snapshots``
+grace window for exactly that reader; the default keeps only the
+current generation, right where no reader outlives a maintenance run.
+
+Generation prefixes are underscore-named (``_gen-``) ON PURPOSE:
+Spark's partition discovery ignores ``_``-prefixed directories, so an
+orphan generation from a crashed first commit can never shadow or
+conflict with a legacy flat layout still being read at the root (found
+by the crash-model property test — a visible ``gen-`` dir next to
+``cid=*`` dirs makes every root read fail with conflicting directory
+structures).
 
 Everything goes through the Hadoop FileSystem API of the path's own
 scheme — no ``os.*`` calls — so the same code serves ``file://`` URIs,
@@ -49,7 +57,7 @@ from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_manifests"
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
-_GEN_RE = re.compile(r"gen-(\d{6})$")
+_GEN_RE = re.compile(r"_gen-(\d{6})$")
 
 
 def _join(root: str, *parts: str) -> str:
@@ -176,7 +184,7 @@ def gc_generations(
     keep_last: int = 1,
 ) -> list[str]:
     """Step 3 — collect everything the retention policy does not keep:
-    older/orphan ``gen-*`` prefixes, superseded manifests,
+    older/orphan ``_gen-*`` prefixes, superseded manifests,
     (``legacy_payload``) the pre-manifest flat hive partition
     directories at the root left behind by the FIRST manifest-based
     commit, and any named ``legacy_sidecars`` at the root (their live
@@ -206,7 +214,7 @@ def gc_generations(
     kept_seqs = set(published[-keep_last:]) | {keep_seq}
     # our writers name generations gen-<seq>; a payload using another
     # convention keeps only the current generation (the safe floor)
-    kept_gens = {f"gen-{s:06d}" for s in kept_seqs} | {keep_generation}
+    kept_gens = {f"_gen-{s:06d}" for s in kept_seqs} | {keep_generation}
     drop_flat = legacy_payload and len(published) >= keep_last
     deleted = []
     for n in _list_names(spark, root):

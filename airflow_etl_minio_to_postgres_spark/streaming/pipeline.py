@@ -1376,7 +1376,7 @@ def compact_ivf_index(
 
     OBJECT-STORE CAPABLE — the family's first manifest-committed
     maintenance op (``sources/manifest.py``): the compacted layout
-    lands in a NEW immutable ``gen-<seq>`` prefix, a versioned manifest
+    lands in a NEW immutable ``_gen-<seq>`` prefix, a versioned manifest
     object is atomically PUBLISHED (single PUT, never a rename — the
     Delta-log shape, so ``file://`` URIs, HDFS, and s3a all work with
     no local-FS downgrade), and unreferenced generations are GC'd
@@ -1420,7 +1420,7 @@ def compact_ivf_index(
     # (about one file) per cell
     compacted = compacted.repartition("cid")
     seq = next_seq(spark, index_path)
-    gen = f"gen-{seq:06d}"
+    gen = f"_gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy(*part_cols)
@@ -1452,7 +1452,7 @@ def compact_inverted_index(
     twin), with the adopter-specific wrinkle the RUNBOOK prescribes:
     this index is SELF-DESCRIBING via its ``_stats`` sidecar (merged
     corpus stats + the maintainer's replay/lineage marker), so the
-    sidecar is COPIED INTO the new ``gen-<seq>`` prefix before the
+    sidecar is COPIED INTO the new ``_gen-<seq>`` prefix before the
     manifest publish — one pointer flip commits postings and stats
     together, and the serving/maintainer paths find both under the
     resolved generation.  GC then also collects the superseded
@@ -1494,7 +1494,7 @@ def compact_inverted_index(
     compacted = compacted.repartition("term_bucket")
 
     seq = next_seq(spark, index_path)
-    gen = f"gen-{seq:06d}"
+    gen = f"_gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy(*part_cols)
@@ -1541,7 +1541,7 @@ def compact_near_dup_store(
 
     OBJECT-STORE CAPABLE — the manifest protocol's fourth adopter
     (``sources/manifest.py``): the compacted store lands in a new
-    ``gen-<seq>`` prefix PRESERVING the ``band_bucket`` partition
+    ``_gen-<seq>`` prefix PRESERVING the ``band_bucket`` partition
     level the screen prunes on, the versioned manifest is the atomic
     publish, and GC runs strictly after (``keep_last`` = grace
     window).  The store scan and the streaming sink resolve the
@@ -1576,7 +1576,7 @@ def compact_near_dup_store(
         .repartition("band_bucket")
     )
     seq = next_seq(spark, store_path)
-    gen = f"gen-{seq:06d}"
+    gen = f"_gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy("band_bucket", "_commit_id")
@@ -1837,7 +1837,7 @@ def compact_drift_log(
 
     OBJECT-STORE CAPABLE — the manifest protocol's third adopter
     (``sources/manifest.py``; the ``compact_inverted_index`` sidecar
-    recipe: copy ``_ref`` into the ``gen-<seq>`` prefix, publish the
+    recipe: copy ``_ref`` into the ``_gen-<seq>`` prefix, publish the
     manifest, GC the superseded root sidecar).  The monitor, the
     per-batch sink, and :func:`drift_report` all resolve the current
     generation per call; ``keep_last`` is the GC grace window.
@@ -1865,7 +1865,7 @@ def compact_drift_log(
         .coalesce(1)
     )
     seq = next_seq(spark, out_path)
-    gen = f"gen-{seq:06d}"
+    gen = f"_gen-{seq:06d}"
     (
         compacted.write.mode("overwrite")
         .partitionBy("_commit_id")

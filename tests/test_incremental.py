@@ -959,7 +959,7 @@ def test_compact_near_dup_store_preserves_screen_and_merges_files(
     assert content() == before
     assert n_files() < files_before
     # manifest protocol, adopter #4: the store lives in the generation
-    assert resolve_data_root(spark, store).endswith("gen-000001")
+    assert resolve_data_root(spark, store).endswith("_gen-000001")
     commits = {
         r[0]
         for r in spark.read.parquet(resolve_data_root(spark, store))
@@ -1552,7 +1552,7 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
     )
 
     data_root = resolve_data_root(spark, out)
-    assert data_root.endswith("gen-000001")
+    assert data_root.endswith("_gen-000001")
     files_after = len(
         _glob.glob(os.path.join(data_root, "_commit_id=*", "*.parquet"))
     )
@@ -1848,12 +1848,12 @@ def test_compact_ivf_index_manifest_commit_over_uri(
     # serving is bit-equal, and the legacy flat payload is still there
     # (unreferenced storage, not corruption)
     assert mf.latest_manifest(spark, uri)[0] == 1
-    assert mf.resolve_data_root(spark, uri).endswith("gen-000001")
+    assert mf.resolve_data_root(spark, uri).endswith("_gen-000001")
     assert serve() == before
     assert any("=" in name for name in _os.listdir(local))
 
     # ---- orphan generation (a run that crashed before publish) ----
-    orphan = _os.path.join(local, "gen-000002")
+    orphan = _os.path.join(local, "_gen-000002")
     _os.makedirs(orphan)
     with open(_os.path.join(orphan, "junk"), "w") as f:
         f.write("half-written")
@@ -1867,9 +1867,9 @@ def test_compact_ivf_index_manifest_commit_over_uri(
     names = sorted(
         x
         for x in _os.listdir(local)
-        if not x.startswith((".", "_")) or x == "_manifests"
+        if x.startswith(("_gen-", "_manifests")) or "=" in x
     )
-    assert names == ["_manifests", "gen-000003"]
+    assert names == ["_gen-000003", "_manifests"]
     assert serve() == before
     # exactly one manifest survives (older ones collected)
     manifests = [
@@ -2198,9 +2198,9 @@ def test_compact_inverted_index_manifest_commit_over_uri(spark, tmp_path):
     # collected, serving (both forms) bit-equal through the manifest
     assert mf.latest_manifest(spark, uri)[0] == 1
     gen = mf.resolve_data_root(spark, uri)
-    assert gen.endswith("gen-000001")
+    assert gen.endswith("_gen-000001")
     assert _os.path.exists(
-        _os.path.join(local, "gen-000001", "_stats")
+        _os.path.join(local, "_gen-000001", "_stats")
     )
     assert not _os.path.exists(_os.path.join(local, "_stats"))
     assert not any(
@@ -2211,7 +2211,7 @@ def test_compact_inverted_index_manifest_commit_over_uri(spark, tmp_path):
     # second commit supersedes the first, still bit-equal
     assert compact_inverted_index(spark, uri, compact_seq=1) == n
     assert mf.latest_manifest(spark, uri)[0] == 2
-    assert not _os.path.exists(_os.path.join(local, "gen-000001"))
+    assert not _os.path.exists(_os.path.join(local, "_gen-000001"))
     assert serve() == before
 
 
@@ -2266,17 +2266,17 @@ def test_gc_grace_window_keeps_previous_generations(spark, tmp_path):
 
     # commit 2: gen-1 retained as grace, flat payload now collected
     assert compact_ivf_index(spark, local, keep_last=2) == n
-    names = {x for x in _os.listdir(local) if x.startswith("gen-")}
-    assert names == {"gen-000001", "gen-000002"}
+    names = {x for x in _os.listdir(local) if x.startswith("_gen-")}
+    assert names == {"_gen-000001", "_gen-000002"}
     assert not any("=" in x for x in _os.listdir(local))
     # an in-flight reader of the PREVIOUS generation can still scan it
-    assert spark.read.parquet(_os.path.join(local, "gen-000001")).count() == n
+    assert spark.read.parquet(_os.path.join(local, "_gen-000001")).count() == n
     assert serve() == before
 
     # commit 3: gen-1 ages out of the window, gen-2 is the grace copy
     assert compact_ivf_index(spark, local, keep_last=2) == n
-    names = {x for x in _os.listdir(local) if x.startswith("gen-")}
-    assert names == {"gen-000002", "gen-000003"}
+    names = {x for x in _os.listdir(local) if x.startswith("_gen-")}
+    assert names == {"_gen-000002", "_gen-000003"}
     assert serve() == before
     # both retained manifests survive, older ones are collected
     manifests = sorted(

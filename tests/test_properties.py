@@ -1450,3 +1450,81 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
             ).collect()
         )
         assert sorted(got_by_seg.get(s, [])) == want, f"segment {s}"
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["commit", "crash_before_publish", "crash_before_gc"]),
+        min_size=1,
+        max_size=5,
+    ),
+    keep_last=st.integers(min_value=1, max_value=3),
+)
+@SPARK_SETTINGS
+def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
+    """Model test of the manifest commit protocol (sources/manifest.py)
+    under arbitrary crash sequences: a 'generation' is a parquet of the
+    SAME 50 ids stamped with its sequence number, a commit is
+    write-gen -> publish -> GC, and a crash truncates the commit at
+    either boundary.  Invariants after EVERY step: readers resolve a
+    COMPLETE generation (all 50 ids, one uniform stamp); the stamp only
+    advances when a publish succeeded (a crash before the publish is
+    invisible); orphan prefixes never shadow the published generation;
+    and after a successful commit at most ``keep_last`` published
+    generations remain while the resolved one is always the newest."""
+    import os as _os
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path_factory.mktemp("proto"))
+    ids = spark.range(50)
+
+    def write_gen(seq: int) -> str:
+        gen = f"_gen-{seq:06d}"
+        ids.withColumn("g", F.lit(int(seq))).write.mode("overwrite").parquet(
+            mf._join(root, gen)
+        )
+        return gen
+
+    # the pre-manifest legacy payload: stamp 0, hive-partitioned at
+    # the root like every real adopter's layout (cid= / term_bucket= /
+    # _commit_id= ...) — the partition dirs are what GC collects
+    ids.withColumn("g", F.lit(0)).write.mode("overwrite").partitionBy(
+        "g"
+    ).parquet(root)
+    expected_stamp = 0
+    published: list[int] = []
+
+    def check():
+        resolved = mf.resolve_data_root(spark, root)
+        got = spark.read.parquet(resolved)
+        assert got.count() == 50
+        stamps = {r[0] for r in got.select("g").distinct().collect()}
+        assert stamps == {expected_stamp}, (stamps, expected_stamp)
+
+    check()
+    for op in ops:
+        seq = mf.next_seq(spark, root)
+        gen = write_gen(seq)
+        if op == "crash_before_publish":
+            check()  # orphan invisible; reader unaffected
+            continue
+        mf.publish_generation(spark, root, seq, gen)
+        expected_stamp = seq
+        published.append(seq)
+        if op == "crash_before_gc":
+            check()  # already serving the new generation
+            continue
+        mf.gc_generations(spark, root, seq, gen, keep_last=keep_last)
+        check()
+        # retention: at most keep_last published generations remain
+        # (orphans collected), and the newest is the resolved one
+        gens = sorted(
+            n for n in _os.listdir(root) if n.startswith("_gen-")
+        )
+        keep = [f"_gen-{s:06d}" for s in sorted(published)[-keep_last:]]
+        assert gens == keep, (gens, keep)
+        # the legacy payload survives only while fewer than
+        # keep_last generations were ever published
+        flat_gone = not any("=" in n for n in _os.listdir(root))
+        assert flat_gone == (len(published) >= keep_last)

@@ -241,3 +241,157 @@ def gc_generations(
             )
             deleted.append(f"{MANIFEST_DIR}/{n}")
     return deleted
+
+
+def fsck_index(spark: SparkSession, root: str, sample: int = 1000) -> dict:
+    """Integrity + housekeeping report for a serving index — the ops
+    "fsck" a production deployment runs on a schedule next to the
+    health evals: where recall evals answer "is the index still
+    GOOD?", this answers "is the index still WELL-FORMED, and does it
+    need maintenance?".  Works on all four maintained layouts (IVF
+    ``cid``, inverted ``term_bucket``, near-dup store ``band_bucket``,
+    drift log) whether legacy-flat or manifest-committed.
+
+    Checks, all metadata-sized except the bounded consistency sample:
+
+    * **manifest chain** — the latest manifest parses and names an
+      existing generation (a dangling pointer is the one state the
+      protocol cannot serve from; reported as an ISSUE), and the GC
+      debt is counted (orphan/stale generations + superseded
+      manifests awaiting the next run's collection — storage, not
+      corruption);
+    * **layout** — the partition kind is detected from the columns and
+      reported; an unrecognized layout is an issue;
+    * **sidecar** — an inverted index must carry a readable ``_stats``
+      (n_docs/avgdl/n_buckets), a drift log its ``_ref``; their
+      ABSENCE where the layout requires one is an issue (every serve
+      would fail far from the cause);
+    * **fragmentation** — distinct ``_commit_id`` values and data-file
+      count; ``needs_compaction`` flags more than ``frag_threshold``
+      commits (the compactors' documented signal);
+    * **bucket-hash consistency** (inverted index) — a bounded sample
+      of postings re-hashed with the engine's own
+      ``pmod(xxhash64(term), n_buckets)`` must land in its own
+      ``term_bucket``: catches the real failure mode where ``_stats``
+      says one ``n_buckets`` and the postings were built with another
+      (every serve would silently prune to the WRONG buckets and
+      return bogus scores, not an error).
+
+    Returns a plain dict report (``issues`` empty == healthy).  A
+    diagnostic, never a mutation — safe against a live index."""
+    from pyspark.sql import functions as F
+
+    report: dict = {"root": root, "issues": [], "gc_debt": []}
+    got = latest_manifest(spark, root)
+    jvm, fs = _fs_for(spark, root)
+    if got is None:
+        report["manifest_seq"] = None
+        data_root = root
+    else:
+        seq, payload = got
+        report["manifest_seq"] = seq
+        gen = payload.get("generation")
+        data_root = _join(root, str(gen))
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(data_root)):
+            report["issues"].append(
+                f"latest manifest (seq {seq}) names generation {gen!r} "
+                "which does not exist — the index cannot be served; "
+                "restore the generation or publish a valid manifest"
+            )
+            return report
+        # GC debt: anything a completed gc_generations would collect
+        for n in _list_names(spark, root):
+            m = _GEN_RE.fullmatch(n)
+            if m is not None and n != gen:
+                report["gc_debt"].append(n)
+            elif "=" in n:
+                report["gc_debt"].append(n)
+        for n in _list_names(spark, _join(root, MANIFEST_DIR)):
+            m = _MANIFEST_RE.fullmatch(n)
+            if m is not None and int(m.group(1)) < seq:
+                report["gc_debt"].append(f"{MANIFEST_DIR}/{n}")
+    report["data_root"] = data_root
+
+    try:
+        df = spark.read.parquet(data_root)
+    except Exception as exc:  # unreadable payload IS the finding
+        report["issues"].append(f"payload unreadable: {exc}")
+        return report
+    cols = set(df.columns)
+    kind = (
+        "ivf"
+        if "cid" in cols
+        else "inverted"
+        if "term_bucket" in cols
+        else "near_dup_store"
+        if "band_bucket" in cols
+        else "drift_log"
+        if {"_batch_id", "bucket"} <= cols
+        else "unknown"
+    )
+    report["kind"] = kind
+    if kind == "unknown":
+        report["issues"].append(
+            f"unrecognized layout (columns {sorted(cols)}) — not a "
+            "maintained serving index"
+        )
+        return report
+
+    if "_commit_id" in cols:
+        commits = df.select("_commit_id").distinct().count()
+        report["n_commits"] = commits
+    else:
+        report["n_commits"] = 0
+
+    stats_path = _join(data_root, "_stats")
+    ref_path = _join(data_root, "_ref")
+    if kind == "inverted":
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(stats_path)):
+            report["issues"].append(
+                "inverted index has no _stats sidecar — bm25 serving "
+                "reads n_docs/avgdl/n_buckets from it and will fail"
+            )
+        else:
+            srow = spark.read.parquet(stats_path).collect()[0]
+            missing = [
+                k
+                for k in ("n_docs", "avgdl", "n_buckets")
+                if k not in srow.asDict()
+            ]
+            if missing:
+                report["issues"].append(
+                    f"_stats sidecar missing fields {missing}"
+                )
+            else:
+                n_buckets = int(srow["n_buckets"])
+                report["n_buckets"] = n_buckets
+                # bounded consistency sample: every posting must sit in
+                # the bucket the ENGINE's hash assigns its term
+                bad = (
+                    df.select("term", "term_bucket")
+                    .limit(int(sample))
+                    .where(
+                        F.pmod(
+                            F.xxhash64(F.col("term")),
+                            F.lit(n_buckets),
+                        ).cast("int")
+                        != F.col("term_bucket")
+                    )
+                    .count()
+                )
+                if bad:
+                    report["issues"].append(
+                        f"{bad}/{sample} sampled postings sit in the "
+                        "WRONG term_bucket for _stats.n_buckets="
+                        f"{n_buckets} — postings and sidecar were "
+                        "built with different bucket counts; every "
+                        "serve prunes to wrong buckets.  Rebuild."
+                    )
+    if kind == "drift_log" and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(ref_path)
+    ):
+        report["issues"].append(
+            "drift log has no _ref sidecar — drift_report needs the "
+            "frozen reference counts"
+        )
+    return report

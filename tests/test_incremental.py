@@ -2285,3 +2285,86 @@ def test_gc_grace_window_keeps_previous_generations(spark, tmp_path):
         if x.startswith("manifest-")
     )
     assert manifests == ["manifest-000002.json", "manifest-000003.json"]
+
+
+def test_fsck_index_reports_integrity_and_debt(spark, tmp_path):
+    """fsck_index — the ops integrity check next to the health evals:
+    a healthy inverted index reports clean (kind, commits, buckets, no
+    issues); a _stats sidecar rebuilt with the WRONG n_buckets is
+    caught by the bucket-hash consistency sample (the silent
+    wrong-pruning failure mode); a dangling manifest (generation
+    deleted behind it) is the cannot-serve issue; an orphan generation
+    shows up as GC debt, not an issue; a drift log without _ref is
+    flagged."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        fsck_index,
+        resolve_data_root,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+
+    # healthy legacy (pre-manifest) layout
+    rep = fsck_index(spark, idx)
+    assert rep["kind"] == "inverted" and rep["issues"] == []
+    assert rep["manifest_seq"] is None and rep["n_buckets"] == 8
+
+    # healthy manifest-committed layout
+    compact_inverted_index(spark, idx)
+    rep = fsck_index(spark, idx)
+    assert rep["issues"] == [] and rep["manifest_seq"] == 1
+    # a batch-built layout has no _commit_id column (only streamed
+    # layouts carry commits), so the commit count is 0 here
+    assert rep["gc_debt"] == [] and rep["n_commits"] == 0
+
+    # orphan generation = GC debt, not an issue
+    _os.makedirs(_os.path.join(idx, "_gen-000009"))
+    rep = fsck_index(spark, idx)
+    assert rep["issues"] == [] and rep["gc_debt"] == ["_gen-000009"]
+    _os.rmdir(_os.path.join(idx, "_gen-000009"))
+
+    # wrong-n_buckets sidecar: the consistency sample catches it
+    data_root = resolve_data_root(spark, idx)
+    stats = spark.read.parquet(_os.path.join(data_root, "_stats"))
+    stats.withColumn("n_buckets", F.lit(5)).write.mode("overwrite").parquet(
+        str(tmp_path / "bad_stats")
+    )
+    spark.read.parquet(str(tmp_path / "bad_stats")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(data_root, "_stats"))
+    rep = fsck_index(spark, idx)
+    assert any("WRONG term_bucket" in i for i in rep["issues"])
+
+    # dangling manifest: generation removed behind the pointer
+    import shutil as _shutil
+
+    _shutil.rmtree(data_root)
+    rep = fsck_index(spark, idx)
+    assert any("does not exist" in i for i in rep["issues"])
+
+    # drift log without its _ref sidecar
+    log = str(tmp_path / "log")
+    spark.range(10).select(
+        F.lit(0).alias("_batch_id"),
+        (F.col("id") % 5 + 1).alias("bucket"),
+        F.lit(2).alias("_cc"),
+        F.lit("t-0").alias("_commit_id"),
+    ).write.partitionBy("_commit_id").parquet(log)
+    rep = fsck_index(spark, log)
+    assert rep["kind"] == "drift_log"
+    assert any("_ref" in i for i in rep["issues"])

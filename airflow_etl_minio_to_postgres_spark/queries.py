@@ -2728,6 +2728,91 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
+_FSCK_SQL = f"""
+    WITH d AS (SELECT {_WORDS} AS w FROM documents)
+    SELECT 'inverted' AS kind,
+           2  AS manifest_seq,
+           0  AS n_commits,
+           64 AS n_buckets,
+           0  AS n_issues,
+           0  AS n_corrupt,
+           0  AS gc_debt_grace,
+           2  AS gc_debt_tight,
+           count(*) AS n_docs,
+           avg(len(w)) AS avgdl
+    FROM d
+    """
+
+# own prepared index (not the shared BM25 memo): the fsck report's
+# manifest_seq / gc-debt fields depend on HOW MANY commits ran, so the
+# entry owns its maintenance history instead of inheriting whatever
+# order the rotation ran the other index entries in
+_FSCK_IDX_MEMO: dict[str, str] = {}
+
+
+@register("docs_index_fsck", _FSCK_SQL)
+def docs_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled-maintenance ops loop end-to-end
+    (sources/manifest.py fsck_index): build a serving index over the
+    corpus, run TWO manifest commits under a keep_last=2 grace window
+    (each = new immutable generation -> atomic manifest publish ->
+    retention-aware GC), then fsck the result — one row proving the
+    index is WELL-FORMED after real maintenance history: manifest
+    chain parseable and pointing at an existing generation (seq 2),
+    zero integrity issues, zero crash residue, the grace-window
+    retainee correctly NOT counted as GC debt (gc_debt_grace under the
+    deployment's own keep_last=2) while a tighter keep_last=1 view
+    owes exactly the retained generation + its manifest
+    (gc_debt_tight=2 — the retention arithmetic, not a constant), and
+    the sidecar stats the serving path depends on carried through both
+    commits intact (n_docs / avgdl re-derived by the oracle from the
+    corpus).  The bucket-hash consistency sample runs inside fsck —
+    n_issues=0 certifies postings and sidecar agree on n_buckets.
+    Complements the recall-style health evals: those ask "is the
+    index still GOOD?", this asks "is it still SERVABLE, and is
+    maintenance keeping up?"."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        fsck_index,
+        resolve_data_root,
+    )
+
+    path = _FSCK_IDX_MEMO.get(sf_dir)
+    if path is None:
+        d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        base = tempfile.mkdtemp(prefix="fsck_idx_")
+        path = os.path.join(base, "index")
+        write_inverted_index(d, path, n_buckets=64)
+        compact_inverted_index(spark, path, compact_seq=0, keep_last=2)
+        compact_inverted_index(spark, path, compact_seq=1, keep_last=2)
+        _FSCK_IDX_MEMO[sf_dir] = path
+    rep = fsck_index(spark, path, keep_last=2)
+    rep_tight = fsck_index(spark, path, keep_last=1)
+    stats = spark.read.parquet(
+        os.path.join(resolve_data_root(spark, path), "_stats")
+    )
+    report = spark.createDataFrame(
+        [
+            (
+                rep["kind"],
+                int(rep["manifest_seq"]),
+                int(rep["n_commits"]),
+                int(rep["n_buckets"]),
+                len(rep["issues"]),
+                len(rep["corrupt_manifests"]),
+                len(rep["gc_debt"]),
+                len(rep_tight["gc_debt"]),
+            )
+        ],
+        "kind string, manifest_seq int, n_commits int, n_buckets int,"
+        " n_issues int, n_corrupt int, gc_debt_grace int, gc_debt_tight int",
+    )
+    return report.crossJoin(
+        stats.select(
+            F.col("n_docs").cast("long").alias("n_docs"), F.col("avgdl")
+        )
+    )
+
+
 _COS_SQL = (
     "list_sum(list_transform(range(0, len(embedding)), i ->"
     " embedding[i+1]::DOUBLE * qv[i+1]::DOUBLE))"

@@ -511,17 +511,26 @@ def recluster_zorder_parquet(
     :func:`recluster_zorder_partitions`, which re-sorts per partition
     and preserves the layout.  Returns ``path``."""
     lpath = _local_path(path)
-    hive_dirs = [
-        e
-        for e in os.listdir(lpath)
-        if "=" in e
-        and not e.startswith(("_", "."))
-        and os.path.isdir(os.path.join(lpath, e))
-    ]
+    # guard only when the path exists as a directory — a missing path
+    # falls through to the parquet read, whose AnalysisException is the
+    # canonical missing-input error (not a bare FileNotFoundError here)
+    hive_dirs = (
+        [
+            e
+            for e in os.listdir(lpath)
+            if "=" in e
+            and not e.startswith(("_", "."))
+            and os.path.isdir(os.path.join(lpath, e))
+        ]
+        if os.path.isdir(lpath)
+        else []
+    )
     if hive_dirs:
+        shown = sorted(hive_dirs)[:3]
+        more = "..." if len(hive_dirs) > 3 else ""
         raise ValueError(
             f"recluster_zorder_parquet: {path!r} is hive-partitioned "
-            f"(found {sorted(hive_dirs)[:3]}...) — an in-place flat "
+            f"(found {shown}{more}) — an in-place flat "
             "rewrite would demote the partition columns and break "
             "directory pruning; use recluster_zorder_partitions to "
             "re-sort within the partition layout"

@@ -56,8 +56,12 @@ import re
 from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_manifests"
-_MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
-_GEN_RE = re.compile(r"_gen-(\d{6})$")
+# \d{6,}: names are formatted {:06d} but parse wider, so seq 1,000,000+
+# still resolves (a fullmatch on exactly six digits would silently stop
+# matching the NEWEST manifest and readers would fall back to a stale
+# generation with no error).  Numeric sort handles the width.
+_MANIFEST_RE = re.compile(r"manifest-(\d{6,})\.json$")
+_GEN_RE = re.compile(r"_gen-(\d{6,})$")
 
 
 def _join(root: str, *parts: str) -> str:
@@ -79,32 +83,71 @@ def _list_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
-def latest_manifest(
-    spark: SparkSession, root: str
-) -> tuple[int, dict] | None:
-    """The highest-numbered published manifest as ``(seq, payload)``,
-    or ``None`` for a legacy (never-committed) layout.  One metadata
-    ``listStatus`` of the manifest directory — the whole read-side
-    cost of the protocol."""
-    names = _list_names(spark, _join(root, MANIFEST_DIR))
-    seqs = sorted(
+def _manifest_seqs(spark: SparkSession, root: str) -> list[int]:
+    """Every manifest sequence number VISIBLE BY NAME, parseable or not,
+    ascending.  Name-based on purpose: ``next_seq`` must never reuse the
+    number of a crash-stranded partial manifest."""
+    return sorted(
         int(m.group(1))
-        for n in names
+        for n in _list_names(spark, _join(root, MANIFEST_DIR))
         if (m := _MANIFEST_RE.fullmatch(n)) is not None
     )
-    if not seqs:
-        return None
-    seq = seqs[-1]
+
+
+def _read_manifest(spark: SparkSession, root: str, seq: int) -> dict | None:
+    """Read + parse one manifest; ``None`` when it cannot be read or
+    parsed (a crash between create and close on file://-like schemes
+    leaves a visible 0-byte/partial object — see ``latest_manifest``)."""
     jvm, fs = _fs_for(spark, root)
     mpath = jvm.org.apache.hadoop.fs.Path(
         _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
     )
-    stream = fs.open(mpath)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return seq, json.loads(text)
+        stream = fs.open(mpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        payload = json.loads(text)
+    except Exception:
+        return None
+    return payload if isinstance(payload, dict) else None
+
+
+def corrupt_manifests(spark: SparkSession, root: str) -> list[int]:
+    """Sequence numbers of visible-but-unparseable manifests — the
+    residue of a publish that crashed mid-write.  Harmless to serving
+    (``latest_manifest`` skips them) but worth surfacing: the newest
+    generation they were about to publish is NOT being served.
+    ``fsck_index`` reports these."""
+    return [
+        s
+        for s in _manifest_seqs(spark, root)
+        if _read_manifest(spark, root, s) is None
+    ]
+
+
+def latest_manifest(
+    spark: SparkSession, root: str
+) -> tuple[int, dict] | None:
+    """The highest-numbered PARSEABLE published manifest as
+    ``(seq, payload)``, or ``None`` for a legacy (never-committed)
+    layout.  One metadata ``listStatus`` of the manifest directory —
+    the whole read-side cost of the protocol.
+
+    Unparseable manifests are SKIPPED, falling back to the next-highest
+    seq: ``publish_generation`` stages+renames so a crash should never
+    leave a partial object under the published name, but on schemes
+    where even that guarantee is weaker (or for indexes published by a
+    pre-rename version of this module) a stranded 0-byte/partial
+    manifest must degrade to serving the previous generation — never to
+    an unservable index that every reader and every maintenance run
+    dies on until a human deletes a file."""
+    for seq in reversed(_manifest_seqs(spark, root)):
+        payload = _read_manifest(spark, root, seq)
+        if payload is not None:
+            return seq, payload
+    return None
 
 
 def resolve_data_root(spark: SparkSession, root: str) -> str:
@@ -124,11 +167,10 @@ def next_seq(spark: SparkSession, root: str) -> int:
     run's generation that never got its manifest must not be reused
     for a different payload; the overwrite-mode write makes reuse safe
     anyway, but a fresh number keeps every prefix immutable-once-
-    published)."""
-    seqs = [0]
-    got = latest_manifest(spark, root)
-    if got is not None:
-        seqs.append(got[0])
+    published).  Counts manifests BY NAME — a crash-stranded
+    unparseable manifest still claims its number, so the next commit
+    supersedes rather than collides with it."""
+    seqs = [0, *_manifest_seqs(spark, root)]
     for n in _list_names(spark, root):
         m = _GEN_RE.fullmatch(n)
         if m is not None:
@@ -139,20 +181,43 @@ def next_seq(spark: SparkSession, root: str) -> int:
 def publish_generation(
     spark: SparkSession, root: str, seq: int, generation: str
 ) -> None:
-    """Step 2 — the atomic commit point: CREATE
-    ``_manifests/manifest-<seq>.json`` naming ``generation``.  A new
-    object, one PUT; ``overwrite=False`` so a racing maintainer (out of
-    contract, but cheap to catch) fails loudly instead of silently
+    """Step 2 — the commit point: make ``_manifests/manifest-<seq>.json``
+    visible naming ``generation``.
+
+    On object stores a single PUT is atomic, but on file:// and HDFS
+    ``fs.create`` makes the path VISIBLE before any bytes are written —
+    a crash between create and close would strand a partial object
+    under the published name.  So the manifest is staged under a
+    dot-prefixed temp name (never matches ``_MANIFEST_RE``; invisible
+    to readers and to ``next_seq``) and RENAMED into place: atomic on
+    rename-capable schemes, and on s3a the rename's copy-PUT still
+    creates the destination object atomically with full content.
+    ``latest_manifest`` additionally tolerates partial manifests as
+    defense in depth.
+
+    The destination existing already means a racing maintainer (out of
+    contract, but cheap to catch) — fail loudly instead of silently
     replacing a published commit."""
     jvm, fs = _fs_for(spark, root)
-    mpath = jvm.org.apache.hadoop.fs.Path(
-        _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
-    )
-    out = fs.create(mpath, False)
+    final = _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
+    tmp = _join(root, MANIFEST_DIR, f".manifest-{seq:06d}.json.inprogress")
+    fpath = jvm.org.apache.hadoop.fs.Path(final)
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(fpath):
+        raise FileExistsError(
+            f"manifest seq {seq} already published at {final} — "
+            "a second maintainer committed concurrently"
+        )
+    out = fs.create(tpath, True)
     try:
         out.write(bytearray(json.dumps({"generation": generation}).encode()))
     finally:
         out.close()
+    if not fs.rename(tpath, fpath):
+        raise FileExistsError(
+            f"could not rename staged manifest into {final} — "
+            "destination appeared concurrently (racing maintainer?)"
+        )
 
 
 def copy_tree(spark: SparkSession, src: str, dst: str) -> bool:
@@ -205,12 +270,15 @@ def gc_generations(
     have been published.  Returns deleted names."""
     jvm, fs = _fs_for(spark, root)
     keep_last = max(1, int(keep_last))
-    published = sorted(
-        int(m.group(1))
-        for n in _list_names(spark, _join(root, MANIFEST_DIR))
-        if (m := _MANIFEST_RE.fullmatch(n)) is not None
-        and int(m.group(1)) <= keep_seq
-    )
+    # the grace window counts PARSEABLE manifests only: a reader can
+    # only be mid-scan on a generation it resolved, and corrupt
+    # (crash-stranded) manifests were never resolvable — their
+    # generations are orphans and their manifests superseded residue
+    published = [
+        s
+        for s in _manifest_seqs(spark, root)
+        if s <= keep_seq and _read_manifest(spark, root, s) is not None
+    ]
     kept_seqs = set(published[-keep_last:]) | {keep_seq}
     # our writers name generations gen-<seq>; a payload using another
     # convention keeps only the current generation (the safe floor)
@@ -231,10 +299,24 @@ def gc_generations(
         if drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, n)), True)
             deleted.append(n)
-    min_kept = min(kept_seqs)
     for n in _list_names(spark, _join(root, MANIFEST_DIR)):
         m = _MANIFEST_RE.fullmatch(n)
-        if m is not None and int(m.group(1)) < min_kept:
+        stranded_tmp = n.startswith(".manifest-") and n.endswith(
+            ".inprogress"
+        )
+        # a named manifest at or below our commit that the grace window
+        # does not keep is superseded (this also collects corrupt
+        # crash-stranded manifests, which are never in kept_seqs);
+        # names ABOVE keep_seq are never touched — an out-of-contract
+        # future maintainer's commit is not ours to delete.  Stranded
+        # .inprogress temps are a crashed publish's staging residue
+        # (our own temp was renamed away before GC runs).
+        superseded = (
+            m is not None
+            and int(m.group(1)) <= keep_seq
+            and int(m.group(1)) not in kept_seqs
+        )
+        if superseded or stranded_tmp:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(_join(root, MANIFEST_DIR, n)),
                 False,
@@ -243,7 +325,9 @@ def gc_generations(
     return deleted
 
 
-def fsck_index(spark: SparkSession, root: str, sample: int = 1000) -> dict:
+def fsck_index(
+    spark: SparkSession, root: str, sample: int = 1000, keep_last: int = 1
+) -> dict:
     """Integrity + housekeeping report for a serving index — the ops
     "fsck" a production deployment runs on a schedule next to the
     health evals: where recall evals answer "is the index still
@@ -256,10 +340,15 @@ def fsck_index(spark: SparkSession, root: str, sample: int = 1000) -> dict:
 
     * **manifest chain** — the latest manifest parses and names an
       existing generation (a dangling pointer is the one state the
-      protocol cannot serve from; reported as an ISSUE), and the GC
-      debt is counted (orphan/stale generations + superseded
+      protocol cannot serve from; reported as an ISSUE), unparseable
+      manifests (a crashed mid-write publish) are listed and flagged
+      when they hide a NEWER commit than the one being served, and the
+      GC debt is counted (orphan/stale generations + superseded
       manifests awaiting the next run's collection — storage, not
-      corruption);
+      corruption).  ``keep_last`` mirrors ``gc_generations``' grace
+      window: generations/manifests a retention-``keep_last``
+      deployment deliberately keeps are NOT debt — without it a
+      healthy grace-window deployment is perpetually reported dirty;
     * **layout** — the partition kind is detected from the columns and
       reported; an unrecognized layout is an issue;
     * **sidecar** — an inverted index must carry a readable ``_stats``
@@ -282,16 +371,32 @@ def fsck_index(spark: SparkSession, root: str, sample: int = 1000) -> dict:
     from pyspark.sql import functions as F
 
     report: dict = {"root": root, "issues": [], "gc_debt": []}
+    keep_last = max(1, int(keep_last))
     got = latest_manifest(spark, root)
     jvm, fs = _fs_for(spark, root)
+    corrupt = corrupt_manifests(spark, root)
+    report["corrupt_manifests"] = corrupt
     if got is None:
         report["manifest_seq"] = None
         data_root = root
+        if corrupt:
+            report["issues"].append(
+                f"all {len(corrupt)} manifests are unparseable (seqs "
+                f"{corrupt}) — serving falls back to the legacy flat "
+                "layout; republish or delete the corrupt manifests"
+            )
     else:
         seq, payload = got
         report["manifest_seq"] = seq
         gen = payload.get("generation")
         data_root = _join(root, str(gen))
+        if any(c > seq for c in corrupt):
+            report["issues"].append(
+                f"unparseable manifest(s) {[c for c in corrupt if c > seq]} "
+                f"are NEWER than the served seq {seq} — a publish crashed "
+                "mid-write and its generation is not being served; re-run "
+                "the maintenance op (next commit supersedes the residue)"
+            )
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(data_root)):
             report["issues"].append(
                 f"latest manifest (seq {seq}) names generation {gen!r} "
@@ -299,16 +404,36 @@ def fsck_index(spark: SparkSession, root: str, sample: int = 1000) -> dict:
                 "restore the generation or publish a valid manifest"
             )
             return report
-        # GC debt: anything a completed gc_generations would collect
+        # GC debt: what a completed gc_generations(keep_last=keep_last)
+        # would collect — the grace-window retainees are NOT debt
+        # (same parseable-published arithmetic as gc_generations)
+        published = [
+            s
+            for s in _manifest_seqs(spark, root)
+            if s <= seq and s not in corrupt
+        ]
+        kept_seqs = set(published[-keep_last:]) | {seq}
+        kept_gens = {f"_gen-{s:06d}" for s in kept_seqs} | {str(gen)}
+        drop_flat = len(published) >= keep_last
         for n in _list_names(spark, root):
             m = _GEN_RE.fullmatch(n)
-            if m is not None and n != gen:
-                report["gc_debt"].append(n)
-            elif "=" in n:
+            if m is not None:
+                # orphans (never published) are always debt
+                if n not in kept_gens or int(m.group(1)) not in kept_seqs:
+                    report["gc_debt"].append(n)
+            elif "=" in n and drop_flat:
                 report["gc_debt"].append(n)
         for n in _list_names(spark, _join(root, MANIFEST_DIR)):
             m = _MANIFEST_RE.fullmatch(n)
-            if m is not None and int(m.group(1)) < seq:
+            stranded_tmp = n.startswith(".manifest-") and n.endswith(
+                ".inprogress"
+            )
+            superseded = (
+                m is not None
+                and int(m.group(1)) <= seq
+                and int(m.group(1)) not in kept_seqs
+            )
+            if superseded or stranded_tmp:
                 report["gc_debt"].append(f"{MANIFEST_DIR}/{n}")
     report["data_root"] = data_root
 

@@ -1255,11 +1255,23 @@ def _inv_index_process_batch(
         resolve_data_root,
     )
 
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        _local_path,
+    )
+
     # after a manifest-based compaction the postings AND the _stats
     # sidecar live under the current generation — resolve once per
     # batch (one listStatus; a never-compacted index resolves to root)
     index_path = resolve_data_root(spark, index_path)
-    stats_path = os.path.join(index_path, "_stats")
+    # the replay marker and the stats merge are read with local-FS
+    # calls and written via _rewrite_in_place (os.replace — local-FS
+    # only).  _local_path unwraps file:// URIs (so a scheme-qualified
+    # resolve_data_root result still finds the marker instead of
+    # silently treating it as absent and double-merging a replayed
+    # batch) and raises LOUDLY for object-store schemes — the
+    # documented 'Local-FS stats path' contract, enforced before any
+    # write happens.
+    stats_path = os.path.join(_local_path(index_path), "_stats")
     marker = os.path.join(stats_path, "_last_batch")
     # Lineage guard BEFORE any write: the marker only disambiguates
     # replays within ONE checkpoint lineage.  A NEW checkpoint pointed

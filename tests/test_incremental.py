@@ -2368,3 +2368,213 @@ def test_fsck_index_reports_integrity_and_debt(spark, tmp_path):
     rep = fsck_index(spark, log)
     assert rep["kind"] == "drift_log"
     assert any("_ref" in i for i in rep["issues"])
+
+
+def test_inv_index_lineage_guard_over_file_uri(spark, tmp_path):
+    """Round-13 advisor finding: the lineage marker and the stats merge
+    were read with os.path calls while the index path may be
+    scheme-qualified (resolve_data_root returns URIs) — on a file://
+    path the marker read as ABSENT, so the foreign-lineage refusal
+    silently no-op'd and a crash-replayed batch double-merged the
+    stats partials.  All three contracts must hold over file:// URIs:
+    foreign token refuses, replayed batch is a no-op, next batch
+    merges."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        _inv_index_process_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join doc{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx_local = str(tmp_path / "inv")
+    idx = f"file://{idx_local}"
+    _inv_index_process_batch(docs, 0, idx, "tok-a", n_buckets=8)
+
+    # foreign checkpoint lineage refuses loudly (was: silent no-op)
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        _inv_index_process_batch(docs, 0, idx, "tok-b", n_buckets=8)
+
+    # crash-replayed batch is a no-op (was: stats double-merge)
+    stats_before = spark.read.parquet(
+        _os.path.join(idx_local, "_stats")
+    ).collect()[0]
+    _inv_index_process_batch(docs, 0, idx, "tok-a", n_buckets=8)
+    stats_after = spark.read.parquet(
+        _os.path.join(idx_local, "_stats")
+    ).collect()[0]
+    assert tuple(stats_after) == tuple(stats_before)
+    assert stats_after["n_docs"] == 10
+
+    # a genuinely new batch still merges
+    more = spark.createDataFrame(
+        [(100, "window filter")], "doc_id long, text string"
+    )
+    _inv_index_process_batch(more, 1, idx, "tok-a", n_buckets=8)
+    assert (
+        spark.read.parquet(_os.path.join(idx_local, "_stats")).collect()[0][
+            "n_docs"
+        ]
+        == 11
+    )
+
+
+def test_fsck_gc_debt_honors_keep_last_grace_window(spark, tmp_path):
+    """Round-13 advisor finding: fsck_index counted every non-current
+    generation as GC debt, so a deployment running the documented
+    keep_last>1 grace window was perpetually reported dirty.  The
+    retainees a matching gc_generations(keep_last=N) keeps are NOT
+    debt; with a tighter keep_last they are."""
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        fsck_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+    compact_inverted_index(spark, idx, keep_last=2)
+    compact_inverted_index(spark, idx, keep_last=2)
+
+    # generation 1 is deliberately retained by the grace window:
+    # healthy, zero debt under the deployment's own retention
+    rep = fsck_index(spark, idx, keep_last=2)
+    assert rep["manifest_seq"] == 2 and rep["issues"] == []
+    assert rep["gc_debt"] == [], rep["gc_debt"]
+
+    # under keep_last=1 the same layout owes generation 1 + manifest 1
+    rep1 = fsck_index(spark, idx, keep_last=1)
+    assert sorted(rep1["gc_debt"]) == [
+        "_gen-000001",
+        "_manifests/manifest-000001.json",
+    ]
+
+
+def test_fsck_and_serving_survive_crash_stranded_manifest(spark, tmp_path):
+    """Round-13 advisor finding (medium): on visible-before-bytes
+    filesystems a crash mid-publish strands a partial object under the
+    HIGHEST manifest name; latest_manifest used to raise
+    JSONDecodeError for every reader and for next_seq — unservable and
+    un-maintainable until manual deletion.  Now: serving falls back to
+    the previous generation, fsck reports the residue, the next
+    maintenance run supersedes it, and GC collects it."""
+    import os as _os
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_topk_indexed,
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        fsck_index,
+        latest_manifest,
+        next_seq,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+    compact_inverted_index(spark, idx)
+    want = [tuple(r) for r in bm25_topk_indexed(spark, idx, ["spark"], k=5).collect()]
+
+    # strand a partial manifest at the next seq (crashed publish)
+    with open(
+        _os.path.join(idx, "_manifests", "manifest-000002.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write('{"generation": "_gen-')  # truncated JSON
+
+    # readers fall back to the last parseable manifest; serving intact
+    assert latest_manifest(spark, idx)[0] == 1
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, ["spark"], k=5).collect()]
+    assert got == want
+
+    # fsck surfaces the residue as an issue (newer than served seq)
+    rep = fsck_index(spark, idx)
+    assert rep["manifest_seq"] == 1 and rep["corrupt_manifests"] == [2]
+    assert any("crashed mid-write" in i for i in rep["issues"])
+
+    # the stranded number is never reused; the next run supersedes it
+    assert next_seq(spark, idx) == 3
+    compact_inverted_index(spark, idx)
+    rep = fsck_index(spark, idx)
+    assert rep["manifest_seq"] == 3 and rep["issues"] == []
+    assert rep["corrupt_manifests"] == [] and rep["gc_debt"] == []
+
+
+def test_manifest_seq_parses_past_six_digits(spark, tmp_path):
+    """Round-13 advisor finding: fullmatch on exactly six digits made
+    seq >= 1,000,000 silently stop matching — readers would fall back
+    to an older generation with no error.  Wider parse must resolve
+    the 7-digit manifest as the newest."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "idx")
+    spark.range(5).withColumn("g", F.lit(1)).write.parquet(
+        mf._join(root, "_gen-000001")
+    )
+    mf.publish_generation(spark, root, 1, "_gen-000001")
+    big = 1_000_000
+    gen_big = f"_gen-{big:06d}"  # 7 digits — {:06d} does not truncate
+    spark.range(5).withColumn("g", F.lit(2)).write.parquet(
+        mf._join(root, gen_big)
+    )
+    mf.publish_generation(spark, root, big, gen_big)
+    seq, payload = mf.latest_manifest(spark, root)
+    assert seq == big and payload["generation"] == gen_big
+    assert mf.next_seq(spark, root) == big + 1
+    got = spark.read.parquet(mf.resolve_data_root(spark, root))
+    assert {r[0] for r in got.select("g").distinct().collect()} == {2}
+
+
+def test_recluster_zorder_guard_error_shapes(spark, tmp_path):
+    """Round-13 advisor finding: the hive-partition guard listed the
+    directory before the parquet read, so a missing path raised
+    FileNotFoundError instead of Spark's canonical AnalysisException,
+    and the refusal message printed '...' even for <=3 partition dirs."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_parquet,
+    )
+
+    # missing path -> the parquet reader's own error, not the guard's
+    with _pytest.raises(AnalysisException):
+        recluster_zorder_parquet(spark, str(tmp_path / "nope"), ["a"])
+
+    # 2 hive dirs -> refusal names both, no trailing ellipsis
+    root = str(tmp_path / "hive")
+    _os.makedirs(_os.path.join(root, "a=1"))
+    _os.makedirs(_os.path.join(root, "a=2"))
+    with _pytest.raises(ValueError, match=r"\['a=1', 'a=2'\]\)") as ei:
+        recluster_zorder_parquet(spark, root, ["a"])
+    assert "..." not in str(ei.value)
+
+    # >3 hive dirs -> truncated listing keeps the ellipsis
+    for i in range(3, 7):
+        _os.makedirs(_os.path.join(root, f"a={i}"))
+    with _pytest.raises(ValueError, match=r"\.\.\."):
+        recluster_zorder_parquet(spark, root, ["a"])

@@ -1454,7 +1454,14 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
 
 @given(
     ops=st.lists(
-        st.sampled_from(["commit", "crash_before_publish", "crash_before_gc"]),
+        st.sampled_from(
+            [
+                "commit",
+                "crash_before_publish",
+                "crash_mid_publish",
+                "crash_before_gc",
+            ]
+        ),
         min_size=1,
         max_size=5,
     ),
@@ -1508,6 +1515,23 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
         gen = write_gen(seq)
         if op == "crash_before_publish":
             check()  # orphan invisible; reader unaffected
+            continue
+        if op == "crash_mid_publish":
+            # a publish that died between create and close on a
+            # visible-before-bytes FS: strand a PARTIAL object under
+            # the published name.  latest_manifest must skip it (old
+            # generation keeps serving) and next_seq must never reuse
+            # its number for a different payload.
+            mdir = _os.path.join(root, mf.MANIFEST_DIR)
+            _os.makedirs(mdir, exist_ok=True)
+            with open(
+                _os.path.join(mdir, f"manifest-{seq:06d}.json"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write('{"generation": "_gen-')  # truncated JSON
+            check()  # reader falls back to the previous generation
+            assert mf.next_seq(spark, root) > seq
             continue
         mf.publish_generation(spark, root, seq, gen)
         expected_stamp = seq

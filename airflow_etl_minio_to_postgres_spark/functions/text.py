@@ -726,6 +726,143 @@ def bm25_topk_batch(
     )
 
 
+def bm25_knn_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "qid",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-``k`` for a CORPUS-SCALE query table served from a
+    :func:`write_inverted_index` layout — the sparse twin of
+    ``similarity.ivf_knn_join``, the bucketed-join form the
+    :func:`bm25_topk_batch` docstring prescribes when the query table
+    outgrows a broadcast (joining a query CORPUS against a document
+    corpus: eval-suite x training-corpus contamination sweeps, query
+    logs, doc-to-doc lexical similarity).
+
+    Shape at scale — NO driver-side collect of the query vocabulary
+    and NO broadcast of either data side (the two bottlenecks the
+    broadcast form accepts for eval-sized tables):
+
+    1. the exploded (qid, term) pairs get their ``term_bucket`` from
+       the engine's own hash (sidecar ``n_buckets``; the only collect
+       is that 1-row sidecar) — a narrow expression pass, no action;
+    2. the postings scan is pruned by a LEFT SEMI join against the
+       pairs' distinct (term_bucket, term) — keyed on the partition
+       column so Spark's dynamic partition pruning can skip bucket
+       directories at runtime when the probe side turns out small,
+       and a vocabulary-wide query table degrades gracefully to the
+       full scan it genuinely needs;
+    3. per-term df is a window over the pruned postings partitioned by
+       (term_bucket, term) — term determines its bucket, so the groups
+       ARE per-term, and the window reuses the semi-join's exchange
+       instead of re-shuffling on a new key (df before the query join,
+       same as the broadcast form: joining first would fan a term's
+       postings out once per query using it and inflate df);
+    4. the (qid, term) pairs then meet the scored postings in a SHUFFLE
+       equi-join on (term_bucket, term) — each side exchanges once;
+       candidate volume is Σ_terms |queries asking t| x df(t), never
+       |queries| x |postings|;
+    5. per-(query, doc) score sum and a per-query top-k window finish.
+
+    Zipf skew: hot terms (stopwords) concentrate candidates the same
+    way hot IVF cells do — the structural answer is the analyzer
+    (stopword removal / df-capped vocabularies), not salting, because a
+    stopword's candidate set is near-useless for ranking anyway; AQE's
+    skew-join split handles the residual imbalance.
+
+    Consistency contract (pinned in tests): bit-identical rows to
+    :func:`bm25_topk_batch` on the same queries/(k, k1, b) — same
+    sidecar stats, same pruned-df value, same double math, same
+    (score desc, id) ties.  Returns (query_id_col, id_col, score),
+    ≤ k rows per query.  NULL/empty terms arrays contribute no rows;
+    a query table with no terms at all is refused loudly (one cheap
+    isEmpty on the exploded pairs, not a vocabulary collect)."""
+    import os as _os
+
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        resolve_data_root,
+    )
+
+    path = resolve_data_root(spark, path)
+    stats = spark.read.parquet(_os.path.join(path, "_stats"))
+    n_buckets = int(stats.collect()[0]["n_buckets"])
+    pairs = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(F.col(terms_col)).alias("term"),
+        )
+        .withColumn("term", F.lower(F.col("term")))
+        .distinct()
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    if pairs.isEmpty():
+        raise ValueError("bm25_knn_join: queries contain no terms")
+    probe = pairs.select("term_bucket", "term").distinct()
+    pruned = spark.read.parquet(path).join(
+        probe, ["term_bucket", "term"], "left_semi"
+    )
+    from pyspark.sql import Window
+
+    # (term_bucket, term) ≡ term as a grouping (the bucket is a
+    # function of the term); keying the window on both lets it reuse
+    # the semi-join's hash(term_bucket, term) exchange
+    with_df = pruned.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("term_bucket", "term")),
+    )
+    scored = (
+        with_df.join(pairs, ["term_bucket", "term"])
+        .crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.col("n_docs").alias("_n_docs"),
+                    F.col("avgdl").alias("_avgdl"),
+                )
+            )
+        )
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfp",
+            F.col("tf")
+            * F.lit(float(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("dl") / F.col("_avgdl")
+                )
+            ),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("_idf") * F.col("_tfp")).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

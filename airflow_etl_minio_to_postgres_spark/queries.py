@@ -105,6 +105,7 @@ from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
     assign_splits,
+    bm25_knn_join,
     bm25_topk,
     bm25_topk_batch,
     bm25_topk_indexed,
@@ -3977,6 +3978,74 @@ def docs_hybrid_batch_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused_served = rrf_fuse_grouped([(sparse, "score"), (dna, "cosine")], k=10)
     fused_truth = rrf_fuse_grouped([(sparse, "score"), (dne, "cosine")], k=10)
     return ann_recall_at_k(fused_served, fused_truth, k=10, id_col="doc_id")
+
+
+_BM25_KNN_JOIN_SQL = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
+        FROM d
+    ),
+    qt(qid, term) AS (VALUES {{qt_values}}),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN (SELECT term FROM qt)
+        GROUP BY 1, 2
+    ),
+    wdf AS (
+        SELECT *, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+        FROM tf
+    ),
+    lens AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM d),
+    s AS (
+        SELECT qt.qid, wdf.doc_id,
+               ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r}
+                  / (tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r}
+                             + {_BM25_B!r} * dl / stats.avgdl))) AS part
+        FROM wdf
+        JOIN lens USING (doc_id)
+        JOIN qt USING (term)
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT qid, doc_id, sum(part) AS score FROM s GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, score FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        FROM scored
+    ) t WHERE rn <= 10
+    """.format(qt_values=_HYBRID_QT_VALUES)
+
+
+@register("docs_bm25_knn_join", _BM25_KNN_JOIN_SQL)
+def docs_bm25_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE batched BM25 (functions/text.py bm25_knn_join) —
+    the sparse twin of emb_ivf_knn_join, closing the last
+    documented-but-unbuilt scale shape in the retrieval family: where
+    bm25_topk_batch collects the query vocabulary driver-side and
+    broadcasts the (qid, term) pairs (right for eval-sized query
+    tables), this form computes probe buckets with the engine's own
+    hash as an EXPRESSION, prunes the postings scan with a semi-join
+    keyed on the partition column (dynamic partition pruning when the
+    probe side is small; graceful full scan when the query vocabulary
+    is corpus-wide), rides df on a window keyed to reuse that
+    exchange, and meets the query pairs in a SHUFFLE equi-join — no
+    driver collect, no data-side broadcast, so two corpora can meet
+    (query logs x documents, eval-suite x training-corpus).  Checked
+    against a from-scratch multi-query BM25 oracle — and pinned in
+    pytest bit-equal to bm25_topk_batch, so the broadcast and shuffle
+    forms are proven interchangeable at the hand-off."""
+    inv = _batch_inv_index(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(q, terms) for q, terms in sorted(_HYBRID_BATCH_TERMS.items())],
+        "qid long, terms array<string>",
+    )
+    return bm25_knn_join(spark, inv, qterms, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
 @register(

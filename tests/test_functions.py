@@ -1837,3 +1837,72 @@ def test_population_stability_index_empty_side_is_maximal_drift(spark):
     assert all(r.p_cur == 1e-06 for r in rows)
     total = sum(r.psi_part for r in rows)
     assert total > 0.25 and total < float("inf")
+
+
+def test_bm25_knn_join_matches_batch_and_never_broadcasts_data(
+    spark, tmp_path
+):
+    """The corpus-scale sparse serve (bm25_knn_join): (1) bit-identical
+    rows to bm25_topk_batch on the same queries/(k, k1, b) — including
+    the shared-term df (computed before the query join on both paths);
+    (2) with the auto-broadcast threshold disabled, both data-side
+    joins (semi prune + pair join) are shuffle joins — the only
+    broadcast is the 1-row stats scalar (rendered as a
+    BroadcastNestedLoopJoin); (3) a termless query table is refused
+    without collecting a vocabulary."""
+    import re
+
+    import pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_knn_join,
+        bm25_topk_batch,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"spark join window filter doc{i} " + "pad " * (i % 5))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv_knn")
+    write_inverted_index(df, path, n_buckets=16)
+
+    # 'spark' shared by two queries: a post-join df would double it
+    qsets = {10: ["spark", "doc7"], 20: ["spark", "filter"], 30: ["doc3"]}
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in qsets.items()],
+        "qid long, terms array<string>",
+    )
+    joined = bm25_knn_join(spark, path, queries, k=5)
+    batch = bm25_topk_batch(spark, path, queries, k=5)
+    key = lambda r: (r["qid"], -r["score"], r["doc_id"])
+    assert sorted(
+        (tuple(r) for r in joined.collect()), key=lambda t: (t[0], -t[2], t[1])
+    ) == sorted(
+        (tuple(r) for r in batch.collect()), key=lambda t: (t[0], -t[2], t[1])
+    )
+
+    # the scale contract: no data-side broadcast even at toy scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pinned = bm25_knn_join(spark, path, queries, k=5)
+        plan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert plan.count("BroadcastExchange") == plan.count(
+            "BroadcastNestedLoopJoin"
+        ), plan
+        assert [tuple(r) for r in pinned.collect()] == [
+            tuple(r) for r in joined.collect()
+        ]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_knn_join(
+            spark,
+            path,
+            spark.createDataFrame([], "qid long, terms array<string>"),
+        )

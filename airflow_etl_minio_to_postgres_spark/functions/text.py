@@ -628,9 +628,12 @@ def bm25_topk_batch(
     (query id, term) pairs are then broadcast in — each posting meets
     only the queries that asked for its term — and a per-query top-k
     window finishes (rank by score desc, then doc id).  The broadcast
-    presumes an eval-sized query set, exactly the ``ivf_topk_batch``
-    caveat: a corpus-scale query table would co-partition both sides
-    on the term instead.
+    (and the driver-side distinct-terms collect that feeds the probe
+    buckets) presumes an eval-sized query set, exactly the
+    ``ivf_topk_batch`` caveat: for a CORPUS-SCALE query table use
+    :func:`bm25_knn_join`, which co-partitions both sides on the term
+    with no collect and no data-side broadcast (pinned bit-equal to
+    this form at the hand-off).
 
     Consistency contract (pinned in tests): per-query results are
     bit-identical to :func:`bm25_topk_indexed` run one query at a time

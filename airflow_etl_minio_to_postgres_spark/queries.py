@@ -157,6 +157,7 @@ from airflow_etl_minio_to_postgres_spark.sources.catalog import load_table
 from airflow_etl_minio_to_postgres_spark.sources.files import (
     read_csv,
     read_jsonl,
+    recluster_zorder_committed,
     recluster_zorder_parquet,
     recluster_zorder_partitions,
     write_csv,
@@ -4048,6 +4049,106 @@ def docs_bm25_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_knn_join(spark, inv, qterms, k=10, k1=_BM25_K1, b=_BM25_B)
 
 
+_HYBRID_KNN_JOIN_SQL = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
+        FROM d
+    ),
+    qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
+           FROM (VALUES {_HYBRID_QT_VALUES}) AS t(qid, term)),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        WHERE term IN ({', '.join(f"'{t}'" for t in _HYBRID_ALL_TERMS)})
+        GROUP BY 1, 2
+    ),
+    wdf AS (
+        SELECT *, count(*) OVER (PARTITION BY term)::DOUBLE AS df
+        FROM tf
+    ),
+    lens AS (SELECT doc_id, len(w)::DOUBLE AS dl FROM d),
+    parts AS (
+        SELECT qt.qid, wdf.doc_id,
+               ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0!r}
+                  / (tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r}
+                             + {_BM25_B!r} * dl / stats.avgdl))) AS part
+        FROM wdf JOIN lens USING (doc_id) CROSS JOIN stats
+        JOIN qt USING (term)
+    ),
+    bm_s AS (SELECT qid, doc_id, sum(part) AS score
+             FROM parts GROUP BY 1, 2),
+    bm AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM bm_s) t WHERE rnk <= 10),
+    corp AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM corp
+           WHERE vec_id IN ({', '.join(str(q) for q in sorted(_HYBRID_BATCH_TERMS))})),
+    dne AS (SELECT qid, doc_id, rnk FROM (
+        SELECT qs.qid, corp.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {_COS_VQ_SQL} DESC,
+                                           corp.vec_id) AS rnk
+        FROM corp, qs
+    ) t WHERE rnk <= 10),
+    f AS (
+        SELECT coalesce(b.qid, e.qid) AS qid,
+               coalesce(b.doc_id, e.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + b.rnk), 0.0)
+               + coalesce(1.0 / (60 + e.rnk), 0.0) AS rrf
+        FROM bm b FULL OUTER JOIN dne e
+        ON b.qid = e.qid AND b.doc_id = e.doc_id
+    )
+    SELECT qid, doc_id, rrf FROM (
+        SELECT qid, doc_id, rrf,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf DESC, doc_id) AS rn
+        FROM f) t WHERE rn <= 10
+    """
+
+
+@register("docs_hybrid_knn_join", _HYBRID_KNN_JOIN_SQL)
+def docs_hybrid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE hybrid retrieval stack composed end-to-end —
+    the zero-broadcast counterpart of docs_hybrid_batch_health's
+    serving side: the sparse leg is bm25_knn_join (shuffle equi-join
+    on term, no vocabulary collect), the dense leg is ivf_knn_join at
+    nprobe = n_cells (cell-bucketed shuffle join; all cells probed so
+    the leg is exact and the oracle is plain brute force), and the two
+    multi-query lists fuse per query with rrf_fuse_grouped (rank
+    windows partitioned on qid, result-sized inputs, fixed
+    sparse-then-dense fold so the doubles are bit-identical across
+    engines).  This is the shape where BOTH sides outgrow a broadcast
+    — query logs x documents — and nothing ships but the
+    metadata-sized centroid table and the 1-row stats scalar; pinned
+    against a from-scratch SQL of the whole stack (BM25 + cosine +
+    RRF)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    inv = _batch_inv_index(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(q, terms) for q, terms in sorted(_HYBRID_BATCH_TERMS.items())],
+        "qid long, terms array<string>",
+    )
+    sparse = bm25_knn_join(spark, inv, qterms, k=10, k1=_BM25_K1, b=_BM25_B)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.where(
+        F.col("vec_id").isin(sorted(_HYBRID_BATCH_TERMS))
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    dense = ivf_knn_join(qs, e, cents, k=10, nprobe=8).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse_grouped([(sparse, "score"), (dense, "cosine")], k=10)
+
+
 @register(
     "emb_ivf_topk_batch",
     f"""
@@ -5375,6 +5476,55 @@ def events_zorder_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     recluster_zorder_parquet(spark, path, ["bu", "bh"], bits=10, n_files=8)
     back = spark.read.parquet(path)
+    return back.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
+
+
+@register(
+    "events_zorder_committed",
+    f"""
+    SELECT event_id, {_ZVAL_SQL} AS zval
+    FROM (
+        SELECT event_id, user_id % 1024 AS bu,
+               (epoch_us(ts) // 3600000000) % 1024 AS bh
+        FROM events
+    ) t
+    """,
+)
+def events_zorder_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBJECT-STORE face of the optimize pass (sources/files.py
+    recluster_zorder_committed + sources/manifest.py
+    commit_parquet_generation / read_resolved) registered end-to-end —
+    the RUNBOOK §5b resolving-reader migration as a driver-gated
+    entry: the same two curve-oblivious appended batches land at a
+    ``file://`` URI the local-swap recluster refuses, the recluster
+    plan (shared ``_zorder_staged`` — value-equal to
+    events_zorder_recluster by construction) is committed as an
+    immutable manifest-published generation with a keep_last=2 grace
+    window (the documented first-commit retention for un-migrated
+    readers), and the read-back goes through the thin resolving
+    reader every migrated consumer uses.  Checked against the
+    IDENTICAL curve oracle as the local variant — protocol swap
+    proven lossless at the value level."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        read_resolved,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("bu"),
+        (F.expr("unix_micros(ts) div 3600000000") % 1024).alias("bh"),
+    )
+    base = tempfile.mkdtemp(prefix="zorder_committed_")
+    path = os.path.join(base, "events_zc")
+    for m in (0, 1):
+        ev.where(F.col("event_id") % 2 == m).write.mode("append").parquet(
+            path
+        )
+    recluster_zorder_committed(
+        spark, f"file://{path}", ["bu", "bh"], bits=10, n_files=8,
+        keep_last=2,
+    )
+    back = read_resolved(spark, f"file://{path}")
     return back.select("event_id", F.expr(_ZVAL_SQL).alias("zval"))
 
 

@@ -536,6 +536,24 @@ def recluster_zorder_parquet(
             "re-sort within the partition layout"
         )
     df = spark.read.parquet(lpath)
+    staged = _zorder_staged(
+        df, zorder_cols, bits, n_files, rank_bucket, sample_rate
+    )
+    return _rewrite_in_place(staged, path)
+
+
+def _zorder_staged(
+    df: DataFrame,
+    zorder_cols: list[str],
+    bits: int,
+    n_files: int | None,
+    rank_bucket: bool,
+    sample_rate: float,
+) -> DataFrame:
+    """The shared recluster plan (one sampled range exchange on the
+    curve value, in-partition sort, helpers dropped) — identical for
+    the local-swap and manifest-committed variants, so they are
+    value-equal by construction."""
     helper_cols = ["_zval"]
     zcols = list(zorder_cols)
     if rank_bucket:
@@ -549,8 +567,68 @@ def recluster_zorder_parquet(
         ranged = zdf.repartitionByRange(n_files, F.col("_zval"))
     else:
         ranged = zdf.repartitionByRange(F.col("_zval"))
-    staged = ranged.sortWithinPartitions("_zval").drop(*helper_cols)
-    return _rewrite_in_place(staged, path)
+    return ranged.sortWithinPartitions("_zval").drop(*helper_cols)
+
+
+def recluster_zorder_committed(
+    spark: SparkSession,
+    root: str,
+    zorder_cols: list[str],
+    bits: int = 10,
+    n_files: int | None = None,
+    rank_bucket: bool = False,
+    sample_rate: float = 0.2,
+    keep_last: int = 1,
+) -> int:
+    """The OBJECT-STORE face of :func:`recluster_zorder_parquet` — the
+    same recluster plan committed through the manifest protocol
+    (``sources/manifest.commit_parquet_generation``) instead of the
+    local-FS ``os.replace`` swap, closing the family's last
+    local-only gap: works over ``file://`` URIs, HDFS, and s3a, a
+    crash at any point leaves the previous generation servable, and
+    ``keep_last`` is the usual GC grace window.
+
+    The consumer contract is the ONE difference from the local
+    variant: readers must resolve — ``manifest.read_resolved(spark,
+    root)`` (one extra listStatus, then the identical parquet scan) or
+    a ``manifest.create_resolving_view`` refreshed per maintenance
+    cycle.  A plain ``spark.read.parquet(root)`` consumer would see
+    the pre-manifest payload (or nothing after its GC), which is why
+    :func:`recluster_zorder_parquet` refuses URI paths rather than
+    silently switching protocols: adopting THIS variant is an explicit
+    reader migration, per RUNBOOK §5b.  Hive-partitioned layouts are
+    refused for the same reason as the flat variant (a flat rewrite
+    demotes partition columns — use
+    :func:`recluster_zorder_partitions`).  Returns the committed
+    sequence number."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        _list_names,
+        commit_parquet_generation,
+        resolve_data_root,
+    )
+
+    data_root = resolve_data_root(spark, root)
+    hive_dirs = [
+        n
+        for n in _list_names(spark, data_root)
+        if "=" in n and not n.startswith(("_", "."))
+    ]
+    if hive_dirs:
+        shown = sorted(hive_dirs)[:3]
+        more = "..." if len(hive_dirs) > 3 else ""
+        raise ValueError(
+            f"recluster_zorder_committed: {root!r} is hive-partitioned "
+            f"(found {shown}{more}) — a flat committed rewrite would "
+            "demote the partition columns and break directory pruning; "
+            "use recluster_zorder_partitions on a local path"
+        )
+    df = spark.read.parquet(data_root)
+    staged = _zorder_staged(
+        df, zorder_cols, bits, n_files, rank_bucket, sample_rate
+    )
+    return commit_parquet_generation(
+        spark, staged, root, keep_last=keep_last
+    )
 
 
 def recluster_zorder_partitions(

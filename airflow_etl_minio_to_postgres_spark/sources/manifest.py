@@ -161,6 +161,71 @@ def resolve_data_root(spark: SparkSession, root: str) -> str:
     return _join(root, got[1]["generation"])
 
 
+def read_resolved(spark: SparkSession, root: str):
+    """The thin RESOLVING READER for generic-consumer tables: one
+    metadata ``listStatus`` to find the current generation, then a
+    plain parquet scan of it — how a table whose consumers are
+    ordinary ``spark.read.parquet`` users adopts manifest commits
+    (``commit_parquet_generation``) without its readers learning the
+    protocol: they switch one call, everything downstream (pushdown,
+    pruning, schema) is the untouched parquet scan.  A never-committed
+    table resolves to ``root`` itself, so the switch is safe BEFORE
+    the writer migrates."""
+    return spark.read.parquet(resolve_data_root(spark, root))
+
+
+def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
+    """Register the resolved generation as a TEMP VIEW so SQL-only /
+    catalog consumers (``spark.table(name)``, JDBC-over-Thrift, BI
+    tools) serve from manifest-committed tables without knowing the
+    protocol.  The view binds the generation CURRENT AT CREATION —
+    re-run this (one listStatus) as the last step of every maintenance
+    cycle, the same slot that runs ``fsck_index``; a reader mid-query
+    on the previous generation is exactly what the GC grace window
+    (``keep_last``) protects.  Returns ``name``."""
+    read_resolved(spark, root).createOrReplaceTempView(name)
+    return name
+
+
+def commit_parquet_generation(
+    spark: SparkSession,
+    df,
+    root: str,
+    keep_last: int = 1,
+    partition_by: tuple[str, ...] = (),
+    legacy_sidecars: tuple[str, ...] = (),
+) -> int:
+    """Write ANY DataFrame as the next manifest-committed generation
+    of ``root`` — the generic adopter path for serving tables whose
+    rewrites previously required the local-FS ``os.replace`` swap
+    (z-order recluster outputs, medallion gold, rollup serving): the
+    frame lands in a new immutable ``_gen-<seq>`` prefix, the
+    versioned manifest is published (staged PUT + rename — atomic
+    commit point), and retention-aware GC runs strictly after.  A
+    crash at any point leaves the previous generation servable.
+    Readers use :func:`read_resolved` / :func:`create_resolving_view`
+    (or ``resolve_data_root`` directly).  The FIRST commit of a legacy
+    flat table leaves the old root files in place until GC's
+    ``drop_flat`` arithmetic says every grace-window reader is done
+    with them.  Returns the committed sequence number."""
+    seq = next_seq(spark, root)
+    gen = f"_gen-{seq:06d}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(_join(root, gen))
+    publish_generation(spark, root, seq, gen)
+    gc_generations(
+        spark,
+        root,
+        seq,
+        gen,
+        legacy_sidecars=tuple(legacy_sidecars),
+        keep_last=keep_last,
+    )
+    return seq
+
+
 def next_seq(spark: SparkSession, root: str) -> int:
     """The next commit sequence number: one past everything visible —
     published manifests AND orphan generation prefixes (a crashed
@@ -294,6 +359,11 @@ def gc_generations(
             drop = n not in kept_gens or seq not in kept_seqs
         elif "=" in n:
             drop = drop_flat  # pre-manifest hive partition dir
+        elif n.startswith("part-") or n == "_SUCCESS":
+            # pre-manifest FLAT parquet payload (a plain table adopted
+            # via commit_parquet_generation) — same retention as the
+            # hive dirs: it counts as the oldest generation
+            drop = drop_flat
         elif n in legacy_sidecars:
             drop = drop_flat  # root sidecar superseded by the gen copy
         if drop:
@@ -421,7 +491,9 @@ def fsck_index(
                 # orphans (never published) are always debt
                 if n not in kept_gens or int(m.group(1)) not in kept_seqs:
                     report["gc_debt"].append(n)
-            elif "=" in n and drop_flat:
+            elif drop_flat and (
+                "=" in n or n.startswith("part-") or n == "_SUCCESS"
+            ):
                 report["gc_debt"].append(n)
         for n in _list_names(spark, _join(root, MANIFEST_DIR)):
             m = _MANIFEST_RE.fullmatch(n)

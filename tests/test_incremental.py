@@ -2578,3 +2578,92 @@ def test_recluster_zorder_guard_error_shapes(spark, tmp_path):
         _os.makedirs(_os.path.join(root, f"a={i}"))
     with _pytest.raises(ValueError, match=r"\.\.\."):
         recluster_zorder_parquet(spark, root, ["a"])
+
+
+def test_recluster_zorder_committed_over_uri_with_resolving_view(
+    spark, tmp_path
+):
+    """RUNBOOK 5b closure: generic-reader tables can now adopt manifest
+    commits — recluster_zorder_committed runs the IDENTICAL recluster
+    plan as the local-swap variant but lands it as a manifest-committed
+    generation (works over file:// URIs where the local variant
+    refuses), and consumers migrate to the thin resolving reader
+    (read_resolved / create_resolving_view).  Value-equality with the
+    local variant, the reader contract, retention of the flat legacy
+    payload under a grace window, and view refresh across a second
+    commit are all pinned here."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_committed,
+        recluster_zorder_parquet,
+    )
+
+    rows = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("bu"),
+        (F.col("id") % 53).alias("bh"),
+    )
+    local = str(tmp_path / "local")
+    committed = str(tmp_path / "committed")
+    for m in (0, 1):  # two curve-oblivious appended batches
+        rows.where(F.col("event_id") % 2 == m).write.mode("append").parquet(
+            local
+        )
+        rows.where(F.col("event_id") % 2 == m).write.mode("append").parquet(
+            committed
+        )
+    uri = f"file://{committed}"
+
+    recluster_zorder_parquet(spark, local, ["bu", "bh"], bits=10, n_files=4)
+    want = sorted(tuple(r) for r in spark.read.parquet(local).collect())
+
+    # grace window keeps the flat payload through the FIRST commit, so
+    # un-migrated plain readers survive one maintenance cycle
+    seq = recluster_zorder_committed(
+        spark, uri, ["bu", "bh"], bits=10, n_files=4, keep_last=2
+    )
+    assert seq == 1
+    got = sorted(tuple(r) for r in mf.read_resolved(spark, uri).collect())
+    assert got == want
+    assert any(
+        n.startswith("part-") for n in _os.listdir(committed)
+    )  # legacy flat payload retained by keep_last=2
+
+    # SQL-only consumers: the resolving view serves the generation,
+    # and a refresh after the next commit serves the new one
+    mf.create_resolving_view(spark, "zserve", uri)
+    assert sorted(
+        tuple(r) for r in spark.table("zserve").collect()
+    ) == want
+    seq2 = recluster_zorder_committed(
+        spark, uri, ["bu", "bh"], bits=10, n_files=4, keep_last=2
+    )
+    assert seq2 == 2
+    mf.create_resolving_view(spark, "zserve", uri)
+    assert sorted(
+        tuple(r) for r in spark.table("zserve").collect()
+    ) == want
+    # second commit under keep_last=2: flat payload now out of the
+    # grace window and collected
+    assert not any(n.startswith("part-") for n in _os.listdir(committed))
+
+    # the committed generation respects the n_files contract
+    gen_dir = mf.resolve_data_root(spark, uri).removeprefix("file://")
+    files = [
+        n for n in _os.listdir(gen_dir) if n.endswith(".parquet")
+    ]
+    assert len(files) == 4, files
+
+    # a hive-partitioned layout is refused, like the local variant
+    hive = str(tmp_path / "hive")
+    rows.withColumn("pk", F.col("event_id") % 2).write.partitionBy(
+        "pk"
+    ).parquet(hive)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        recluster_zorder_committed(spark, f"file://{hive}", ["bu", "bh"])

@@ -1877,8 +1877,11 @@ def test_bm25_knn_join_matches_batch_and_never_broadcasts_data(
         "qid long, terms array<string>",
     )
     joined = bm25_knn_join(spark, path, queries, k=5)
+    # the semi-join probe reaches the postings scan as DYNAMIC partition
+    # pruning — runtime bucket-directory skipping with no driver collect
+    dpp_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in dpp_plan, dpp_plan
     batch = bm25_topk_batch(spark, path, queries, k=5)
-    key = lambda r: (r["qid"], -r["score"], r["doc_id"])
     assert sorted(
         (tuple(r) for r in joined.collect()), key=lambda t: (t[0], -t[2], t[1])
     ) == sorted(

@@ -739,6 +739,7 @@ def bm25_knn_join(
     id_col: str = "doc_id",
     query_id_col: str = "qid",
     terms_col: str = "terms",
+    max_df: int | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` for a CORPUS-SCALE query table served from a
     :func:`write_inverted_index` layout — the sparse twin of
@@ -777,7 +778,14 @@ def bm25_knn_join(
     way hot IVF cells do — the structural answer is the analyzer
     (stopword removal / df-capped vocabularies), not salting, because a
     stopword's candidate set is near-useless for ranking anyway; AQE's
-    skew-join split handles the residual imbalance.
+    skew-join split handles the residual imbalance.  ``max_df`` is
+    that analyzer knob IN the operator: terms whose document frequency
+    exceeds it are dropped AFTER the df window and BEFORE the pair
+    join (the hot side of the shuffle never materializes their
+    candidates) — the standard Lucene/production-IR stopword cut,
+    applied by measured df rather than a hand list.  It changes
+    ranking semantics (capped terms score 0), so the default is off
+    and the bit-equality contract below holds only at ``max_df=None``.
 
     Consistency contract (pinned in tests): bit-identical rows to
     :func:`bm25_topk_batch` on the same queries/(k, k1, b) — same
@@ -822,6 +830,8 @@ def bm25_knn_join(
         "df",
         F.count(F.lit(1)).over(Window.partitionBy("term_bucket", "term")),
     )
+    if max_df is not None:
+        with_df = with_df.where(F.col("df") <= F.lit(int(max_df)))
     scored = (
         with_df.join(pairs, ["term_bucket", "term"])
         .crossJoin(

@@ -226,6 +226,46 @@ def commit_parquet_generation(
     return seq
 
 
+def maintenance_cycle(
+    spark: SparkSession,
+    root: str,
+    compactor,
+    keep_last: int = 1,
+    view_name: str | None = None,
+    fsck_sample: int = 1000,
+) -> dict:
+    """One SCHEDULED-MAINTENANCE cycle for a manifest-committed serving
+    index, in the order the invariants require: run the ``compactor``
+    (any ``compact_*`` callable taking ``(spark, path)`` — it commits a
+    new generation, publishes, and GCs under its own ``keep_last``),
+    then :func:`fsck_index` the result with the SAME retention (so the
+    grace-window retainees don't read as debt), then — only if fsck
+    found no issues — refresh the optional resolving view so SQL
+    consumers flip to the new generation.  Raises ``RuntimeError`` on
+    fsck issues BEFORE touching the view: a wedged index keeps serving
+    its previous generation to view readers rather than publishing a
+    broken pointer into the catalog.  Returns the fsck report.
+
+    This is the cron body RUNBOOK §5b prescribes next to the recall
+    health evals; the end-to-end composition is driver-gated by
+    ``docs_index_fsck``."""
+    try:
+        compactor(spark, root, keep_last=keep_last)
+    except TypeError:
+        compactor(spark, root)
+    report = fsck_index(spark, root, sample=fsck_sample, keep_last=keep_last)
+    if report["issues"]:
+        raise RuntimeError(
+            f"maintenance_cycle: fsck found issues on {root!r} after "
+            f"compaction — view NOT refreshed, previous generation "
+            f"keeps serving: {report['issues']}"
+        )
+    if view_name is not None:
+        create_resolving_view(spark, view_name, root)
+        report["view_refreshed"] = view_name
+    return report
+
+
 def next_seq(spark: SparkSession, root: str) -> int:
     """The next commit sequence number: one past everything visible —
     published manifests AND orphan generation prefixes (a crashed

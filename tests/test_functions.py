@@ -1909,3 +1909,32 @@ def test_bm25_knn_join_matches_batch_and_never_broadcasts_data(
             path,
             spark.createDataFrame([], "qid long, terms array<string>"),
         )
+
+
+def test_bm25_knn_join_max_df_drops_stopword_candidates(spark, tmp_path):
+    """max_df is the in-operator analyzer cut for Zipf-hot terms: a
+    term present in every document ('pad'-free docs all contain
+    'common') is dropped from scoring when its df exceeds the cap —
+    the hot shuffle side never materializes — while rare terms still
+    rank; max_df=None keeps the exact contract."""
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        bm25_knn_join,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"common doc{i} extra{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv_maxdf")
+    write_inverted_index(df, path, n_buckets=8)
+    queries = spark.createDataFrame(
+        [(1, ["common", "doc7"])], "qid long, terms array<string>"
+    )
+    capped = bm25_knn_join(spark, path, queries, k=5, max_df=10)
+    got = capped.collect()
+    # 'common' (df=30) is cut; only doc7 (df=1) contributes -> 1 hit
+    assert [(r.qid, r.doc_id) for r in got] == [(1, 7)]
+    uncapped = bm25_knn_join(spark, path, queries, k=5)
+    # without the cap every doc is a candidate through 'common'
+    assert uncapped.count() == 5

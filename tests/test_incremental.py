@@ -2667,3 +2667,58 @@ def test_recluster_zorder_committed_over_uri_with_resolving_view(
 
     with _pytest.raises(ValueError, match="hive-partitioned"):
         recluster_zorder_committed(spark, f"file://{hive}", ["bu", "bh"])
+
+
+def test_maintenance_cycle_compact_fsck_view_and_wedge_guard(spark, tmp_path):
+    """The scheduled-maintenance cron body (manifest.maintenance_cycle):
+    compact -> fsck under the SAME retention -> view refresh, in that
+    order; a wedged index (fsck issues) aborts BEFORE the view refresh
+    so catalog readers keep serving the previous generation."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+
+    rep = mf.maintenance_cycle(
+        spark, idx, compact_inverted_index, keep_last=2, view_name="inv_v"
+    )
+    assert rep["issues"] == [] and rep["manifest_seq"] == 1
+    assert rep["view_refreshed"] == "inv_v"
+    n_view = spark.table("inv_v").count()
+    assert n_view == spark.read.parquet(
+        mf.resolve_data_root(spark, idx)
+    ).count()
+
+    # second cycle under keep_last=2: the retained generation is not
+    # debt, the view flips to seq 2
+    rep2 = mf.maintenance_cycle(
+        spark, idx, compact_inverted_index, keep_last=2, view_name="inv_v"
+    )
+    assert rep2["manifest_seq"] == 2 and rep2["gc_debt"] == []
+    assert spark.table("inv_v").count() == n_view
+
+    # wedge the index (delete the _stats sidecar in the current
+    # generation): the cycle must raise and must NOT refresh the view
+    gen = mf.resolve_data_root(spark, idx)
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(gen, "_stats"))
+    with _pytest.raises(RuntimeError, match="view NOT refreshed"):
+        mf.maintenance_cycle(
+            spark, idx, compact_inverted_index, keep_last=2,
+            view_name="inv_v",
+        )

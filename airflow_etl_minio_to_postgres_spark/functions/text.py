@@ -803,21 +803,23 @@ def bm25_knn_join(
     path = resolve_data_root(spark, path)
     stats = spark.read.parquet(_os.path.join(path, "_stats"))
     n_buckets = int(stats.collect()[0]["n_buckets"])
-    pairs = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(F.col(terms_col)).alias("term"),
-        )
-        .withColumn("term", F.lower(F.col("term")))
-        .distinct()
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
-        )
-    )
-    if pairs.isEmpty():
+    exploded = queries.select(
+        F.col(query_id_col),
+        F.explode(F.col(terms_col)).alias("term"),
+    ).withColumn("term", F.lower(F.col("term")))
+    # emptiness probe on the RAW explode — stops at the first row, no
+    # distinct exchange just to validate input
+    if exploded.isEmpty():
         raise ValueError("bm25_knn_join: queries contain no terms")
-    probe = pairs.select("term_bucket", "term").distinct()
+    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    # pairs feeds exactly ONE consumer (the scored join) and the probe
+    # is derived from the terms alone — so the (qid, term) distinct
+    # exchange runs once and the probe's distinct is over the (smaller)
+    # term domain, not a recomputation of the pair distinct
+    pairs = exploded.distinct().withColumn("term_bucket", bucket)
+    probe = (
+        exploded.select("term").distinct().withColumn("term_bucket", bucket)
+    ).select("term_bucket", "term")
     pruned = spark.read.parquet(path).join(
         probe, ["term_bucket", "term"], "left_semi"
     )

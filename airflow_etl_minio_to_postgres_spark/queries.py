@@ -3987,7 +3987,8 @@ _BM25_KNN_JOIN_SQL = f"""
         SELECT count(*)::DOUBLE AS n_docs, avg(len(w))::DOUBLE AS avgdl
         FROM d
     ),
-    qt(qid, term) AS (VALUES {{qt_values}}),
+    qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
+           FROM (VALUES {{qt_values}}) AS t(qid, term)),
     tok AS (SELECT doc_id, unnest(w) AS term FROM d),
     tf AS (
         SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
@@ -4056,7 +4057,7 @@ _HYBRID_KNN_JOIN_SQL = f"""
         FROM d
     ),
     qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
-           FROM (VALUES {_HYBRID_QT_VALUES}) AS t(qid, term)),
+           FROM (VALUES {_HYBRID_QT_VALUES}) AS t2(qid, term)),
     tok AS (SELECT doc_id, unnest(w) AS term FROM d),
     tf AS (
         SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok

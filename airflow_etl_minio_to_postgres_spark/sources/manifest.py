@@ -95,9 +95,18 @@ def _manifest_seqs(spark: SparkSession, root: str) -> list[int]:
 
 
 def _read_manifest(spark: SparkSession, root: str, seq: int) -> dict | None:
-    """Read + parse one manifest; ``None`` when it cannot be read or
-    parsed (a crash between create and close on file://-like schemes
-    leaves a visible 0-byte/partial object — see ``latest_manifest``)."""
+    """Read + parse one manifest; ``None`` only when the object is
+    GONE (deleted between list and read) or UNPARSEABLE (a crash
+    between create and close on visible-before-bytes schemes leaves a
+    0-byte/partial object — see ``latest_manifest``).
+
+    TRANSIENT I/O failures (object-store throttling, network blips)
+    PROPAGATE: classifying them as "corrupt" would make
+    ``latest_manifest`` silently serve a stale generation and — worse —
+    make ``gc_generations``' parseable-published arithmetic exclude a
+    perfectly healthy manifest from the grace window and collect a
+    generation a live reader resolved.  Fail the maintenance run loudly
+    instead; retries are the scheduler's job."""
     jvm, fs = _fs_for(spark, root)
     mpath = jvm.org.apache.hadoop.fs.Path(
         _join(root, MANIFEST_DIR, f"manifest-{seq:06d}.json")
@@ -108,9 +117,14 @@ def _read_manifest(spark: SparkSession, root: str, seq: int) -> dict | None:
             text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
+    except Exception as exc:
+        if "FileNotFoundException" in str(exc):
+            return None  # listed, then deleted — treat as absent
+        raise
+    try:
         payload = json.loads(text)
-    except Exception:
-        return None
+    except (ValueError, UnicodeDecodeError):
+        return None  # complete read, broken content — genuinely corrupt
     return payload if isinstance(payload, dict) else None
 
 
@@ -248,11 +262,29 @@ def maintenance_cycle(
 
     This is the cron body RUNBOOK §5b prescribes next to the recall
     health evals; the end-to-end composition is driver-gated by
-    ``docs_index_fsck``."""
-    try:
-        compactor(spark, root, keep_last=keep_last)
-    except TypeError:
-        compactor(spark, root)
+    ``docs_index_fsck``.
+
+    The call shape is decided by INSPECTING the compactor's signature,
+    never by catching ``TypeError`` — a catch would swallow a
+    TypeError raised INSIDE the compactor body (possibly after its
+    publish) and re-run the whole compaction; and a compactor that
+    cannot take ``keep_last`` at all is REFUSED rather than silently
+    run at its own default retention, which would GC the grace-window
+    generation the caller asked to keep out from under a mid-scan
+    reader."""
+    import inspect
+
+    params = inspect.signature(compactor).parameters
+    if "keep_last" not in params and not any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    ):
+        raise TypeError(
+            f"maintenance_cycle: compactor {compactor!r} does not accept "
+            "keep_last — running it at its own default retention would "
+            "violate the caller's grace window; wrap it or add the "
+            "parameter"
+        )
+    compactor(spark, root, keep_last=keep_last)
     report = fsck_index(spark, root, sample=fsck_sample, keep_last=keep_last)
     if report["issues"]:
         raise RuntimeError(
@@ -395,8 +427,15 @@ def gc_generations(
         m = _GEN_RE.fullmatch(n)
         if m is not None:
             seq = int(m.group(1))
-            # orphans (never published) are always collected
-            drop = n not in kept_gens or seq not in kept_seqs
+            if seq > keep_seq:
+                # a LATER maintainer's in-flight or published commit —
+                # not ours to collect (same guard as the manifest loop;
+                # deleting the data while keeping its manifest would
+                # manufacture the dangling-pointer unservable state)
+                drop = False
+            else:
+                # orphans (never published) are always collected
+                drop = n not in kept_gens or seq not in kept_seqs
         elif "=" in n:
             drop = drop_flat  # pre-manifest hive partition dir
         elif n.startswith("part-") or n == "_SUCCESS":

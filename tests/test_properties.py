@@ -1075,7 +1075,12 @@ def test_psi_matches_python_model(spark, ref_vals, cur_vals, n_buckets):
         lo = int(math.floor(pos))
         hi = min(lo + 1, n - 1)
         frac = pos - lo
-        return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+        # Spark's Percentile (and DuckDB's quantile_cont) interpolate
+        # as lower*(1-frac) + higher*frac — NOT lo + (hi-lo)*frac,
+        # which differs by 1 ulp for some fracs; with a current value
+        # sitting exactly on the cutpoint that ulp flips its bucket
+        # (hypothesis-found in round 14: ref n=24, p=0.2, value 17)
+        return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
 
     sref = sorted(float(v) for v in ref_vals)
     cuts = [pct(sref, i / n_buckets) for i in range(1, n_buckets)]

@@ -7679,3 +7679,227 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_sd") > 0)
         .drop("_sd")
     )
+
+
+# --- round 14: zone-map file skipping, scheduled maintenance, fuzzy ER ---
+
+
+@register(
+    "events_zone_map_scan",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS DOUBLE)/1000000
+               AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-SKIPPING reads on plain parquet (sources/manifest.py
+    write_zone_maps / zone_map_scan) registered end-to-end — the
+    Delta add-file-stats half of the data-skipping story, completing
+    what the z-order family started: the layout passes make per-file
+    min/max TIGHT, this makes them visible at PLANNING time.  Parquet
+    footers already carry row-group stats, but the scan only sees
+    them after listing + opening every file — at 100 TB / ~10^5
+    files that is 10^5 object-store GETs per query; the `_zonemap`
+    sidecar (one small parquet per generation, committed atomically
+    with the data) answers the overlap question in ONE read, and the
+    footer pruning still applies inside the kept files.  Here: the
+    events table lands range-clustered on ts as a manifest-committed
+    generation with (ts, value) zone maps; a 10-day range aggregate
+    through zone_map_scan touches ~3/8 of the files (pytest-pinned)
+    and is checked against the oracle running the SAME predicate over
+    the FULL table — skipping proven lossless, not just fast.  The
+    re-applied predicate makes the result equal the full filtered
+    scan BY CONSTRUCTION; the oracle match proves the pruning never
+    dropped an overlapping file."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        zone_map_scan,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="zone_map_")
+    root = f"file://{os.path.join(base, 'events_zm')}"
+    staged = ev.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+    commit_parquet_generation(
+        spark, staged, root, zone_map_cols=("ts", "value")
+    )
+    pruned = zone_map_scan(
+        spark,
+        root,
+        {"ts": ("2024-01-10 00:00:00", "2024-01-20 00:00:00")},
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "docs_maintenance_cycle",
+    """
+    SELECT 'inverted' AS kind,
+           1 AS manifest_seq,
+           0 AS n_issues,
+           1 AS view_refreshed,
+           count(*) AS n_docs_served
+    FROM documents
+    """,
+)
+def docs_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled-maintenance CRON BODY (sources/manifest.py
+    maintenance_cycle) registered end-to-end — where docs_index_fsck
+    proves the fsck diagnostic, this proves the COMPOSITION a
+    production deployment actually schedules: compact (one manifest
+    commit: immutable generation -> atomic publish -> retention GC)
+    -> fsck the result under the SAME keep_last=2 grace window ->
+    refresh the resolving view only on a clean report, so SQL/catalog
+    consumers flip to the new generation exactly when it is proven
+    servable (a wedged index keeps serving its previous generation —
+    the abort-before-view guard is pytest-pinned).  The emitted row
+    is the cycle's own receipt: manifest seq 1 (a fresh legacy index
+    gained exactly one committed generation), zero fsck issues, view
+    refreshed, and the number of DISTINCT documents servable THROUGH
+    THE REFRESHED VIEW equal to the corpus count the oracle re-derives
+    — catalog readers see every document after the flip.  The index is
+    rebuilt per call on purpose: the cycle MUTATES its index, so a
+    memo would make the receipt depend on rotation order."""
+    from functools import partial
+
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        maintenance_cycle,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="maint_cycle_")
+    path = os.path.join(base, "index")
+    write_inverted_index(d, path, n_buckets=64)
+    rep = maintenance_cycle(
+        spark,
+        path,
+        partial(compact_inverted_index, compact_seq=0),
+        keep_last=2,
+        view_name="maint_cycle_docs_idx",
+    )
+    served = spark.table("maint_cycle_docs_idx").select(
+        F.countDistinct("doc_id").alias("n_docs_served")
+    )
+    report = spark.createDataFrame(
+        [
+            (
+                rep["kind"],
+                int(rep["manifest_seq"]),
+                len(rep["issues"]),
+                1 if rep.get("view_refreshed") else 0,
+            )
+        ],
+        "kind string, manifest_seq int, n_issues int, view_refreshed int",
+    )
+    return report.crossJoin(served)
+
+
+_FUZZY_PAIRS_SQL = """
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ),
+    fuzzy AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+"""
+
+
+@register(
+    "customer_fuzzy_pairs",
+    _FUZZY_PAIRS_SQL
+    + """
+    SELECT id_a, id_b, distance FROM fuzzy ORDER BY id_a, id_b
+    """,
+)
+def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (functions/linkage.py
+    blocked_fuzzy_pairs) — record linkage's candidate-match stage:
+    customers in the same (nation, segment) BLOCK whose names are
+    within 2 Levenshtein edits.  Blocking bounds the quadratic the
+    same way LSH bands do for near-dup (one equi-join shuffle on the
+    block key, per-block |b|^2 is the cost unit, hot blocks salt like
+    hot bands); the match stage is threshold-bounded Levenshtein
+    (O(d*len) per pair, DP abandoned at the bound) behind a free
+    length-delta prefilter.  All JVM expressions, zero Python.  The
+    oracle runs UNBOUNDED levenshtein over the same blocks — matching
+    results prove the bounded DP + prefilter exact, not just fast."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = load_table(spark, "customer", sf_dir)
+    return blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "customer_entity_clusters",
+    _FUZZY_PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM fuzzy
+        UNION
+        SELECT id_b AS u, id_a AS v FROM fuzzy
+    ),
+    reach(n, m) AS (
+        SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT r.n, e.v AS m FROM reach r JOIN edges e ON e.u = r.m
+    ),
+    comp AS (SELECT n AS k, min(m) AS cid FROM reach GROUP BY n)
+    SELECT c.c_custkey, coalesce(comp.cid, c.c_custkey) AS entity_id
+    FROM c LEFT JOIN comp ON comp.k = c.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity formation over the fuzzy matches (functions/linkage.py
+    entity_clusters): transitive closure — A~B, B~C merges all three
+    even with no direct A~C edge — labeling every customer with the
+    min reachable custkey as its entity id; unmatched customers label
+    themselves.  Reuses the near-dup min-label machinery
+    (graph.assign_clusters: checkpointed edges, 1-row convergence
+    aggregate per iteration, component table broadcast back so the
+    full record set never reshuffles).  The oracle is an independent
+    recursive-CTE closure over the SAME match set."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+        entity_clusters,
+    )
+
+    c = load_table(spark, "customer", sf_dir)
+    pairs = blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+    )
+    return entity_clusters(c, pairs, id_col="c_custkey").orderBy(
+        "c_custkey"
+    )

@@ -579,6 +579,7 @@ def recluster_zorder_committed(
     rank_bucket: bool = False,
     sample_rate: float = 0.2,
     keep_last: int = 1,
+    zone_map_cols: tuple[str, ...] = (),
 ) -> int:
     """The OBJECT-STORE face of :func:`recluster_zorder_parquet` — the
     same recluster plan committed through the manifest protocol
@@ -599,8 +600,14 @@ def recluster_zorder_committed(
     reader migration, per RUNBOOK §5b.  Hive-partitioned layouts are
     refused for the same reason as the flat variant (a flat rewrite
     demotes partition columns — use
-    :func:`recluster_zorder_partitions`).  Returns the committed
-    sequence number."""
+    :func:`recluster_zorder_partitions`).  ``zone_map_cols`` writes
+    the per-file min/max ``_zonemap`` sidecar into the new generation
+    before the publish (``manifest.write_zone_maps``) — the natural
+    pairing: the z-order layout makes every file a tight
+    hyper-rectangle, the sidecar lets ``manifest.zone_map_scan`` skip
+    non-overlapping files at PLANNING time (one sidecar read instead
+    of a footer GET per file).  Returns the committed sequence
+    number."""
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         _list_names,
         commit_parquet_generation,
@@ -627,7 +634,8 @@ def recluster_zorder_committed(
         df, zorder_cols, bits, n_files, rank_bucket, sample_rate
     )
     return commit_parquet_generation(
-        spark, staged, root, keep_last=keep_last
+        spark, staged, root, keep_last=keep_last,
+        zone_map_cols=tuple(zone_map_cols),
     )
 
 

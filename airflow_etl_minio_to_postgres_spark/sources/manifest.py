@@ -56,6 +56,7 @@ import re
 from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_manifests"
+ZONE_MAP_DIR = "_zonemap"
 # \d{6,}: names are formatted {:06d} but parse wider, so seq 1,000,000+
 # still resolves (a fullmatch on exactly six digits would silently stop
 # matching the NEWEST manifest and readers would fall back to a stale
@@ -201,6 +202,130 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
     return name
 
 
+def write_zone_maps(
+    spark: SparkSession, gen_path: str, zone_map_cols: tuple[str, ...]
+) -> str:
+    """Per-FILE min/max statistics for ``zone_map_cols``, written as a
+    tiny ``_zonemap`` parquet sidecar INSIDE the generation prefix —
+    the Delta/Iceberg add-file-stats half of the data-skipping story.
+
+    Parquet footers already carry row-group min/max, and Spark's scan
+    uses them — but only AFTER the scan has listed and OPENED every
+    file: at 100 TB / ~10⁵ files that is 10⁵ object-store GETs per
+    query just to discover that most files are irrelevant.  Delta
+    solved this by hoisting the per-file stats into the commit log so
+    planning reads ONE object; this is that shape on plain parquet.
+    :func:`zone_map_scan` reads the sidecar (one small parquet), keeps
+    only the files whose [min, max] intervals overlap the query's
+    ranges, and hands Spark the pruned file list — the footer pruning
+    then still applies WITHIN the kept files.  Skipping is only as
+    good as the layout is tight: commit through
+    ``recluster_zorder_committed``/``repartitionByRange`` so each
+    file covers a small hyper-rectangle of the value space (see
+    ``sources/files.py`` z-order docs).
+
+    Stats are collected with one column-pruned aggregate over the
+    just-written generation (``_metadata.file_path`` → min/max per
+    file) — distributed, any scheme, page-cache-warm right after the
+    write; an engine with footer access could read row-group stats
+    instead, but the commit already paid a full write of this data so
+    one pruned scan of only the stat columns is a bounded add-on.
+    Hive partition columns may be listed too (their per-file min=max
+    subsumes directory pruning inside the same mechanism).
+
+    Written BEFORE the manifest publish by
+    :func:`commit_parquet_generation`, so the sidecar rides the
+    atomic flip: readers either see generation+stats or neither.
+    ``_``-prefixed, so plain ``spark.read.parquet`` of the generation
+    never sees it.  Min/max ignore NULLs (an all-null file carries
+    null stats and is conservatively never skipped).  File paths are
+    stored RELATIVE to the generation root, so the sidecar stays
+    valid wherever the root is mounted.  Returns the sidecar path."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(gen_path)
+    gen_name = gen_path.rstrip("/").rsplit("/", 1)[-1]
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"),
+        re.escape("/" + gen_name + "/") + "(.*)$",
+        1,
+    ).alias("file")
+    aggs = []
+    for c in zone_map_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    stats = (
+        df.select(rel, *[F.col(c) for c in zone_map_cols])
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    zm_path = _join(gen_path, ZONE_MAP_DIR)
+    # one row per data file — a single small file is the right shape
+    stats.coalesce(1).write.mode("overwrite").parquet(zm_path)
+    return zm_path
+
+
+def zone_map_scan(
+    spark: SparkSession,
+    root: str,
+    ranges: dict,
+):
+    """File-skipping read of a manifest-committed table: resolve the
+    current generation, prune its file list by the ``_zonemap``
+    sidecar, scan only the surviving files — the query-side half of
+    :func:`write_zone_maps`.
+
+    ``ranges`` maps column → ``(lo, hi)`` (either side ``None`` for a
+    one-sided bound).  A file survives when every bounded column's
+    [min, max] interval OVERLAPS the requested range; null stats
+    (all-null file) survive conservatively.  The same range predicate
+    is RE-APPLIED to the scanned rows — zone maps are a pruning hint,
+    never the filter itself, so the result is exactly
+    ``read_resolved(...).where(predicate)`` by construction, just
+    touching fewer files.
+
+    The kept file list is collected driver-side: it is the PLANNING
+    metadata every log-structured table format collects (Delta's
+    add-file replay), sized by file count, never by rows.  A
+    generation without a sidecar falls back to the full scan with the
+    filter applied (legacy / not-yet-stats-committed tables — zero
+    behavior change).  An empty survivor set returns an empty
+    DataFrame with the table's schema without touching any data file.
+    ``basePath`` keeps hive partition columns intact when the
+    generation is partitioned."""
+    from pyspark.sql import functions as F
+
+    data_root = resolve_data_root(spark, root)
+    full = spark.read.option("basePath", data_root).parquet(data_root)
+    dtypes = dict(full.dtypes)
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            pred = pred & (F.col(c) >= F.lit(lo).cast(dtypes[c]))
+        if hi is not None:
+            pred = pred & (F.col(c) <= F.lit(hi).cast(dtypes[c]))
+    jvm, fs = _fs_for(spark, data_root)
+    zm_path = _join(data_root, ZONE_MAP_DIR)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
+        return full.where(pred)
+    zm = spark.read.parquet(zm_path)
+    keep = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
+        if lo is not None:
+            keep = keep & (mx.isNull() | (mx >= F.lit(lo).cast(dtypes[c])))
+        if hi is not None:
+            keep = keep & (mn.isNull() | (mn <= F.lit(hi).cast(dtypes[c])))
+    kept = [r["file"] for r in zm.where(keep).select("file").collect()]
+    if not kept:
+        return full.where(F.lit(False))
+    return (
+        spark.read.option("basePath", data_root)
+        .parquet(*[_join(data_root, f) for f in kept])
+        .where(pred)
+    )
+
+
 def commit_parquet_generation(
     spark: SparkSession,
     df,
@@ -208,6 +333,7 @@ def commit_parquet_generation(
     keep_last: int = 1,
     partition_by: tuple[str, ...] = (),
     legacy_sidecars: tuple[str, ...] = (),
+    zone_map_cols: tuple[str, ...] = (),
 ) -> int:
     """Write ANY DataFrame as the next manifest-committed generation
     of ``root`` — the generic adopter path for serving tables whose
@@ -221,13 +347,19 @@ def commit_parquet_generation(
     (or ``resolve_data_root`` directly).  The FIRST commit of a legacy
     flat table leaves the old root files in place until GC's
     ``drop_flat`` arithmetic says every grace-window reader is done
-    with them.  Returns the committed sequence number."""
+    with them.  ``zone_map_cols`` additionally writes the per-file
+    min/max ``_zonemap`` sidecar (:func:`write_zone_maps`) into the
+    generation BEFORE the publish, so file-skipping reads
+    (:func:`zone_map_scan`) flip atomically with the data.  Returns
+    the committed sequence number."""
     seq = next_seq(spark, root)
     gen = f"_gen-{seq:06d}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(_join(root, gen))
+    if zone_map_cols:
+        write_zone_maps(spark, _join(root, gen), tuple(zone_map_cols))
     publish_generation(spark, root, seq, gen)
     gc_generations(
         spark,

@@ -1938,3 +1938,69 @@ def test_bm25_knn_join_max_df_drops_stopword_candidates(spark, tmp_path):
     uncapped = bm25_knn_join(spark, path, queries, k=5)
     # without the cap every doc is a candidate through 'common'
     assert uncapped.count() == 5
+
+
+def test_blocked_fuzzy_pairs_matches_naive(spark):
+    """Blocked + threshold-bounded Levenshtein matching equals the
+    naive all-pairs form restricted to the blocks: the length-delta
+    prefilter and the bounded DP are exact, never lossy."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "alice", "us"),
+        (2, "alicia", "us"),   # dist 2 from alice, same block
+        (3, "alice", "de"),    # identical name, OTHER block — no pair
+        (4, "bob", "us"),      # far from everything
+        (5, "alyce", "us"),    # dist 1 from alice, 3 from alicia
+        (6, "al", "us"),       # length delta 3 vs alice — prefiltered
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, region string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["region"], max_distance=2
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 5): 1}
+
+    # naive check (unbounded levenshtein within blocks)
+    a = df.selectExpr("id id_a", "name na", "region")
+    b = df.selectExpr("id id_b", "name nb", "region")
+    naive = (
+        a.join(b, "region")
+        .where("id_a < id_b")
+        .selectExpr("id_a", "id_b", "levenshtein(na, nb) d")
+        .where("d <= 2")
+        .collect()
+    )
+    assert {(r["id_a"], r["id_b"]): r["d"] for r in naive} == got
+
+
+def test_entity_clusters_transitive_chain(spark):
+    """A~B, B~C (no A~C edge) forms ONE entity labeled with the min
+    id; unmatched records label themselves."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+        entity_clusters,
+    )
+
+    # a chain under distance<=1: aaaa ~ aaab ~ aabb but aaaa!~aabb
+    rows = [
+        (10, "aaaa", "x"),
+        (11, "aaab", "x"),
+        (12, "aabb", "x"),
+        (20, "zzzz", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, region string")
+    pairs = blocked_fuzzy_pairs(df, "id", "name", ["region"], max_distance=1)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {
+        (10, 11),
+        (11, 12),
+    }
+    got = {
+        r["id"]: r["entity_id"]
+        for r in entity_clusters(df, pairs, id_col="id").collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20}

@@ -2722,3 +2722,157 @@ def test_maintenance_cycle_compact_fsck_view_and_wedge_guard(spark, tmp_path):
             spark, idx, compact_inverted_index, keep_last=2,
             view_name="inv_v",
         )
+
+
+def test_zone_map_scan_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Per-file min/max sidecar (manifest.write_zone_maps) + the
+    skipping reader (manifest.zone_map_scan): a range-clustered commit
+    answers a range predicate touching a strict SUBSET of the files,
+    and the result equals the full filtered scan exactly."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark,
+        df.repartitionByRange(10, "id").sortWithinPartitions("id"),
+        root,
+        zone_map_cols=("id",),
+    )
+    data_root = mf.resolve_data_root(spark, root)
+    zm = spark.read.parquet(data_root + "/_zonemap")
+    n_files = zm.count()
+    assert n_files == 10
+
+    pruned = mf.zone_map_scan(spark, root, {"id": (100, 299)})
+    touched = (
+        pruned.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert 0 < touched < n_files  # skipping actually skipped
+    full = spark.read.parquet(data_root).where(
+        (F.col("id") >= 100) & (F.col("id") <= 299)
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+
+    # one-sided bounds
+    lo_only = mf.zone_map_scan(spark, root, {"id": (950, None)})
+    assert lo_only.count() == 50
+    hi_only = mf.zone_map_scan(spark, root, {"id": (None, 49)})
+    assert hi_only.count() == 50
+
+    # non-overlapping range: zero rows, zero files, schema preserved
+    none = mf.zone_map_scan(spark, root, {"id": (5000, 6000)})
+    assert none.count() == 0
+    assert none.columns == ["id", "grp"]
+
+
+def test_zone_map_scan_keeps_null_stat_files(spark, tmp_path):
+    """A file whose stat column is ALL NULL carries null min/max —
+    pruning must keep it conservatively (its rows still fail the
+    re-applied predicate, so correctness never depends on the skip)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    vals = spark.range(100).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    nulls = spark.range(100, 150).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    )
+    root = str(tmp_path / "t")
+    # partition on nullness so the null rows land in their own file(s)
+    df = vals.unionByName(nulls).withColumn("tag", F.col("v").isNull())
+    mf.commit_parquet_generation(
+        spark, df, root, partition_by=("tag",), zone_map_cols=("v",)
+    )
+    zm = spark.read.parquet(
+        mf.resolve_data_root(spark, root) + "/_zonemap"
+    )
+    assert zm.where(F.col("v__min").isNull()).count() >= 1
+    got = mf.zone_map_scan(spark, root, {"v": (0.0, 10.0)})
+    assert got.count() == 11  # nulls excluded by the predicate, not a crash
+
+
+def test_zone_map_scan_without_sidecar_falls_back(spark, tmp_path):
+    """A generation committed WITHOUT zone maps (or a legacy
+    never-committed table) serves the full filtered scan — adopting
+    the reader before the writer migrates is safe."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(100)
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(spark, df, root)
+    got = mf.zone_map_scan(spark, root, {"id": (10, 19)})
+    assert got.count() == 10
+    # and a plain uncommitted directory
+    raw = str(tmp_path / "raw")
+    df.write.parquet(raw)
+    assert mf.zone_map_scan(spark, raw, {"id": (None, 4)}).count() == 5
+
+
+def test_zone_map_scan_partitioned_generation(spark, tmp_path):
+    """Zone maps over a hive-partitioned generation: partition columns
+    survive (basePath) and can themselves carry zone-map stats
+    (min=max per file subsumes directory pruning)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).alias("pk")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark,
+        df.repartition("pk"),
+        root,
+        partition_by=("pk",),
+        zone_map_cols=("id", "pk"),
+    )
+    got = mf.zone_map_scan(spark, root, {"pk": (2, 2)})
+    assert set(got.columns) == {"id", "pk"}
+    assert got.count() == 50
+    assert got.agg(F.countDistinct("pk")).first()[0] == 1
+
+
+def test_recluster_zorder_committed_writes_zone_maps(spark, tmp_path):
+    """The z-order + zone-map pairing: recluster_zorder_committed with
+    zone_map_cols lands the sidecar inside the committed generation
+    and the skipping read over the clustered column is lossless."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_committed,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 64).alias("bu"),
+        F.floor(F.col("id") / 64).alias("bh"),
+    )
+    root = str(tmp_path / "t")
+    df.write.parquet(root)
+    recluster_zorder_committed(
+        spark,
+        f"file://{root}",
+        ["bu", "bh"],
+        bits=6,
+        n_files=8,
+        zone_map_cols=("bu", "bh"),
+    )
+    pruned = mf.zone_map_scan(spark, f"file://{root}", {"bu": (0, 7)})
+    full = mf.read_resolved(spark, f"file://{root}").where(
+        F.col("bu") <= 7
+    )
+    assert pruned.count() == full.count() > 0
+    touched = (
+        pruned.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert touched < 8  # the curve layout makes bu-skipping effective

@@ -60,7 +60,13 @@ def blocked_fuzzy_pairs(
     sum-over-blocks(|block|**2) * O(d * len) — the blocking key's
     quality IS the performance model, same as band width in MinHash
     LSH.  Emits the exact distance so downstream policy (match /
-    review / reject bands) stays a filter, not a recompute."""
+    review / reject bands) stays a filter, not a recompute.
+
+    Parallelism rides the PROBE side's partitioning (the build side
+    broadcasts, so no co-location is needed): a many-partition scan
+    parallelizes for free; a single-file test input should be
+    ``repartition(n)``-spread first or the whole pair loop runs in
+    one task."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(name_col).alias("_name_a"),

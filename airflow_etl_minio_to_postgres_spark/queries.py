@@ -7847,7 +7847,14 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_fuzzy_pairs,
     )
 
-    c = load_table(spark, "customer", sf_dir)
+    # the table arrives as ONE file at test SFs -> one scan task; the
+    # broadcast block-join needs no co-location, so a round-robin spread
+    # of the probe side buys full parallelism for the levenshtein work
+    # (at production scale the scan is already many-partitioned and
+    # this is a no-op cost next to the pair generation)
+    c = load_table(spark, "customer", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",
@@ -7892,7 +7899,9 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_clusters,
     )
 
-    c = load_table(spark, "customer", sf_dir)
+    c = load_table(spark, "customer", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",

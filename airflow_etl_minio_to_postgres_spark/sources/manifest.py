@@ -176,6 +176,66 @@ def resolve_data_root(spark: SparkSession, root: str) -> str:
     return _join(root, got[1]["generation"])
 
 
+def snapshots(spark: SparkSession, root: str) -> list[dict]:
+    """Every READABLE committed snapshot, ascending — the Delta
+    ``DESCRIBE HISTORY`` / Iceberg snapshots-table shape, reduced to
+    what the protocol records: ``{"seq", "generation", "exists"}``
+    per parseable manifest (``exists`` = the named generation is still
+    on disk, i.e. inside the GC grace window and servable).  One
+    manifest-dir listing plus one existence probe per retained
+    manifest — metadata-sized.  Corrupt (crash-stranded) manifests are
+    not snapshots; ``fsck_index`` reports those."""
+    jvm, fs = _fs_for(spark, root)
+    out = []
+    for seq in _manifest_seqs(spark, root):
+        payload = _read_manifest(spark, root, seq)
+        if payload is None:
+            continue
+        gen = str(payload["generation"])
+        out.append(
+            {
+                "seq": seq,
+                "generation": gen,
+                "exists": bool(
+                    fs.exists(
+                        jvm.org.apache.hadoop.fs.Path(_join(root, gen))
+                    )
+                ),
+            }
+        )
+    return out
+
+
+def read_snapshot(spark: SparkSession, root: str, seq: int):
+    """TIME TRAVEL: the table AS OF committed snapshot ``seq`` — the
+    Delta ``VERSION AS OF`` read on this protocol.  Generations are
+    immutable and the GC grace window (``keep_last``) retains the N
+    most recent published ones, so every snapshot still inside the
+    window is byte-identical to the moment it was committed:
+    reproducing yesterday's training mix, diffing a suspect compaction
+    against its predecessor, or re-running an eval against the exact
+    index a result was measured on is one call.  Raises ``KeyError``
+    for a never-committed seq and a loud ``FileNotFoundError`` naming
+    the retention cause when the snapshot exists but its generation
+    left the grace window — never a silent fallback to a different
+    version."""
+    for snap in snapshots(spark, root):
+        if snap["seq"] == int(seq):
+            if not snap["exists"]:
+                raise FileNotFoundError(
+                    f"snapshot seq {seq} of {root!r} was published but "
+                    f"its generation {snap['generation']!r} has been "
+                    "GC'd (outside the keep_last grace window) — raise "
+                    "keep_last on the maintenance op to retain more "
+                    "history"
+                )
+            return spark.read.parquet(_join(root, snap["generation"]))
+    raise KeyError(
+        f"no committed snapshot with seq {seq} under {root!r}; "
+        f"known seqs: {[s['seq'] for s in snapshots(spark, root)]}"
+    )
+
+
 def read_resolved(spark: SparkSession, root: str):
     """The thin RESOLVING READER for generic-consumer tables: one
     metadata ``listStatus`` to find the current generation, then a
@@ -245,9 +305,13 @@ def write_zone_maps(
 
     df = spark.read.parquet(gen_path)
     gen_name = gen_path.rstrip("/").rsplit("/", 1)[-1]
+    # greedy prefix: the LAST occurrence of the generation dir bounds
+    # the relative path (a root that itself contains the same segment
+    # upstream must not shift the boundary; nothing INSIDE a generation
+    # can collide — hive dirs carry '=', sidecars are '_'-prefixed)
     rel = F.regexp_extract(
         F.col("_metadata.file_path"),
-        re.escape("/" + gen_name + "/") + "(.*)$",
+        ".*" + re.escape("/" + gen_name + "/") + "(.*)$",
         1,
     ).alias("file")
     aggs = []
@@ -298,6 +362,12 @@ def zone_map_scan(
     data_root = resolve_data_root(spark, root)
     full = spark.read.option("basePath", data_root).parquet(data_root)
     dtypes = dict(full.dtypes)
+    unknown = [c for c in ranges if c not in dtypes]
+    if unknown:
+        raise ValueError(
+            f"zone_map_scan: range column(s) {unknown} not in table "
+            f"schema {sorted(dtypes)}"
+        )
     pred = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
@@ -645,7 +715,16 @@ def fsck_index(
       ``term_bucket``: catches the real failure mode where ``_stats``
       says one ``n_buckets`` and the postings were built with another
       (every serve would silently prune to the WRONG buckets and
-      return bogus scores, not an error).
+      return bogus scores, not an error);
+    * **zone-map completeness** — when the generation carries a
+      ``_zonemap`` sidecar, its file inventory must equal the actual
+      data files (one recursive ``listFiles``, metadata-sized): a data
+      file MISSING from the sidecar would be silently skipped by every
+      ``zone_map_scan`` (wrong results, not an error — the worst
+      failure class), a sidecar row naming a gone file fails every
+      skipping read far from the cause.  Within the commit protocol
+      neither can happen (the sidecar is derived from the written
+      generation before the publish); this catches out-of-band edits.
 
     Returns a plain dict report (``issues`` empty == healthy).  A
     diagnostic, never a mutation — safe against a live index."""
@@ -725,6 +804,44 @@ def fsck_index(
     except Exception as exc:  # unreadable payload IS the finding
         report["issues"].append(f"payload unreadable: {exc}")
         return report
+
+    # zone-map completeness: sidecar inventory == actual data files
+    zm_path = _join(data_root, ZONE_MAP_DIR)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
+        listed = {
+            r["file"]
+            for r in spark.read.parquet(zm_path).select("file").collect()
+        }
+        qualified = fs.makeQualified(
+            jvm.org.apache.hadoop.fs.Path(data_root)
+        ).toString()
+        actual = set()
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(data_root), True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[len(qualified) + 1 :]
+            if any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")
+            ):
+                continue  # sidecars, markers, staging temps
+            actual.add(rel)
+        report["zone_map_files"] = len(listed)
+        unmapped = sorted(actual - listed)
+        gone = sorted(listed - actual)
+        if unmapped:
+            report["issues"].append(
+                f"{len(unmapped)} data file(s) absent from _zonemap "
+                f"(e.g. {unmapped[:3]}) — every zone_map_scan silently "
+                "SKIPS them (wrong results, not an error); rebuild the "
+                "sidecar (write_zone_maps) or recommit the generation"
+            )
+        if gone:
+            report["issues"].append(
+                f"_zonemap lists {len(gone)} file(s) that do not exist "
+                f"(e.g. {gone[:3]}) — skipping reads fail far from the "
+                "cause; rebuild the sidecar or recommit the generation"
+            )
+
     cols = set(df.columns)
     kind = (
         "ivf"
@@ -735,13 +852,19 @@ def fsck_index(
         if "band_bucket" in cols
         else "drift_log"
         if {"_batch_id", "bucket"} <= cols
+        # a manifest-committed table that is none of the four serving
+        # layouts is a GENERIC adopter (z-order recluster output,
+        # medallion/rollup serving, zone-mapped fact table) — a
+        # legitimate maintained table, not an integrity finding
+        else "generic"
+        if got is not None
         else "unknown"
     )
     report["kind"] = kind
     if kind == "unknown":
         report["issues"].append(
-            f"unrecognized layout (columns {sorted(cols)}) — not a "
-            "maintained serving index"
+            f"unrecognized layout (columns {sorted(cols)}) — neither a "
+            "maintained serving index nor a manifest-committed table"
         )
         return report
 

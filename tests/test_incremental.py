@@ -2876,3 +2876,111 @@ def test_recluster_zorder_committed_writes_zone_maps(spark, tmp_path):
         pruned.select(F.col("_metadata.file_path")).distinct().count()
     )
     assert touched < 8  # the curve layout makes bu-skipping effective
+
+
+def test_fsck_zone_map_completeness_and_generic_kind(spark, tmp_path):
+    """fsck_index on a manifest-committed GENERIC table (no serving
+    layout columns): kind 'generic', zero issues; the zone-map
+    inventory check flags BOTH drift directions — a data file missing
+    from the sidecar (silently skipped by every zone_map_scan) and a
+    sidecar row naming a gone file."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark,
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        root,
+        zone_map_cols=("id",),
+    )
+    rep = mf.fsck_index(spark, root)
+    assert rep["kind"] == "generic"
+    assert rep["issues"] == []
+    assert rep["zone_map_files"] == 4
+
+    gen = mf.resolve_data_root(spark, root)
+    parts = sorted(
+        n for n in _os.listdir(gen) if n.startswith("part-")
+    )
+    # an out-of-band EXTRA data file: absent from the sidecar
+    _shutil.copy(
+        _os.path.join(gen, parts[0]),
+        _os.path.join(gen, "part-extra.parquet"),
+    )
+    rep2 = mf.fsck_index(spark, root)
+    assert any("absent from _zonemap" in i for i in rep2["issues"])
+    _os.remove(_os.path.join(gen, "part-extra.parquet"))
+
+    # a sidecar row pointing at a GONE file
+    _os.remove(_os.path.join(gen, parts[1]))
+    rep3 = mf.fsck_index(spark, root)
+    assert any("do not exist" in i for i in rep3["issues"])
+
+
+def test_fsck_generic_committed_without_zone_maps(spark, tmp_path):
+    """A committed generic table WITHOUT zone maps fscks clean (kind
+    'generic'); a never-committed unrecognized layout still reads as
+    'unknown' with an issue."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(100)
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(spark, df, root)
+    rep = mf.fsck_index(spark, root)
+    assert rep["kind"] == "generic" and rep["issues"] == []
+
+    raw = str(tmp_path / "raw")
+    df.write.parquet(raw)
+    rep2 = mf.fsck_index(spark, raw)
+    assert rep2["kind"] == "unknown"
+    assert any("unrecognized layout" in i for i in rep2["issues"])
+
+
+def test_snapshots_and_time_travel_reads(spark, tmp_path):
+    """Time travel over retained generations (manifest.snapshots /
+    read_snapshot): under keep_last=2 the previous snapshot stays
+    byte-identical and readable AS OF its seq; a GC'd snapshot raises
+    loudly naming the retention cause; an unknown seq raises KeyError —
+    never a silent fallback to a different version."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    for stamp in (1, 2, 3):
+        df = spark.range(10).withColumn("stamp", F.lit(stamp))
+        mf.commit_parquet_generation(spark, df, root, keep_last=2)
+
+    snaps = mf.snapshots(spark, root)
+    assert [s["seq"] for s in snaps] == [2, 3]  # seq 1 left the window
+    assert all(s["exists"] for s in snaps)
+
+    as_of_2 = mf.read_snapshot(spark, root, 2)
+    assert as_of_2.select("stamp").distinct().collect()[0][0] == 2
+    assert mf.read_snapshot(spark, root, 3).select(
+        "stamp"
+    ).distinct().collect()[0][0] == 3
+
+    with _pytest.raises(KeyError, match="no committed snapshot"):
+        mf.read_snapshot(spark, root, 1)
+
+    # shrink retention: seq 2's generation is GC'd but its manifest
+    # survives the keep_last=1 window arithmetic? No — both go; model
+    # the OTHER failure instead: manually delete the generation while
+    # its manifest remains (the dangling state fsck flags), the read
+    # must raise naming retention, not fall back
+    import shutil as _shutil
+
+    gen2 = [s for s in mf.snapshots(spark, root) if s["seq"] == 2][0]
+    _shutil.rmtree(f"{root}/{gen2['generation']}")
+    with _pytest.raises(FileNotFoundError, match="grace window"):
+        mf.read_snapshot(spark, root, 2)

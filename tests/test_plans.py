@@ -634,3 +634,56 @@ def test_ivf_batch_broadcast_boundary_agrees_with_knn_join(spark, tmp_path):
             assert "FileScan" not in sub and "Scan parquet" not in sub, (
                 "corpus scan inside a broadcast subtree:\n" + plan
             )
+
+
+def test_blocked_fuzzy_pairs_is_broadcast_equi_join_no_python(spark):
+    """The fuzzy-ER candidate join is an EQUI join on the block key
+    (broadcast at this size) with the bounded levenshtein riding the
+    join condition — never a nested-loop/cartesian pair generator,
+    never Python.  Blocking IS the plan: the quadratic lives only
+    inside the per-block hash-join probe."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = registry.load_table(spark, "customer", SF_SMOKE)
+    pairs = blocked_fuzzy_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], 2
+    )
+    plan = _physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    assert "levenshtein" in plan  # the match rides the join, no extra stage
+
+
+def test_zone_map_scan_reads_only_surviving_files(spark, tmp_path):
+    """zone_map_scan's pruned read plans over a strict SUBSET of the
+    generation's files — the skipped files never appear in the scan's
+    file index — and the residual predicate still reaches the parquet
+    reader as PushedFilters inside the kept files."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(1000).select(F.col("id"))
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark,
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        root,
+        zone_map_cols=("id",),
+    )
+    pruned = mf.zone_map_scan(spark, root, {"id": (0, 249)})
+    plan = _physical_plan(pruned)
+    import re as _re
+
+    # the FileScan location lists only kept part files
+    n_scan_files = (
+        pruned.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert n_scan_files == 2  # 250/1000 ids over 8 range files
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert _re.search(r"GreaterThanOrEqual\(id,0\)", pushed)
+    assert _re.search(r"LessThanOrEqual\(id,249\)", pushed)

@@ -1557,3 +1557,102 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
         # keep_last generations were ever published
         flat_gone = not any("=" in n for n in _os.listdir(root))
         assert flat_gone == (len(published) >= keep_last)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(min_value=-100, max_value=100), st.none()),
+        min_size=1,
+        max_size=60,
+    ),
+    lo=st.one_of(st.integers(min_value=-120, max_value=120), st.none()),
+    hi=st.one_of(st.integers(min_value=-120, max_value=120), st.none()),
+    n_files=st.integers(min_value=1, max_value=5),
+)
+@SPARK_SETTINGS
+def test_zone_map_scan_equals_full_filtered_scan(
+    spark, tmp_path_factory, vals, lo, hi, n_files
+):
+    """Property: for ANY data (nulls included), ANY range (one- or
+    two-sided, possibly empty or out of domain), and ANY file layout,
+    zone_map_scan == the full scan with the same predicate.  Pruning
+    may only ever remove files the predicate can prove empty."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path_factory.mktemp("zmprop") / "t")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    mf.commit_parquet_generation(
+        spark,
+        df.repartition(n_files),
+        root,
+        zone_map_cols=("v",),
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in mf.zone_map_scan(spark, root, {"v": (lo, hi)}).collect()
+    )
+    def keep(v):
+        if lo is None and hi is None:
+            return True  # (None, None) = no constraint: nulls pass too
+        if v is None:
+            return False  # any real bound excludes nulls (SQL semantics)
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+    want = sorted((i, v) for i, v in enumerate(vals) if keep(v))
+    assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    blocks=st.lists(
+        st.sampled_from(["x", "y"]), min_size=1, max_size=12
+    ),
+    d=st.integers(min_value=0, max_value=3),
+)
+@SPARK_SETTINGS
+def test_blocked_fuzzy_pairs_equals_python_model(spark, names, blocks, d):
+    """Property: blocked_fuzzy_pairs == the reference Python DP over
+    every same-block pair, for arbitrary short strings (empty
+    included), block layouts, and thresholds — the length-delta
+    prefilter and Spark's threshold-bounded levenshtein never change
+    the result, only the cost."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (i, n, blocks[i % len(blocks)]) for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["blk"], max_distance=d
+        ).collect()
+    }
+    want = {}
+    for i, na, ba in rows:
+        for j, nb, bb in rows:
+            if i < j and ba == bb:
+                dist = _lev(na, nb)
+                if dist <= d:
+                    want[(i, j)] = dist
+    assert got == want

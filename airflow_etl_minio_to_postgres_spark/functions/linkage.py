@@ -62,11 +62,14 @@ def blocked_fuzzy_pairs(
     LSH.  Emits the exact distance so downstream policy (match /
     review / reject bands) stays a filter, not a recompute.
 
-    Parallelism rides the PROBE side's partitioning (the build side
-    broadcasts, so no co-location is needed): a many-partition scan
-    parallelizes for free; a single-file test input should be
-    ``repartition(n)``-spread first or the whole pair loop runs in
-    one task."""
+    The join strategy follows size: below the broadcast threshold the
+    build side broadcasts (parallelism then rides the probe side's
+    partitioning alone — a single-file test input should be
+    ``repartition(n)``-spread first or the whole pair loop runs in one
+    task); above it Spark shuffles BOTH sides by the block key, which
+    co-locates blocks and parallelizes by block — the correct shape at
+    full-table scale, where broadcasting the record set would be
+    wrong."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(name_col).alias("_name_a"),

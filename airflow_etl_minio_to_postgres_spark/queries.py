@@ -7847,14 +7847,14 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_fuzzy_pairs,
     )
 
-    # the table arrives as ONE file at test SFs -> one scan task; the
-    # broadcast block-join needs no co-location, so a round-robin spread
-    # of the probe side buys full parallelism for the levenshtein work
-    # (at production scale the scan is already many-partitioned and
-    # this is a no-op cost next to the pair generation)
-    c = load_table(spark, "customer", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the table arrives as ONE file at test SFs -> one scan task runs
+    # the whole pair loop; a round-robin spread restores parallelism.
+    # Guarded on the actual partition count so a production-scale
+    # many-partition scan never pays a gratuitous full shuffle.
+    c = load_table(spark, "customer", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     return blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",
@@ -7899,9 +7899,10 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_clusters,
     )
 
-    c = load_table(spark, "customer", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    c = load_table(spark, "customer", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     pairs = blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",

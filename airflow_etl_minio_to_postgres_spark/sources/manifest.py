@@ -218,22 +218,25 @@ def read_snapshot(spark: SparkSession, root: str, seq: int):
     for a never-committed seq and a loud ``FileNotFoundError`` naming
     the retention cause when the snapshot exists but its generation
     left the grace window — never a silent fallback to a different
-    version."""
-    for snap in snapshots(spark, root):
-        if snap["seq"] == int(seq):
-            if not snap["exists"]:
-                raise FileNotFoundError(
-                    f"snapshot seq {seq} of {root!r} was published but "
-                    f"its generation {snap['generation']!r} has been "
-                    "GC'd (outside the keep_last grace window) — raise "
-                    "keep_last on the maintenance op to retain more "
-                    "history"
-                )
-            return spark.read.parquet(_join(root, snap["generation"]))
-    raise KeyError(
-        f"no committed snapshot with seq {seq} under {root!r}; "
-        f"known seqs: {[s['seq'] for s in snapshots(spark, root)]}"
-    )
+    version.  One targeted manifest read + one existence probe — not
+    a scan of the whole history (``snapshots`` is the listing tool)."""
+    seq = int(seq)
+    payload = _read_manifest(spark, root, seq)
+    if payload is None:
+        raise KeyError(
+            f"no committed snapshot with seq {seq} under {root!r}; "
+            f"known seqs: {_manifest_seqs(spark, root)}"
+        )
+    gen = str(payload["generation"])
+    jvm, fs = _fs_for(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(_join(root, gen))):
+        raise FileNotFoundError(
+            f"snapshot seq {seq} of {root!r} was published but its "
+            f"generation {gen!r} has been GC'd (outside the keep_last "
+            "grace window) — raise keep_last on the maintenance op to "
+            "retain more history"
+        )
+    return spark.read.parquet(_join(root, gen))
 
 
 def read_resolved(spark: SparkSession, root: str):
@@ -260,6 +263,26 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
     (``keep_last``) protects.  Returns ``name``."""
     read_resolved(spark, root).createOrReplaceTempView(name)
     return name
+
+
+def _data_files(spark: SparkSession, path: str) -> set[str]:
+    """Every data file under ``path``, as paths RELATIVE to it —
+    one recursive ``listFiles`` (metadata-sized); sidecars, markers,
+    and staging temps (any ``_``/``.``-prefixed path component) are
+    excluded."""
+    jvm, fs = _fs_for(spark, path)
+    qualified = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(path)
+    ).toString()
+    out = set()
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        rel = p[len(qualified) + 1 :]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.add(rel)
+    return out
 
 
 def write_zone_maps(
@@ -323,9 +346,32 @@ def write_zone_maps(
         .groupBy("file")
         .agg(*aggs)
     )
+    # the row-derived aggregate cannot see 0-ROW files (Spark writes
+    # partition 0's file even when empty, to carry the schema) — pad
+    # the inventory from the actual file listing so the sidecar is
+    # complete BY CONSTRUCTION: empty files ride with null stats
+    # (conservatively never skipped, harmlessly — they have no rows)
+    # and fsck's inventory check stays exact, never a false positive.
+    # The file list enters as a SQL VALUES LocalRelation and the pad
+    # is a left-anti join — all JVM: a Python-sourced DataFrame
+    # (createDataFrame) would drag a Python-runner stage into the
+    # write and cost seconds of worker spin-up for 8 rows.
+    names = sorted(_data_files(spark, gen_path))
+    values = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
+    all_files = spark.sql(f"SELECT * FROM VALUES {values} AS t(file)")
+    null_stats = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in stats.schema.fields
+        if f.name != "file"
+    ]
+    pad = all_files.join(stats, "file", "left_anti").select(
+        "file", *null_stats
+    )
     zm_path = _join(gen_path, ZONE_MAP_DIR)
     # one row per data file — a single small file is the right shape
-    stats.coalesce(1).write.mode("overwrite").parquet(zm_path)
+    stats.unionByName(pad).coalesce(1).write.mode("overwrite").parquet(
+        zm_path
+    )
     return zm_path
 
 
@@ -353,10 +399,13 @@ def zone_map_scan(
     add-file replay), sized by file count, never by rows.  A
     generation without a sidecar falls back to the full scan with the
     filter applied (legacy / not-yet-stats-committed tables — zero
-    behavior change).  An empty survivor set returns an empty
-    DataFrame with the table's schema without touching any data file.
-    ``basePath`` keeps hive partition columns intact when the
-    generation is partitioned."""
+    behavior change); a valid table column the sidecar carries NO
+    stats for prunes nothing on that column (zone maps are a hint —
+    the re-applied predicate still filters), while a column absent
+    from the TABLE raises a clear ``ValueError``.  An empty survivor
+    set returns an empty DataFrame with the table's schema without
+    touching any data file.  ``basePath`` keeps hive partition columns
+    intact when the generation is partitioned."""
     from pyspark.sql import functions as F
 
     data_root = resolve_data_root(spark, root)
@@ -379,8 +428,14 @@ def zone_map_scan(
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
         return full.where(pred)
     zm = spark.read.parquet(zm_path)
+    zm_cols = set(zm.columns)
     keep = F.lit(True)
     for c, (lo, hi) in ranges.items():
+        if f"{c}__min" not in zm_cols:
+            # a valid table column the sidecar carries no stats for:
+            # zone maps are a pruning HINT — no stats means no pruning
+            # on this column; the re-applied predicate still filters
+            continue
         mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
         if lo is not None:
             keep = keep & (mx.isNull() | (mx >= F.lit(lo).cast(dtypes[c])))
@@ -808,26 +863,31 @@ def fsck_index(
     # zone-map completeness: sidecar inventory == actual data files
     zm_path = _join(data_root, ZONE_MAP_DIR)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
-        listed = {
-            r["file"]
-            for r in spark.read.parquet(zm_path).select("file").collect()
-        }
-        qualified = fs.makeQualified(
-            jvm.org.apache.hadoop.fs.Path(data_root)
-        ).toString()
-        actual = set()
-        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(data_root), True)
-        while it.hasNext():
-            p = it.next().getPath().toString()
-            rel = p[len(qualified) + 1 :]
-            if any(
-                seg.startswith(("_", ".")) for seg in rel.split("/")
-            ):
-                continue  # sidecars, markers, staging temps
-            actual.add(rel)
-        report["zone_map_files"] = len(listed)
-        unmapped = sorted(actual - listed)
-        gone = sorted(listed - actual)
+        try:
+            listed = {
+                r["file"]
+                for r in spark.read.parquet(zm_path)
+                .select("file")
+                .collect()
+            }
+        except Exception as exc:
+            # an out-of-band-corrupted sidecar is exactly the class
+            # this check exists for — report it, never crash the
+            # diagnostic (same contract as the payload read above)
+            report["issues"].append(
+                f"_zonemap sidecar unreadable: {exc} — skipping reads "
+                "fall back to the full scan only when the sidecar is "
+                "ABSENT; rebuild it (write_zone_maps) or recommit"
+            )
+            listed = None
+        actual = _data_files(spark, data_root)
+        if listed is None:
+            unmapped, gone = [], []
+            report["zone_map_files"] = -1
+        else:
+            report["zone_map_files"] = len(listed)
+            unmapped = sorted(actual - listed)
+            gone = sorted(listed - actual)
         if unmapped:
             report["issues"].append(
                 f"{len(unmapped)} data file(s) absent from _zonemap "

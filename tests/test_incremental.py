@@ -2984,3 +2984,125 @@ def test_snapshots_and_time_travel_reads(spark, tmp_path):
     _shutil.rmtree(f"{root}/{gen2['generation']}")
     with _pytest.raises(FileNotFoundError, match="grace window"):
         mf.read_snapshot(spark, root, 2)
+
+
+def test_maintenance_cycle_generic_zorder_zone_map_table(spark, tmp_path):
+    """The full lakehouse maintenance loop on a GENERIC fact table:
+    recluster_zorder_committed (with zone maps) as the compactor inside
+    maintenance_cycle — compact commits a z-ordered generation with its
+    _zonemap, fsck validates it (kind 'generic', zone-map inventory
+    complete, zero issues), the resolving view flips, and time travel
+    still reaches the pre-cycle snapshot under keep_last=2."""
+    from functools import partial
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_committed,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 32).alias("bu"),
+        F.floor(F.col("id") / 32).alias("bh"),
+    )
+    root = str(tmp_path / "facts")
+    # seed: a committed but curve-oblivious first generation
+    mf.commit_parquet_generation(spark, df, root, keep_last=2)
+
+    rep = mf.maintenance_cycle(
+        spark,
+        f"file://{root}",
+        partial(
+            recluster_zorder_committed,
+            zorder_cols=["bu", "bh"],
+            bits=5,
+            n_files=8,
+            zone_map_cols=("bu", "bh"),
+        ),
+        keep_last=2,
+        view_name="facts_v",
+    )
+    assert rep["kind"] == "generic"
+    assert rep["issues"] == []
+    assert rep["zone_map_files"] == 8
+    assert rep["view_refreshed"] == "facts_v"
+    assert spark.table("facts_v").count() == 4000
+
+    # skipping read over the refreshed layout is lossless and pruned
+    pruned = mf.zone_map_scan(spark, f"file://{root}", {"bu": (0, 3)})
+    assert pruned.count() == 4000 // 32 * 4
+    touched = (
+        pruned.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert touched < 8
+
+    # the pre-cycle snapshot is still reachable (keep_last=2)
+    snaps = mf.snapshots(spark, f"file://{root}")
+    assert [s["seq"] for s in snaps] == [1, 2]
+    assert mf.read_snapshot(spark, f"file://{root}", 1).count() == 4000
+
+
+def test_zone_map_sidecar_complete_with_empty_files(spark, tmp_path):
+    """Spark writes partition 0's file even when EMPTY (schema
+    carrier); the sidecar inventory is padded from the file listing so
+    fsck never false-positives on a healthy commit, the empty file
+    rides with null stats, and maintenance sees zero issues."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    root = str(tmp_path / "t")
+    # repartition(4) with 1 row: 3-4 of the written files are empty
+    mf.commit_parquet_generation(
+        spark, df.repartition(4), root, zone_map_cols=("v",)
+    )
+    rep = mf.fsck_index(spark, root)
+    assert rep["issues"] == []
+    gen = mf.resolve_data_root(spark, root)
+    zm = spark.read.parquet(gen + "/_zonemap")
+    assert zm.count() == rep["zone_map_files"] >= 2
+    assert zm.where(F.col("v__min").isNull()).count() >= 1
+    # and the skipping read is still exact
+    assert mf.zone_map_scan(spark, root, {"v": (0.0, 9.0)}).count() == 1
+    assert mf.zone_map_scan(spark, root, {"v": (6.0, 9.0)}).count() == 0
+
+
+def test_zone_map_scan_unmapped_column_prunes_nothing(spark, tmp_path):
+    """A valid table column the sidecar has no stats for: no pruning
+    on that column (hint semantics), the re-applied predicate still
+    filters; a column absent from the TABLE raises ValueError."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df.repartition(4), root, zone_map_cols=("v",)
+    )
+    got = mf.zone_map_scan(spark, root, {"id": (10, 19)})
+    assert got.count() == 10  # filtered, just not file-pruned
+    with _pytest.raises(ValueError, match="not in table schema"):
+        mf.zone_map_scan(spark, root, {"nope": (0, 1)})
+
+
+def test_fsck_reports_corrupt_zone_map_sidecar(spark, tmp_path):
+    """An out-of-band-corrupted _zonemap is a REPORTED issue, never a
+    crash of the diagnostic."""
+    import glob as _glob
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(50)
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df, root, zone_map_cols=("id",)
+    )
+    gen = mf.resolve_data_root(spark, root)
+    for f in _glob.glob(f"{gen}/_zonemap/part-*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    rep = mf.fsck_index(spark, root)
+    assert any("_zonemap sidecar unreadable" in i for i in rep["issues"])

@@ -682,7 +682,9 @@ def test_zone_map_scan_reads_only_surviving_files(spark, tmp_path):
     n_scan_files = (
         pruned.select(F.col("_metadata.file_path")).distinct().count()
     )
-    assert n_scan_files == 2  # 250/1000 ids over 8 range files
+    # ~250/1000 ids over 8 range files; range boundaries are SAMPLED
+    # (core-count-dependent), so pin a strict subset, not an exact 2
+    assert 1 <= n_scan_files <= 3
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:200]
     assert _re.search(r"GreaterThanOrEqual\(id,0\)", pushed)

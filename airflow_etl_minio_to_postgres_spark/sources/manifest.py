@@ -555,6 +555,36 @@ def maintenance_cycle(
     return report
 
 
+def snapshot_diff(spark: SparkSession, root: str, seq_a: int, seq_b: int):
+    """Row-level diff between two retained snapshots: what a commit
+    actually CHANGED — the review tool next to time travel (audit a
+    suspect compaction, confirm an idempotent rewrite was value-equal,
+    quantify an upsert).  Returns a DataFrame of the symmetric
+    difference tagged ``_change`` = ``added`` (in ``seq_b`` only) /
+    ``removed`` (in ``seq_a`` only); an empty result PROVES the two
+    snapshots value-equal.  Multiset semantics (``exceptAll``):
+    duplicate rows diff by count, not presence.  Cost: one scan of
+    each snapshot through two anti-join-shaped exchanges — data-sized,
+    run it where you'd run the compaction itself, not on the serving
+    path.  Both snapshots must still be inside the GC grace window
+    (:func:`read_snapshot` raises otherwise); schemas must match (a
+    schema-evolving commit diffs by column set first — caught here
+    with a clear error rather than a cast surprise)."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, root, seq_a)
+    b = read_snapshot(spark, root, seq_b)
+    if a.columns != b.columns:
+        raise ValueError(
+            f"snapshot_diff: schemas differ between seq {seq_a} "
+            f"({a.columns}) and seq {seq_b} ({b.columns}) — diff the "
+            "column sets first"
+        )
+    added = b.exceptAll(a).withColumn("_change", F.lit("added"))
+    removed = a.exceptAll(b).withColumn("_change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
 def next_seq(spark: SparkSession, root: str) -> int:
     """The next commit sequence number: one past everything visible —
     published manifests AND orphan generation prefixes (a crashed

@@ -3106,3 +3106,46 @@ def test_fsck_reports_corrupt_zone_map_sidecar(spark, tmp_path):
             fh.write(b"not parquet")
     rep = mf.fsck_index(spark, root)
     assert any("_zonemap sidecar unreadable" in i for i in rep["issues"])
+
+
+def test_snapshot_diff_added_removed_and_value_equal(spark, tmp_path):
+    """snapshot_diff: added/removed rows between two retained commits
+    (multiset semantics), empty diff proves a rewrite value-equal,
+    schema drift raises clearly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    mf.commit_parquet_generation(spark, base, root, keep_last=3)
+    # seq 2: drop ids 0-1, add 100 twice (multiset!)
+    twice = spark.createDataFrame([(100, "x"), (100, "x")], "id long, v string")
+    mf.commit_parquet_generation(
+        spark,
+        base.where(F.col("id") >= 2).unionByName(twice),
+        root,
+        keep_last=3,
+    )
+    d = mf.snapshot_diff(spark, root, 1, 2).collect()
+    added = sorted(r["id"] for r in d if r["_change"] == "added")
+    removed = sorted(r["id"] for r in d if r["_change"] == "removed")
+    assert added == [100, 100] and removed == [0, 1]
+
+    # seq 3: a pure rewrite (same rows, different layout) — empty diff
+    cur = mf.read_snapshot(spark, root, 2)
+    mf.commit_parquet_generation(
+        spark, cur.repartition(4), root, keep_last=3
+    )
+    assert mf.snapshot_diff(spark, root, 2, 3).count() == 0
+
+    # schema drift raises clearly
+    mf.commit_parquet_generation(
+        spark,
+        spark.range(3).select(F.col("id"), F.lit(1).alias("other")),
+        root,
+        keep_last=3,
+    )
+    with _pytest.raises(ValueError, match="schemas differ"):
+        mf.snapshot_diff(spark, root, 3, 4)

@@ -1462,7 +1462,9 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
         st.sampled_from(
             [
                 "commit",
+                "commit_zm",
                 "crash_before_publish",
+                "crash_after_zm_before_publish",
                 "crash_mid_publish",
                 "crash_before_gc",
             ]
@@ -1483,7 +1485,12 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     advances when a publish succeeded (a crash before the publish is
     invisible); orphan prefixes never shadow the published generation;
     and after a successful commit at most ``keep_last`` published
-    generations remain while the resolved one is always the newest."""
+    generations remain while the resolved one is always the newest.
+    Zone-mapped commits (``commit_zm`` / a crash stranding a sidecar'd
+    orphan) add the data-skipping invariants: whenever the SERVED
+    generation carries a ``_zonemap``, its file inventory equals the
+    actual data files and a skipping read equals the filtered full
+    scan — under every crash interleaving."""
     import os as _os
 
     from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
@@ -1491,11 +1498,13 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     root = str(tmp_path_factory.mktemp("proto"))
     ids = spark.range(50)
 
-    def write_gen(seq: int) -> str:
+    def write_gen(seq: int, zone_maps: bool = False) -> str:
         gen = f"_gen-{seq:06d}"
         ids.withColumn("g", F.lit(int(seq))).write.mode("overwrite").parquet(
             mf._join(root, gen)
         )
+        if zone_maps:
+            mf.write_zone_maps(spark, mf._join(root, gen), ("id",))
         return gen
 
     # the pre-manifest legacy payload: stamp 0, hive-partitioned at
@@ -1513,13 +1522,28 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
         assert got.count() == 50
         stamps = {r[0] for r in got.select("g").distinct().collect()}
         assert stamps == {expected_stamp}, (stamps, expected_stamp)
+        # data-skipping invariants whenever the SERVED generation
+        # carries a sidecar: inventory complete, skipping lossless
+        if _os.path.isdir(_os.path.join(resolved, "_zonemap")):
+            listed = {
+                r["file"]
+                for r in spark.read.parquet(
+                    _os.path.join(resolved, "_zonemap")
+                )
+                .select("file")
+                .collect()
+            }
+            assert listed == mf._data_files(spark, resolved)
+            skipped = mf.zone_map_scan(spark, root, {"id": (10, 19)})
+            assert skipped.count() == 10
 
     check()
     for op in ops:
         seq = mf.next_seq(spark, root)
-        gen = write_gen(seq)
-        if op == "crash_before_publish":
-            check()  # orphan invisible; reader unaffected
+        gen = write_gen(seq, zone_maps=op in ("commit_zm",
+                                              "crash_after_zm_before_publish"))
+        if op in ("crash_before_publish", "crash_after_zm_before_publish"):
+            check()  # orphan (sidecar'd or not) invisible; reader unaffected
             continue
         if op == "crash_mid_publish":
             # a publish that died between create and close on a

@@ -815,7 +815,12 @@ def fsck_index(
     diagnostic, never a mutation — safe against a live index."""
     from pyspark.sql import functions as F
 
-    report: dict = {"root": root, "issues": [], "gc_debt": []}
+    report: dict = {
+        "root": root,
+        "issues": [],
+        "warnings": [],
+        "gc_debt": [],
+    }
     keep_last = max(1, int(keep_last))
     got = latest_manifest(spark, root)
     jvm, fs = _fs_for(spark, root)
@@ -892,6 +897,37 @@ def fsck_index(
 
     # zone-map completeness: sidecar inventory == actual data files
     zm_path = _join(data_root, ZONE_MAP_DIR)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
+        # silent-degradation advisory: if the PREVIOUS retained
+        # generation carried zone maps and the current one doesn't, a
+        # maintenance op recommitted without zone_map_cols — skipping
+        # reads fell back to full scans (correct, just slower); a
+        # WARNING, not an issue, so maintenance_cycle still publishes
+        if got is not None:
+            prev = [
+                s
+                for s in _manifest_seqs(spark, root)
+                if s < got[0] and s not in corrupt
+            ]
+            if prev:
+                payload_prev = _read_manifest(spark, root, prev[-1])
+                if payload_prev is not None and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        _join(
+                            root,
+                            str(payload_prev["generation"]),
+                            ZONE_MAP_DIR,
+                        )
+                    )
+                ):
+                    report["warnings"].append(
+                        f"generation at seq {prev[-1]} carried a "
+                        "_zonemap but the current one does not — a "
+                        "recommit dropped zone_map_cols; skipping "
+                        "reads silently degraded to full scans "
+                        "(correct, slower).  Pass zone_map_cols on "
+                        "the maintenance op to restore file skipping"
+                    )
     if fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
         try:
             listed = {

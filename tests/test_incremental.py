@@ -3149,3 +3149,31 @@ def test_snapshot_diff_added_removed_and_value_equal(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="schemas differ"):
         mf.snapshot_diff(spark, root, 3, 4)
+
+
+def test_fsck_warns_on_dropped_zone_maps(spark, tmp_path):
+    """A recommit that drops zone_map_cols silently degrades skipping
+    reads to full scans — fsck surfaces it as a WARNING (not an issue:
+    maintenance_cycle must still publish a correct-but-slower index)."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    df = spark.range(100)
+    mf.commit_parquet_generation(
+        spark, df, root, keep_last=2, zone_map_cols=("id",)
+    )
+    rep = mf.fsck_index(spark, root, keep_last=2)
+    assert rep["warnings"] == [] and rep["issues"] == []
+
+    # recommit WITHOUT zone maps while the sidecar'd gen is retained
+    mf.commit_parquet_generation(spark, df, root, keep_last=2)
+    rep2 = mf.fsck_index(spark, root, keep_last=2)
+    assert rep2["issues"] == []
+    assert any("dropped zone_map_cols" in w for w in rep2["warnings"])
+
+    # restoring zone maps clears the warning
+    mf.commit_parquet_generation(
+        spark, df, root, keep_last=2, zone_map_cols=("id",)
+    )
+    rep3 = mf.fsck_index(spark, root, keep_last=2)
+    assert rep3["warnings"] == [] and rep3["issues"] == []

@@ -768,9 +768,13 @@ def fsck_index(
     "fsck" a production deployment runs on a schedule next to the
     health evals: where recall evals answer "is the index still
     GOOD?", this answers "is the index still WELL-FORMED, and does it
-    need maintenance?".  Works on all four maintained layouts (IVF
-    ``cid``, inverted ``term_bucket``, near-dup store ``band_bucket``,
-    drift log) whether legacy-flat or manifest-committed.
+    need maintenance?".  Works on the four maintained serving layouts
+    (IVF ``cid``, inverted ``term_bucket``, near-dup store
+    ``band_bucket``, drift log) whether legacy-flat or
+    manifest-committed, and on GENERIC manifest-committed tables
+    (z-order outputs, medallion/rollup serving, zone-mapped fact
+    tables — kind ``generic``, a legitimate maintained table, not a
+    finding).
 
     Checks, all metadata-sized except the bounded consistency sample:
 
@@ -811,8 +815,11 @@ def fsck_index(
       neither can happen (the sidecar is derived from the written
       generation before the publish); this catches out-of-band edits.
 
-    Returns a plain dict report (``issues`` empty == healthy).  A
-    diagnostic, never a mutation — safe against a live index."""
+    Returns a plain dict report (``issues`` empty == healthy;
+    ``warnings`` carries safe-but-degraded states — e.g. a recommit
+    that dropped ``zone_map_cols`` — which ``maintenance_cycle``
+    deliberately does NOT treat as a wedge).  A diagnostic, never a
+    mutation — safe against a live index."""
     from pyspark.sql import functions as F
 
     report: dict = {

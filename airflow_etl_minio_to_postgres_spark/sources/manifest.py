@@ -215,17 +215,30 @@ def read_snapshot(spark: SparkSession, root: str, seq: int):
     reproducing yesterday's training mix, diffing a suspect compaction
     against its predecessor, or re-running an eval against the exact
     index a result was measured on is one call.  Raises ``KeyError``
-    for a never-committed seq and a loud ``FileNotFoundError`` naming
-    the retention cause when the snapshot exists but its generation
-    left the grace window — never a silent fallback to a different
+    for a seq with no readable manifest — which is the NORMAL outcome
+    for a snapshot that aged out of the grace window, since
+    ``gc_generations`` deletes the superseded manifest together with
+    its generation; when the requested seq is below the oldest
+    retained manifest the message names retention as the cause.  A
+    loud ``FileNotFoundError`` covers the anomalous
+    manifest-retained/generation-deleted state (out-of-band deletion,
+    a partial GC crash).  Never a silent fallback to a different
     version.  One targeted manifest read + one existence probe — not
     a scan of the whole history (``snapshots`` is the listing tool)."""
     seq = int(seq)
     payload = _read_manifest(spark, root, seq)
     if payload is None:
+        known = _manifest_seqs(spark, root)
+        hint = ""
+        if known and seq < min(known):
+            hint = (
+                " — seqs below the oldest retained manifest have been "
+                "GC'd (outside the keep_last grace window); raise "
+                "keep_last on the maintenance op to retain more history"
+            )
         raise KeyError(
             f"no committed snapshot with seq {seq} under {root!r}; "
-            f"known seqs: {_manifest_seqs(spark, root)}"
+            f"known seqs: {known}{hint}"
         )
     gen = str(payload["generation"])
     jvm, fs = _fs_for(spark, root)
@@ -357,21 +370,26 @@ def write_zone_maps(
     # (createDataFrame) would drag a Python-runner stage into the
     # write and cost seconds of worker spin-up for 8 rows.
     names = sorted(_data_files(spark, gen_path))
-    values = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
-    all_files = spark.sql(f"SELECT * FROM VALUES {values} AS t(file)")
-    null_stats = [
-        F.lit(None).cast(f.dataType).alias(f.name)
-        for f in stats.schema.fields
-        if f.name != "file"
-    ]
-    pad = all_files.join(stats, "file", "left_anti").select(
-        "file", *null_stats
-    )
+    if names:
+        values = ", ".join(
+            "('" + n.replace("'", "''") + "')" for n in names
+        )
+        all_files = spark.sql(f"SELECT * FROM VALUES {values} AS t(file)")
+        null_stats = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stats.schema.fields
+            if f.name != "file"
+        ]
+        pad = all_files.join(stats, "file", "left_anti").select(
+            "file", *null_stats
+        )
+        stats = stats.unionByName(pad)
+    # else: a generation with ZERO data files (an empty commit) — an
+    # empty VALUES list is a parse error, and there is nothing to pad;
+    # the (empty) stats frame itself is the correct sidecar.
     zm_path = _join(gen_path, ZONE_MAP_DIR)
     # one row per data file — a single small file is the right shape
-    stats.unionByName(pad).coalesce(1).write.mode("overwrite").parquet(
-        zm_path
-    )
+    stats.coalesce(1).write.mode("overwrite").parquet(zm_path)
     return zm_path
 
 
@@ -483,6 +501,18 @@ def commit_parquet_generation(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(_join(root, gen))
+    if partition_by and not _data_files(spark, _join(root, gen)):
+        # an EMPTY partitioned write emits no data file at all (only
+        # _SUCCESS) — the generation would be unreadable (no schema to
+        # infer) and every read_resolved/time-travel read of this
+        # snapshot would die far from the cause.  Re-land the empty
+        # frame FLAT: one zero-row part file carrying the FULL schema
+        # (partition columns included, since nothing is partitionBy'd
+        # out of the data), so readers see the right schema and zero
+        # rows.  An empty commit is legitimate (a compaction that
+        # filtered everything, an empty CDC batch) — it must produce a
+        # servable snapshot, not a wedge.
+        df.limit(0).write.mode("overwrite").parquet(_join(root, gen))
     if zone_map_cols:
         write_zone_maps(spark, _join(root, gen), tuple(zone_map_cols))
     publish_generation(spark, root, seq, gen)
@@ -567,18 +597,36 @@ def snapshot_diff(spark: SparkSession, root: str, seq_a: int, seq_b: int):
     each snapshot through two anti-join-shaped exchanges — data-sized,
     run it where you'd run the compaction itself, not on the serving
     path.  Both snapshots must still be inside the GC grace window
-    (:func:`read_snapshot` raises otherwise); schemas must match (a
-    schema-evolving commit diffs by column set first — caught here
-    with a clear error rather than a cast surprise)."""
+    (:func:`read_snapshot` raises otherwise); schemas must match by
+    COLUMN SET and types — column ORDER is layout, not schema, so a
+    pure-reorder rewrite diffs normally (columns are aligned by name
+    before ``exceptAll``), while a missing/extra column or a
+    same-name/different-type drift is caught here with an error that
+    names the divergence rather than a cast surprise downstream."""
     from pyspark.sql import functions as F
 
     a = read_snapshot(spark, root, seq_a)
     b = read_snapshot(spark, root, seq_b)
-    if a.columns != b.columns:
+    cols = sorted(a.columns)
+    if cols != sorted(b.columns):
+        only_a = sorted(set(a.columns) - set(b.columns))
+        only_b = sorted(set(b.columns) - set(a.columns))
         raise ValueError(
-            f"snapshot_diff: schemas differ between seq {seq_a} "
-            f"({a.columns}) and seq {seq_b} ({b.columns}) — diff the "
-            "column sets first"
+            f"snapshot_diff: column sets differ between seq {seq_a} "
+            f"and seq {seq_b} — only in {seq_a}: {only_a}, only in "
+            f"{seq_b}: {only_b}; diff the column sets first"
+        )
+    a = a.select(cols)
+    b = b.select(cols)
+    ta, tb = dict(a.dtypes), dict(b.dtypes)
+    drift = [(c, ta[c], tb[c]) for c in cols if ta[c] != tb[c]]
+    if drift:
+        raise ValueError(
+            f"snapshot_diff: column types drifted between seq {seq_a} "
+            f"and seq {seq_b}: "
+            + ", ".join(f"{c} ({x} -> {y})" for c, x, y in drift)
+            + " — a schema-evolving commit changed types; cast one "
+            "side explicitly before diffing"
         )
     added = b.exceptAll(a).withColumn("_change", F.lit("added"))
     removed = a.exceptAll(b).withColumn("_change", F.lit("removed"))
@@ -761,6 +809,23 @@ def gc_generations(
     return deleted
 
 
+def _layout_kind(cols: set) -> str | None:
+    """The maintained SERVING layout a column set identifies, or
+    ``None`` when it is none of the four — the single source of truth
+    for ``fsck_index``'s kind detection AND its kind-REGRESSION check
+    (the current and the previous generation must be classified by the
+    same rule or the comparison is meaningless)."""
+    if "cid" in cols:
+        return "ivf"
+    if "term_bucket" in cols:
+        return "inverted"
+    if "band_bucket" in cols:
+        return "near_dup_store"
+    if {"_batch_id", "bucket"} <= cols:
+        return "drift_log"
+    return None
+
+
 def fsck_index(
     spark: SparkSession, root: str, sample: int = 1000, keep_last: int = 1
 ) -> dict:
@@ -790,7 +855,13 @@ def fsck_index(
       deployment deliberately keeps are NOT debt — without it a
       healthy grace-window deployment is perpetually reported dirty;
     * **layout** — the partition kind is detected from the columns and
-      reported; an unrecognized layout is an issue;
+      reported; an unrecognized layout is an issue, and so is a kind
+      REGRESSION: a committed generation that detects as a WEAKER kind
+      than the previous retained generation (a serving layout whose
+      compaction dropped its layout column now reads as ``generic``,
+      or flipped to a different serving layout) — without this check a
+      broken compaction fscks clean and ``maintenance_cycle`` refreshes
+      the view over a broken index;
     * **sidecar** — an inverted index must carry a readable ``_stats``
       (n_docs/avgdl/n_buckets), a drift log its ``_ref``; their
       ABSENCE where the layout requires one is an issue (every serve
@@ -976,23 +1047,12 @@ def fsck_index(
             )
 
     cols = set(df.columns)
-    kind = (
-        "ivf"
-        if "cid" in cols
-        else "inverted"
-        if "term_bucket" in cols
-        else "near_dup_store"
-        if "band_bucket" in cols
-        else "drift_log"
-        if {"_batch_id", "bucket"} <= cols
-        # a manifest-committed table that is none of the four serving
-        # layouts is a GENERIC adopter (z-order recluster output,
-        # medallion/rollup serving, zone-mapped fact table) — a
-        # legitimate maintained table, not an integrity finding
-        else "generic"
-        if got is not None
-        else "unknown"
-    )
+    serving = _layout_kind(cols)
+    # a manifest-committed table that is none of the four serving
+    # layouts is a GENERIC adopter (z-order recluster output,
+    # medallion/rollup serving, zone-mapped fact table) — a
+    # legitimate maintained table, not an integrity finding
+    kind = serving or ("generic" if got is not None else "unknown")
     report["kind"] = kind
     if kind == "unknown":
         report["issues"].append(
@@ -1000,6 +1060,42 @@ def fsck_index(
             "maintained serving index nor a manifest-committed table"
         )
         return report
+
+    # kind REGRESSION: a serving index whose broken compaction dropped
+    # its layout column (e.g. an inverted index losing term_bucket)
+    # classifies as a clean 'generic' above — compare against the
+    # PREVIOUS retained generation's detected kind so the regression
+    # is an ISSUE (maintenance_cycle aborts before the view refresh)
+    # instead of fscking clean over a broken index.  Schema-only read
+    # of the previous generation (one footer), skipped when it is
+    # already GC'd or unreadable — a diagnostic must not crash.
+    if got is not None:
+        prev = [
+            s
+            for s in _manifest_seqs(spark, root)
+            if s < got[0] and s not in corrupt
+        ]
+        if prev:
+            payload_prev = _read_manifest(spark, root, prev[-1])
+            if payload_prev is not None:
+                prev_root = _join(root, str(payload_prev["generation"]))
+                prev_kind = None
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(prev_root)):
+                    try:
+                        prev_kind = _layout_kind(
+                            set(spark.read.parquet(prev_root).columns)
+                        )
+                    except Exception:
+                        prev_kind = None  # unreadable predecessor: skip
+                if prev_kind is not None and prev_kind != kind:
+                    report["issues"].append(
+                        f"layout regressed from {prev_kind!r} (seq "
+                        f"{prev[-1]}) to {kind!r}: the current "
+                        f"generation no longer carries the {prev_kind!r} "
+                        "layout column(s) — a compaction published a "
+                        "broken index; roll back to the previous "
+                        "generation or rebuild before refreshing views"
+                    )
 
     if "_commit_id" in cols:
         commits = df.select("_commit_id").distinct().count()

@@ -3140,15 +3140,46 @@ def test_snapshot_diff_added_removed_and_value_equal(spark, tmp_path):
     )
     assert mf.snapshot_diff(spark, root, 2, 3).count() == 0
 
-    # schema drift raises clearly
+    # column-set drift raises clearly, naming the divergence per side
     mf.commit_parquet_generation(
         spark,
         spark.range(3).select(F.col("id"), F.lit(1).alias("other")),
         root,
+        keep_last=4,
+    )
+    with _pytest.raises(ValueError, match="only in 4: \\['other'\\]"):
+        mf.snapshot_diff(spark, root, 3, 4)
+
+
+def test_snapshot_diff_reorder_and_type_drift(spark, tmp_path):
+    """Column ORDER is layout, not schema: a pure column-reorder
+    rewrite diffs empty (columns aligned by name before exceptAll);
+    same-name/different-TYPE drift raises an error naming the column
+    and both types instead of failing inside exceptAll (round-14
+    advisor finding: the order-sensitive guard rejected reorders and
+    let type drift through to a confusing analysis error)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    mf.commit_parquet_generation(spark, base, root, keep_last=3)
+    # seq 2: same rows, columns REORDERED — value-equal, diff is empty
+    mf.commit_parquet_generation(
+        spark, base.select("v", "id"), root, keep_last=3
+    )
+    assert mf.snapshot_diff(spark, root, 1, 2).count() == 0
+    # seq 3: id narrowed long -> int — type drift, named clearly
+    mf.commit_parquet_generation(
+        spark,
+        base.select(F.col("id").cast("int").alias("id"), "v"),
+        root,
         keep_last=3,
     )
-    with _pytest.raises(ValueError, match="schemas differ"):
-        mf.snapshot_diff(spark, root, 3, 4)
+    with _pytest.raises(ValueError, match="id \\(bigint -> int\\)"):
+        mf.snapshot_diff(spark, root, 2, 3)
 
 
 def test_fsck_warns_on_dropped_zone_maps(spark, tmp_path):
@@ -3177,3 +3208,159 @@ def test_fsck_warns_on_dropped_zone_maps(spark, tmp_path):
     )
     rep3 = mf.fsck_index(spark, root, keep_last=2)
     assert rep3["warnings"] == [] and rep3["issues"] == []
+
+
+def test_fsck_detects_kind_regression_to_generic(spark, tmp_path):
+    """A serving index whose compaction bug DROPPED its layout column
+    previously fsck'd clean as kind 'generic' (round-14 advisor
+    finding): the view refreshed over a broken index.  Now the current
+    generation's detected kind is compared against the previous
+    retained generation's — a regression from a serving layout is an
+    ISSUE, so maintenance_cycle aborts before the view refresh."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+    compact_inverted_index(spark, idx, keep_last=2)
+    healthy = mf.fsck_index(spark, idx, keep_last=2)
+    assert healthy["kind"] == "inverted" and healthy["issues"] == []
+
+    # simulate the broken compaction: recommit the index WITHOUT its
+    # layout column, previous (healthy) generation retained
+    broken = spark.read.parquet(
+        mf.resolve_data_root(spark, idx)
+    ).drop("term_bucket")
+    mf.commit_parquet_generation(spark, broken, idx, keep_last=2)
+    rep = mf.fsck_index(spark, idx, keep_last=2)
+    assert rep["kind"] == "generic"
+    assert any("layout regressed from 'inverted'" in i for i in rep["issues"])
+
+    # and the cycle's abort-before-view guard fires on exactly this
+    with _pytest.raises(RuntimeError, match="layout regressed"):
+        mf.maintenance_cycle(
+            spark,
+            idx,
+            lambda s, p, keep_last=1: None,  # no-op compactor: fsck sees
+            keep_last=2,                     # the already-broken state
+            view_name="regressed_idx_v",
+        )
+
+
+def test_fsck_no_regression_between_same_or_generic_kinds(spark, tmp_path):
+    """The regression check must NOT fire on healthy histories: same
+    serving kind across generations, generic -> generic recommits, and
+    a first-ever commit (no predecessor) all fsck clean."""
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        write_inverted_index,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        compact_inverted_index,
+    )
+
+    # inverted -> inverted across two compactions
+    docs = spark.createDataFrame(
+        [(i, f"spark join window doc{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inv")
+    write_inverted_index(docs, idx, n_buckets=8)
+    compact_inverted_index(spark, idx, keep_last=2)
+    compact_inverted_index(spark, idx, keep_last=2)
+    rep = mf.fsck_index(spark, idx, keep_last=2)
+    assert rep["kind"] == "inverted" and rep["issues"] == []
+
+    # generic -> generic recommit
+    root = str(tmp_path / "fact")
+    df = spark.range(50)
+    mf.commit_parquet_generation(spark, df, root, keep_last=2)
+    mf.commit_parquet_generation(spark, df, root, keep_last=2)
+    rep2 = mf.fsck_index(spark, root, keep_last=2)
+    assert rep2["kind"] == "generic" and rep2["issues"] == []
+
+
+def test_commit_empty_partitioned_generation_is_servable(spark, tmp_path):
+    """An EMPTY partitioned commit (a compaction that filtered
+    everything, an empty CDC batch) must still produce a servable
+    snapshot: Spark's partitioned write of zero rows emits no data
+    file at all, which round 14 left unreadable (schema-inference
+    failure on read_resolved) and crashed write_zone_maps on an empty
+    VALUES list (round-14 advisor finding).  The commit re-lands the
+    empty frame flat, so readers get the full schema and zero rows,
+    and the zone-map sidecar is written (empty or null-stats) without
+    a parse error."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    ev = spark.createDataFrame(
+        [], "event_id long, event_type string, value double"
+    )
+    root = str(tmp_path / "empty")
+    seq = mf.commit_parquet_generation(
+        spark,
+        ev,
+        root,
+        partition_by=("event_type",),
+        zone_map_cols=("value",),
+    )
+    assert seq == 1
+    got = mf.read_resolved(spark, root)
+    assert got.count() == 0
+    assert set(got.columns) == {"event_id", "event_type", "value"}
+    # skipping reads work over the empty snapshot too
+    assert (
+        mf.zone_map_scan(spark, root, {"value": (0.0, 1.0)}).count() == 0
+    )
+    rep = mf.fsck_index(spark, root, keep_last=1)
+    assert rep["issues"] == []
+
+    # a later non-empty commit over the same root serves normally
+    mf.commit_parquet_generation(
+        spark,
+        spark.range(5).select(
+            F.col("id").alias("event_id"),
+            F.lit("click").alias("event_type"),
+            F.col("id").cast("double").alias("value"),
+        ),
+        root,
+        partition_by=("event_type",),
+        zone_map_cols=("value",),
+    )
+    assert mf.read_resolved(spark, root).count() == 5
+
+
+def test_read_snapshot_retention_hint_on_gcd_seq(spark, tmp_path):
+    """A seq that aged out of the grace window raises KeyError (its
+    manifest was GC'd with its generation) whose message NAMES
+    retention as the cause; a never-committed seq above the history
+    gets the plain unknown-seq message (no misleading retention
+    hint)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    for stamp in (1, 2, 3):
+        df = spark.range(5).withColumn("stamp", F.lit(stamp))
+        mf.commit_parquet_generation(spark, df, root, keep_last=2)
+
+    with _pytest.raises(KeyError, match="keep_last grace window"):
+        mf.read_snapshot(spark, root, 1)
+    with _pytest.raises(KeyError) as exc:
+        mf.read_snapshot(spark, root, 99)
+    assert "grace window" not in str(exc.value)

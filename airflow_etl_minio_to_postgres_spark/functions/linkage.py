@@ -37,6 +37,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    salted_band_sides,
+)
 from airflow_etl_minio_to_postgres_spark.functions.graph import (
     assign_clusters,
 )
@@ -48,6 +51,7 @@ def blocked_fuzzy_pairs(
     name_col: str,
     block_cols: list[str],
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Candidate-matched pairs ``(id_a, id_b, distance)`` with
     ``id_a < id_b``: records in the SAME block (equal on every
@@ -62,6 +66,31 @@ def blocked_fuzzy_pairs(
     LSH.  Emits the exact distance so downstream policy (match /
     review / reject bands) stays a filter, not a recompute.
 
+    NULL semantics (SQL equality, matching the oracle's equi-join): a
+    record with NULL in ANY block column belongs to no block and never
+    pairs (null is not evidence of sameness — coalesce to a sentinel
+    upstream if your data means "unknown city" to be one block), and a
+    record with a NULL ``name_col`` never matches (``levenshtein``
+    yields null, dropped with the over-threshold rows).  Such records
+    still label themselves in :func:`entity_clusters`.
+
+    ``max_block_size`` is the HOT-BLOCK knob — the realistic ER input
+    has a Zipf-heavy key (one dominant city/zip) whose ``m`` rows land
+    in ONE join task doing ``m**2`` comparisons while the rest of the
+    cluster idles (the same straggler the streaming near-dup sink
+    measured at 275 s).  Set, blocks larger than the cap split through
+    :func:`~airflow_etl_minio_to_postgres_spark.functions.dedup.
+    salted_band_sides` — the shared skew mechanism of the banded dedup
+    family: the probe side salts into ``ceil(m/cap)`` sub-groups by id
+    hash, the build side replicates into each, every pair still meets
+    exactly once, so results are BIT-IDENTICAL to the unsalted plan
+    (pytest-pinned) and per-task work drops to ``~cap * m``.  Blocking
+    runs over a single hashed block key (``xxhash64`` of the block
+    columns) with the real column equalities re-checked in the join —
+    hash collisions between different blocks are filtered exactly, and
+    the salt directory stays one broadcast aggregate.  ``None`` is the
+    zero-overhead default.
+
     The join strategy follows size: below the broadcast threshold the
     build side broadcasts (parallelism then rides the probe side's
     partitioning alone — a single-file test input should be
@@ -70,20 +99,42 @@ def blocked_fuzzy_pairs(
     co-locates blocks and parallelizes by block — the correct shape at
     full-table scale, where broadcasting the record set would be
     wrong."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("_name_a"),
-        *block_cols,
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(name_col).alias("_name_b"),
-        *block_cols,
-    )
+    if not block_cols:
+        raise ValueError(
+            "blocked_fuzzy_pairs: block_cols must be non-empty — an "
+            "empty block key is an all-pairs cross join; pick blocking "
+            "columns (that choice IS the performance model)"
+        )
     d = int(max_distance)
+    blk = [f"_blk_{i}" for i in range(len(block_cols))]
+    fan = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        *[F.col(c).alias(a) for c, a in zip(block_cols, blk)],
+        F.xxhash64(*block_cols).alias("_bk"),
+    )
+    a_fan, b_fan, keys = salted_band_sides(
+        fan, "_id", key="_bk", max_bucket_size=max_block_size
+    )
+    a = a_fan.select(
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("_name_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blk],
+        *keys,
+    )
+    b = b_fan.select(
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("_name_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blk],
+        *keys,
+    )
+    pairs = a.join(b, keys)
+    # re-check the REAL block equalities: exact on hash collisions, and
+    # SQL equality keeps the null-block exclusion the oracle join has
+    for c in blk:
+        pairs = pairs.where(F.col(f"{c}_a") == F.col(f"{c}_b"))
     return (
-        a.join(b, list(block_cols))
-        .where(F.col("id_a") < F.col("id_b"))
+        pairs.where(F.col("id_a") < F.col("id_b"))
         # necessary condition, no DP: edit distance >= length delta
         .where(F.abs(F.length("_name_a") - F.length("_name_b")) <= d)
         .withColumn(

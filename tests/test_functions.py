@@ -1978,6 +1978,111 @@ def test_blocked_fuzzy_pairs_matches_naive(spark):
     assert {(r["id_a"], r["id_b"]): r["d"] for r in naive} == got
 
 
+def test_blocked_fuzzy_pairs_salted_hot_block_bit_identical(spark):
+    """max_block_size — the fuzzy-ER hot-block knob: a 150-record
+    dominant block (the realistic Zipf key: one big city) splits
+    through the shared salted mechanism into bounded sub-groups, and
+    the matched pair set is BIT-IDENTICAL to the unsalted plan —
+    salting is a physical re-shape, never a semantics change."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    # hot block: 150 records in one (city) block, names in 3 fuzzy
+    # families plus noise; cold blocks pass through untouched
+    rows = [
+        (i, ["anna", "annb", "bert", "berta", "carl"][i % 5] + "x" * (i % 3), "metropolis")
+        for i in range(150)
+    ]
+    rows += [(1000 + i, f"zed{i}", f"village{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, name string, city string")
+
+    plain = sorted(
+        tuple(r)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["city"], max_distance=2
+        ).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ["city"], max_distance=2, max_block_size=16
+        ).collect()
+    )
+    assert salted == plain and len(plain) > 100
+
+    # nonsensical knob values fail loudly (shared mechanism contract)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        blocked_fuzzy_pairs(
+            df, "id", "name", ["city"], max_distance=2, max_block_size=0
+        )
+    with pytest.raises(ValueError, match="block_cols"):
+        blocked_fuzzy_pairs(df, "id", "name", [], max_distance=2)
+
+
+def test_blocked_fuzzy_pairs_null_blocks_and_null_names_excluded(spark):
+    """Documented NULL semantics (round-14 advisor finding): a record
+    with NULL in any block column never pairs (SQL equality — no
+    block membership), and a NULL name never matches; both still
+    label themselves in entity_clusters.  Holds identically on the
+    salted path."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+        entity_clusters,
+    )
+
+    rows = [
+        (1, "alice", "us"),
+        (2, "alicf", "us"),
+        (3, "alice", None),   # null block: pairs with nothing
+        (4, "alice", None),   # even identical names in the null block
+        (5, None, "us"),      # null name: matches nothing
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, region string")
+    for cap in (None, 2):
+        pairs = blocked_fuzzy_pairs(
+            df, "id", "name", ["region"], max_distance=2,
+            max_block_size=cap,
+        )
+        assert {
+            (r["id_a"], r["id_b"]) for r in pairs.collect()
+        } == {(1, 2)}, f"cap={cap}"
+    got = {
+        r["id"]: r["entity_id"]
+        for r in entity_clusters(
+            df,
+            blocked_fuzzy_pairs(df, "id", "name", ["region"], 2),
+            id_col="id",
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_blocked_fuzzy_pairs_salted_groups_bounded(spark):
+    """The salted probe side's per-(key, salt) group size is bounded
+    (~cap with hash-unevenness slack) — the straggler-task guarantee
+    the knob exists for — while cold blocks keep a single group."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        salted_band_sides,
+    )
+
+    rows = [(i, "metropolis") for i in range(200)]
+    rows += [(1000 + i, f"village{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, city string")
+    # same fan shape blocked_fuzzy_pairs builds: hashed block key
+    fan = df.select("id", F.xxhash64("city").alias("_bk"))
+    a, b, keys = salted_band_sides(fan, "id", key="_bk", max_bucket_size=16)
+    assert keys == ["_bk", "_salt"]
+    max_group = a.groupBy(*keys).count().agg(F.max("count")).first()[0]
+    assert max_group <= 32  # cap + pmod unevenness slack
+
+
 def test_entity_clusters_transitive_chain(spark):
     """A~B, B~C (no A~C edge) forms ONE entity labeled with the min
     id; unmatched records label themselves."""

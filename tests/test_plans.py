@@ -657,6 +657,35 @@ def test_blocked_fuzzy_pairs_is_broadcast_equi_join_no_python(spark):
     assert "levenshtein" in plan  # the match rides the join, no extra stage
 
 
+def test_blocked_fuzzy_pairs_salted_plan_shape(spark):
+    """The hot-block knob keeps the plan's class invariants: still an
+    EQUI join (now on hashed-block-key + salt), the hot-bucket
+    directory rides a BROADCAST exchange (an aggregate over the fan —
+    hot blocks are few by nature, never a data-sized build side), the
+    replication is a Generate (explode) node, and there is still zero
+    Python and zero cartesian anywhere."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = registry.load_table(spark, "customer", SF_SMOKE)
+    pairs = blocked_fuzzy_pairs(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        2,
+        max_block_size=8,
+    )
+    plan = _physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    assert "levenshtein" in plan
+    assert "BroadcastExchange" in plan  # the hot-bucket directory
+    assert "Generate" in plan  # build-side replication into sub-groups
+
+
 def test_zone_map_scan_reads_only_surviving_files(spark, tmp_path):
     """zone_map_scan's pruned read plans over a strict SUBSET of the
     generation's files — the skipped files never appear in the scan's

@@ -7913,3 +7913,198 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_clusters(c, pairs, id_col="c_custkey").orderBy(
         "c_custkey"
     )
+
+
+# --- round 15: time travel + snapshot diff registered, CDC-to-lakehouse,
+# --- salted fuzzy ER ---
+
+
+@register(
+    "events_time_travel_diff",
+    """
+    WITH t AS (
+        SELECT count(*) AS total,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks
+        FROM events
+    )
+    SELECT u.ch AS _change, t.clicks AS n, t.total AS as_of_rows,
+           2 AS n_snapshots
+    FROM t, (SELECT 'added' AS ch UNION ALL SELECT 'removed') u
+    ORDER BY _change
+    """,
+)
+def events_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL + COMMIT AUDIT registered end-to-end
+    (sources/manifest.py snapshots / read_snapshot / snapshot_diff) —
+    the Delta VERSION-AS-OF + DESCRIBE-HISTORY half of the lakehouse
+    story the round-14 commit protocol built: generations are
+    immutable and the keep_last grace window retains history, so
+    yesterday's exact table is one read and what a commit CHANGED is
+    one diff.  Here: the events table commits as generation 1, a
+    second commit perturbs every 'click' row (value shifted — an
+    update is remove+add under multiset diff semantics), and the
+    receipt is the diff GROUPED by change direction riding the AS-OF
+    row count of snapshot 1 and the retained-snapshot count: clicks
+    appear added AND removed (the update), the as-of read still sees
+    every pre-commit row, both retained manifests list.  The oracle
+    re-derives all three from the input table alone — the protocol
+    must neither lose nor invent rows.  Rebuilt per call on purpose:
+    the entry MUTATES its table, so a memo would make the receipt
+    rotation-order-dependent."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        read_snapshot,
+        snapshot_diff,
+        snapshots,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="time_travel_")
+    root = f"file://{os.path.join(base, 'events_tt')}"
+    commit_parquet_generation(spark, ev, root, keep_last=2)
+    perturbed = ev.withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "click", F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    commit_parquet_generation(spark, perturbed, root, keep_last=2)
+    as_of = read_snapshot(spark, root, 1).select(
+        F.count(F.lit(1)).alias("as_of_rows")
+    )
+    n_snaps = F.lit(len(snapshots(spark, root))).cast("int")
+    return (
+        snapshot_diff(spark, root, 1, 2)
+        .groupBy("_change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(as_of)
+        .withColumn("n_snapshots", n_snaps)
+        .orderBy("_change")
+    )
+
+
+@register(
+    "customers_cdc_lakehouse",
+    """
+    WITH n AS (
+        SELECT
+            CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN c_custkey % 3 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN c_custkey % 3 = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2
+        FROM customer
+    )
+    SELECT 'added' AS _change, n0 + n2 AS n_rows,
+           n0 + n2 AS n_keys FROM n
+    UNION ALL
+    SELECT 'removed', n0 + n1, n0 + n1 FROM n
+    ORDER BY _change
+    """,
+)
+def customers_cdc_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-TO-LAKEHOUSE composition (operators/scd.py apply_cdc ->
+    sources/manifest.py commit_parquet_generation, audited by
+    snapshot_diff) — ties the medallion/CDC story to the round-14
+    commit protocol on one generic table, the way
+    docs_maintenance_cycle tied it to serving indexes: the customer
+    snapshot commits as generation 1, the SAME deterministic feed as
+    customers_cdc_applied (two updates where the later seq must win,
+    update-then-delete where the delete must win, inserts under new
+    keys) applies in-engine and commits as generation 2, and
+    snapshot_diff(1, 2) is the audit: the diff must equal the feed's
+    NET effect — updates appear as one removed + one added row per
+    key, deletes as removed only, inserts as added only — which the
+    oracle re-derives from the input table's key population alone.
+    Both row and distinct-key counts ride the receipt (an update that
+    duplicated rows would split them).  Rebuilt per call: the entry
+    mutates its table."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        snapshot_diff,
+    )
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="cdc_lake_")
+    root = f"file://{os.path.join(base, 'customer_dim')}"
+    commit_parquet_generation(spark, c, root, keep_last=2)
+
+    # the customers_cdc_applied feed, verbatim (kept inline: sharing a
+    # helper would couple the two entries' rotation identities)
+    key = F.col("c_custkey")
+
+    def feed(pred, bal, op, seq, keyexpr=key):
+        return c.where(pred).select(
+            keyexpr.alias("c_custkey"),
+            "c_name",
+            bal.alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    bal = F.col("c_acctbal")
+    changes = (
+        feed(key % 3 == 0, bal + 100, "U", 1)
+        .unionByName(feed(key % 3 == 0, bal + 200, "U", 2))
+        .unionByName(feed(key % 3 == 1, bal, "U", 1))
+        .unionByName(feed(key % 3 == 1, bal, "D", 2))
+        .unionByName(feed(key % 3 == 2, bal, "I", 1, keyexpr=key + 100000))
+    )
+    commit_parquet_generation(
+        spark, apply_cdc(c, changes, ["c_custkey"]), root, keep_last=2
+    )
+    return (
+        snapshot_diff(spark, root, 1, 2)
+        .groupBy("_change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("_change")
+    )
+
+
+@register(
+    "customer_fuzzy_pairs_salted",
+    _FUZZY_PAIRS_SQL
+    + """
+    SELECT id_a, id_b, distance FROM fuzzy ORDER BY id_a, id_b
+    """,
+)
+def customer_fuzzy_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-ER candidate join under the HOT-BLOCK knob
+    (functions/linkage.py blocked_fuzzy_pairs max_block_size -> the
+    shared dedup.salted_band_sides mechanism): blocks larger than the
+    cap split into id-hash-salted sub-groups with the build side
+    replicated, so a Zipf-hot blocking key (one dominant city/zip —
+    the realistic ER input) spreads over ceil(m/cap) tasks instead of
+    grinding one straggler (the same lesson the streaming near-dup
+    sink's 275 s hot band taught).  Salting is EXACT — every pair
+    still meets exactly once — so this entry shares
+    customer_fuzzy_pairs' oracle verbatim: the driver proves the
+    salted physical plan bit-equal to the unsalted semantics at gate
+    SF (the cap of 8 is below every (nation, segment) block's size
+    there, so the salt path is genuinely exercised, not a no-op)."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = load_table(spark, "customer", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    return blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+        max_block_size=8,
+    ).orderBy("id_a", "id_b")

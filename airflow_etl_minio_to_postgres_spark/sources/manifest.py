@@ -57,6 +57,7 @@ from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_manifests"
 ZONE_MAP_DIR = "_zonemap"
+BLOOM_DIR = "_bloom"
 # \d{6,}: names are formatted {:06d} but parse wider, so seq 1,000,000+
 # still resolves (a fullmatch on exactly six digits would silently stop
 # matching the NEWEST manifest and readers would fall back to a stale
@@ -469,6 +470,230 @@ def zone_map_scan(
     )
 
 
+def write_bloom_filters(
+    spark: SparkSession,
+    gen_path: str,
+    bloom_cols: tuple[str, ...],
+    bits: int = 1 << 20,
+    k: int = 5,
+) -> str:
+    """Per-FILE Bloom filters for ``bloom_cols``, written as a
+    ``_bloom`` parquet sidecar inside the generation — the
+    Delta/Iceberg bloom-index half of POINT-LOOKUP file skipping,
+    complementing :func:`write_zone_maps`: zone maps answer "may this
+    file overlap the RANGE?", which is useless for an equality probe
+    on a high-cardinality key over a hash-distributed layout (every
+    file's [min, max] spans the domain); a Bloom filter answers "may
+    this file CONTAIN the value?" with a bounded false-positive rate
+    and zero false negatives — fetch-these-records-by-key over 10^5
+    files touches only the files whose filters claim the key.
+
+    Representation: SPARSE bitmap words.  Each row of a file sets
+    ``k`` bits (``pmod(xxhash64(value, i), bits)`` for i in 0..k-1 —
+    the engine's own JVM hash, so the probe recomputes identical
+    positions), and the sidecar stores one row per (file, col,
+    word_idx) with the OR of the 64-bit words — size is bounded by
+    set bits (≤ k·rows-per-file words), never by ``bits``, so the
+    default 2^20-bit domain costs nothing on small files.  NULLs set
+    no bits (an equality probe never matches null).  Two sentinel row
+    shapes ride the same schema: ``file=''`` meta rows record
+    (bits, k) per column for the probe, and ``col=''`` inventory
+    rows (word_idx -1) name every data file so fsck's completeness
+    check stays exact — a non-empty file silently missing from the
+    sidecar would be wrongly skipped by every probe, the worst
+    failure class.  All JVM: the explode/groupBy build is one
+    map-side-combined aggregate over the just-written generation
+    (k·rows shuffled — commit-time index-build cost, the z-order
+    class, not a serving cost), the sentinel rows enter as SQL VALUES
+    LocalRelations.  Written BEFORE the manifest publish by
+    :func:`commit_parquet_generation`, so the sidecar rides the
+    atomic flip.  Size ``bits`` to the per-file row count (fpp ~
+    (1 - e^(-k·n/bits))^k); the default holds ~1% fpp at 10^5 rows
+    per file.  Returns the sidecar path."""
+    from pyspark.sql import functions as F
+
+    if not bloom_cols:
+        raise ValueError("write_bloom_filters: bloom_cols must be non-empty")
+    bits, k = int(bits), int(k)
+    if bits < 64 or k < 1:
+        raise ValueError("write_bloom_filters: need bits >= 64 and k >= 1")
+    df = spark.read.parquet(gen_path)
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"write_bloom_filters: column(s) {missing} not in generation "
+            f"schema {sorted(df.columns)}"
+        )
+    gen_name = gen_path.rstrip("/").rsplit("/", 1)[-1]
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"),
+        ".*" + re.escape("/" + gen_name + "/") + "(.*)$",
+        1,
+    ).alias("file")
+    parts = []
+    for c in bloom_cols:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+        parts.append(
+            df.select(rel, F.col(c))
+            .where(F.col(c).isNotNull())
+            .select("file", pos)
+            .select(
+                "file",
+                F.lit(c).alias("col"),
+                F.expr("shiftright(pos, 6)").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("file", "col", "word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+    words = parts[0]
+    for p in parts[1:]:
+        words = words.unionByName(p)
+    meta_vals = ", ".join(
+        f"('', '{c}', {bits}L, {k}L)" for c in bloom_cols
+    )
+    sentinels = spark.sql(
+        f"SELECT * FROM VALUES {meta_vals} AS t(file, col, word_idx, word)"
+    )
+    names = sorted(_data_files(spark, gen_path))
+    if names:
+        inv_vals = ", ".join(
+            "('" + n.replace("'", "''") + "', '', -1L, 0L)" for n in names
+        )
+        sentinels = sentinels.unionByName(
+            spark.sql(
+                f"SELECT * FROM VALUES {inv_vals} "
+                "AS t(file, col, word_idx, word)"
+            )
+        )
+    bl_path = _join(gen_path, BLOOM_DIR)
+    words.unionByName(sentinels).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bl_path)
+    return bl_path
+
+
+def bloom_point_scan(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    values: list,
+):
+    """Point-lookup read of a manifest-committed table through its
+    ``_bloom`` sidecar: resolve the current generation, keep only the
+    files whose Bloom filter claims AT LEAST ONE of ``values``, scan
+    those, and RE-APPLY the ``isin`` predicate — the filter is a
+    pruning hint with false positives, never the filter itself, so
+    the result equals ``read_resolved(...).where(col.isin(values))``
+    by construction (zero false negatives: a Bloom filter never
+    claims absence wrongly), just touching ~k files per value instead
+    of all of them.
+
+    Planning cost: one sidecar read filtered to the probed word
+    indexes (pushed to the parquet scan), one file-count-sized
+    aggregate, positions recomputed with the engine's own
+    ``xxhash64`` at the column's native type — hash identity with
+    the writer is by construction, not convention.  The survivor
+    list is collected driver-side (file-count-sized planning
+    metadata, the Delta add-file-replay shape).  Fallbacks mirror
+    :func:`zone_map_scan`: no sidecar, or no filter for ``column``
+    (it wasn't in ``bloom_cols``) → full scan with the predicate; a
+    column absent from the TABLE raises; an empty ``values`` list or
+    an empty survivor set returns an empty frame with the table's
+    schema without touching data.  ``values`` sizes the literal
+    condition set (k conditions per value) — batches of key lookups
+    are the use case, not semi-joins; join against the table for
+    row-set-sized probes."""
+    from pyspark.sql import functions as F
+
+    data_root = resolve_data_root(spark, root)
+    full = spark.read.option("basePath", data_root).parquet(data_root)
+    dtypes = dict(full.dtypes)
+    if column not in dtypes:
+        raise ValueError(
+            f"bloom_point_scan: column {column!r} not in table schema "
+            f"{sorted(dtypes)}"
+        )
+    values = list(values)
+    pred = F.col(column).isin(values) if values else F.lit(False)
+    if not values:
+        return full.where(pred)
+    jvm, fs = _fs_for(spark, data_root)
+    bl_path = _join(data_root, BLOOM_DIR)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(bl_path)):
+        return full.where(pred)
+    bl = spark.read.parquet(bl_path)
+    meta = {
+        r["col"]: (int(r["word_idx"]), int(r["word"]))
+        for r in bl.where(F.col("file") == "").collect()
+    }
+    if column not in meta:
+        # committed without a bloom on this column: a hint, not a
+        # contract — the re-applied predicate still filters
+        return full.where(pred)
+    bits, k = meta[column]
+    probe = spark.createDataFrame(
+        [(v,) for v in values], f"v {dtypes[column]}"
+    ).select(
+        *[
+            F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(bits)).alias(
+                f"p{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    # |values| x k positions — metadata-sized planning collect
+    pos_rows = [[int(r[f"p{i}"]) for i in range(k)] for r in probe.collect()]
+
+    def _mask(p: int) -> int:
+        m = 1 << (p & 63)
+        return m - (1 << 64) if m >= (1 << 63) else m  # signed long
+
+    all_widx = sorted({p >> 6 for ps in pos_rows for p in ps})
+    hits = []
+    survive = F.lit(False)
+    for j, ps in enumerate(pos_rows):
+        conj = F.lit(True)
+        for i, p in enumerate(ps):
+            h = F.max(
+                F.when(
+                    (F.col("word_idx") == (p >> 6))
+                    & (F.col("word").bitwiseAND(F.lit(_mask(p))) != 0),
+                    1,
+                ).otherwise(0)
+            ).alias(f"h_{j}_{i}")
+            hits.append(h)
+            conj = conj & (F.col(f"h_{j}_{i}") == 1)
+        survive = survive | conj
+    kept_rows = (
+        bl.where(
+            (F.col("col") == column) & F.col("word_idx").isin(all_widx)
+        )
+        .groupBy("file")
+        .agg(*hits)
+        .where(survive)
+        .select("file")
+        .collect()
+    )
+    kept = [r["file"] for r in kept_rows]
+    if not kept:
+        return full.where(F.lit(False))
+    return (
+        spark.read.option("basePath", data_root)
+        .parquet(*[_join(data_root, f) for f in kept])
+        .where(pred)
+    )
+
+
 def commit_parquet_generation(
     spark: SparkSession,
     df,
@@ -477,6 +702,10 @@ def commit_parquet_generation(
     partition_by: tuple[str, ...] = (),
     legacy_sidecars: tuple[str, ...] = (),
     zone_map_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 5,
+    allow_column_drop: bool = False,
 ) -> int:
     """Write ANY DataFrame as the next manifest-committed generation
     of ``root`` — the generic adopter path for serving tables whose
@@ -493,8 +722,37 @@ def commit_parquet_generation(
     with them.  ``zone_map_cols`` additionally writes the per-file
     min/max ``_zonemap`` sidecar (:func:`write_zone_maps`) into the
     generation BEFORE the publish, so file-skipping reads
-    (:func:`zone_map_scan`) flip atomically with the data.  Returns
-    the committed sequence number."""
+    (:func:`zone_map_scan`) flip atomically with the data;
+    ``bloom_cols`` does the same for the per-file ``_bloom``
+    point-lookup filters (:func:`write_bloom_filters` /
+    :func:`bloom_point_scan`, sized by ``bloom_bits``/``bloom_k``).
+
+    SCHEMA GUARD: a recommit whose frame DROPS columns the current
+    generation carries breaks every downstream reader silently (the
+    resolving view narrows, selects fail far from the cause) — the
+    usual cause is a compaction bug, not intent, so the commit
+    REFUSES before writing anything unless ``allow_column_drop=True``
+    states the migration is deliberate.  Additions and type changes
+    pass (widening is the normal evolution direction; type drift is
+    ``snapshot_diff``'s report, and a serving-layout loss is
+    ``fsck_index``'s kind-regression issue).  Returns the committed
+    sequence number."""
+    got = latest_manifest(spark, root)
+    if got is not None:
+        prev_root = _join(root, str(got[1]["generation"]))
+        try:
+            prev_cols = set(spark.read.parquet(prev_root).columns)
+        except Exception:
+            prev_cols = set()  # unreadable predecessor: nothing to guard
+        dropped = sorted(prev_cols - set(df.columns))
+        if dropped and not allow_column_drop:
+            raise ValueError(
+                f"commit_parquet_generation: frame drops column(s) "
+                f"{dropped} that the current generation of {root!r} "
+                "carries — every reader of the resolving view would "
+                "break; pass allow_column_drop=True if this migration "
+                "is deliberate"
+            )
     seq = next_seq(spark, root)
     gen = f"_gen-{seq:06d}"
     writer = df.write.mode("overwrite")
@@ -515,6 +773,14 @@ def commit_parquet_generation(
         df.limit(0).write.mode("overwrite").parquet(_join(root, gen))
     if zone_map_cols:
         write_zone_maps(spark, _join(root, gen), tuple(zone_map_cols))
+    if bloom_cols:
+        write_bloom_filters(
+            spark,
+            _join(root, gen),
+            tuple(bloom_cols),
+            bits=bloom_bits,
+            k=bloom_k,
+        )
     publish_generation(spark, root, seq, gen)
     gc_generations(
         spark,
@@ -884,7 +1150,11 @@ def fsck_index(
       failure class), a sidecar row naming a gone file fails every
       skipping read far from the cause.  Within the commit protocol
       neither can happen (the sidecar is derived from the written
-      generation before the publish); this catches out-of-band edits.
+      generation before the publish); this catches out-of-band edits;
+    * **bloom completeness** — the same inventory check for the
+      ``_bloom`` point-lookup sidecar (a data file missing from it is
+      silently skipped by every ``bloom_point_scan``), plus the
+      presence of the (bits, k) meta rows the probe needs.
 
     Returns a plain dict report (``issues`` empty == healthy;
     ``warnings`` carries safe-but-degraded states — e.g. a recommit
@@ -1045,6 +1315,55 @@ def fsck_index(
                 f"(e.g. {gone[:3]}) — skipping reads fail far from the "
                 "cause; rebuild the sidecar or recommit the generation"
             )
+
+    # bloom completeness: sidecar inventory == actual data files, and
+    # the (bits, k) meta rows the probe needs must be present — same
+    # contract as the zone-map check: a data file missing from the
+    # sidecar is silently skipped by every bloom_point_scan (wrong
+    # results, not an error)
+    bl_path = _join(data_root, BLOOM_DIR)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(bl_path)):
+        try:
+            bl = spark.read.parquet(bl_path)
+            listed_bl = {
+                r["file"]
+                for r in bl.where(F.col("file") != "")
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            n_meta = bl.where(F.col("file") == "").count()
+        except Exception as exc:
+            report["issues"].append(
+                f"_bloom sidecar unreadable: {exc} — point-lookup reads "
+                "fall back to the full scan only when the sidecar is "
+                "ABSENT; rebuild it (write_bloom_filters) or recommit"
+            )
+            listed_bl, n_meta = None, None
+        if listed_bl is not None:
+            if n_meta == 0:
+                report["issues"].append(
+                    "_bloom sidecar has no meta rows (bits/k) — every "
+                    "probe falls back to a full scan; rebuild the sidecar"
+                )
+            actual = _data_files(spark, data_root)
+            unmapped_bl = sorted(actual - listed_bl)
+            gone_bl = sorted(listed_bl - actual)
+            if unmapped_bl:
+                report["issues"].append(
+                    f"{len(unmapped_bl)} data file(s) absent from _bloom "
+                    f"(e.g. {unmapped_bl[:3]}) — every bloom_point_scan "
+                    "silently SKIPS them (wrong results, not an error); "
+                    "rebuild the sidecar (write_bloom_filters) or "
+                    "recommit the generation"
+                )
+            if gone_bl:
+                report["issues"].append(
+                    f"_bloom lists {len(gone_bl)} file(s) that do not "
+                    f"exist (e.g. {gone_bl[:3]}) — point-lookup reads "
+                    "fail far from the cause; rebuild the sidecar or "
+                    "recommit the generation"
+                )
 
     cols = set(df.columns)
     serving = _layout_kind(cols)

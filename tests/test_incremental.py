@@ -3141,11 +3141,14 @@ def test_snapshot_diff_added_removed_and_value_equal(spark, tmp_path):
     assert mf.snapshot_diff(spark, root, 2, 3).count() == 0
 
     # column-set drift raises clearly, naming the divergence per side
+    # (allow_column_drop: the commit-side guard would refuse this
+    # narrowing — here we WANT the divergent history to test the diff)
     mf.commit_parquet_generation(
         spark,
         spark.range(3).select(F.col("id"), F.lit(1).alias("other")),
         root,
         keep_last=4,
+        allow_column_drop=True,
     )
     with _pytest.raises(ValueError, match="only in 4: \\['other'\\]"):
         mf.snapshot_diff(spark, root, 3, 4)
@@ -3238,11 +3241,16 @@ def test_fsck_detects_kind_regression_to_generic(spark, tmp_path):
     assert healthy["kind"] == "inverted" and healthy["issues"] == []
 
     # simulate the broken compaction: recommit the index WITHOUT its
-    # layout column, previous (healthy) generation retained
+    # layout column, previous (healthy) generation retained.
+    # allow_column_drop bypasses the commit-side schema guard — real
+    # index compactors publish through publish_generation directly,
+    # which has no such guard, so fsck is the net that must catch it
     broken = spark.read.parquet(
         mf.resolve_data_root(spark, idx)
     ).drop("term_bucket")
-    mf.commit_parquet_generation(spark, broken, idx, keep_last=2)
+    mf.commit_parquet_generation(
+        spark, broken, idx, keep_last=2, allow_column_drop=True
+    )
     rep = mf.fsck_index(spark, idx, keep_last=2)
     assert rep["kind"] == "generic"
     assert any("layout regressed from 'inverted'" in i for i in rep["issues"])
@@ -3364,3 +3372,174 @@ def test_read_snapshot_retention_hint_on_gcd_seq(spark, tmp_path):
     with _pytest.raises(KeyError) as exc:
         mf.read_snapshot(spark, root, 99)
     assert "grace window" not in str(exc.value)
+
+
+def test_bloom_point_scan_prunes_and_matches_full_filter(spark, tmp_path):
+    """Bloom point-lookup file skipping (manifest.write_bloom_filters /
+    bloom_point_scan): on a HASH-distributed layout (where zone maps
+    cannot prune — every file's [min, max] spans the key domain) a
+    lookup of a few keys touches a strict subset of files, the result
+    equals the full filtered scan exactly (zero false negatives), an
+    absent key returns empty, and the isin predicate is re-applied so
+    false positives never leak rows."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    root = str(tmp_path / "t")
+    # .repartition(8): hash-random layout — min/max useless per file
+    mf.commit_parquet_generation(
+        spark, df.repartition(8), root, bloom_cols=("id",)
+    )
+    probe = mf.bloom_point_scan(spark, root, "id", [7, 1234, 3999])
+    got = sorted((r["id"], r["grp"]) for r in probe.collect())
+    assert got == [(7, 0), (1234, 2), (3999, 2)]
+    # strict pruning: the probed scan touches fewer files than the
+    # generation holds (3 keys x k=5 positions over 8 files: the odds
+    # of every file surviving are negligible at this fill factor)
+    n_files = probe.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_files <= 3  # each key lives in exactly one file
+    # absent key: empty result (possibly without touching any file)
+    assert mf.bloom_point_scan(spark, root, "id", [99999]).count() == 0
+    # empty values: empty frame with the table schema, no scan
+    empty = mf.bloom_point_scan(spark, root, "id", [])
+    assert empty.count() == 0 and set(empty.columns) == {"id", "grp"}
+
+
+def test_bloom_point_scan_fallbacks_and_nulls(spark, tmp_path):
+    """Fallback contract mirrors zone maps: no sidecar -> full scan
+    with the predicate; a column committed WITHOUT a bloom -> full
+    scan (hint absent, predicate still filters); unknown column
+    raises; NULL values set no bits and a probe never matches them."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    rows = [(1, "a"), (2, None), (3, "c"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df.repartition(2), root, bloom_cols=("name",)
+    )
+    # bloom'd string column with nulls: exact result
+    assert [
+        r["id"]
+        for r in mf.bloom_point_scan(spark, root, "name", ["c"]).collect()
+    ] == [3]
+    # un-bloom'd column: falls back, still exact
+    assert mf.bloom_point_scan(spark, root, "id", [2]).count() == 1
+    with _pytest.raises(ValueError, match="not in table schema"):
+        mf.bloom_point_scan(spark, root, "nope", [1])
+
+    # no sidecar at all (plain commit): full-scan fallback
+    root2 = str(tmp_path / "t2")
+    mf.commit_parquet_generation(spark, df, root2)
+    assert mf.bloom_point_scan(spark, root2, "id", [1, 3]).count() == 2
+
+
+def test_fsck_bloom_completeness(spark, tmp_path):
+    """fsck's _bloom inventory check: a healthy bloom'd commit fscks
+    clean; a data file added out-of-band (absent from the sidecar) is
+    the silently-skipped-by-every-probe issue."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(100).select(F.col("id"))
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df.repartition(4), root, bloom_cols=("id",)
+    )
+    rep = mf.fsck_index(spark, root)
+    assert rep["issues"] == [] and rep["kind"] == "generic"
+
+    # out-of-band file lands in the generation behind the sidecar
+    gen = mf.resolve_data_root(spark, root)
+    spark.range(5).select(F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(gen)
+    rep2 = mf.fsck_index(spark, root)
+    assert any("absent from _bloom" in i for i in rep2["issues"])
+
+
+def test_commit_schema_guard_refuses_column_drop(spark, tmp_path):
+    """The commit-side schema guard: a recommit that DROPS a column
+    the current generation carries refuses loudly before writing
+    anything (no orphan generation, seq unchanged); allow_column_drop
+    states the migration is deliberate; additions pass freely."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    mf.commit_parquet_generation(spark, df, root, keep_last=2)
+
+    with _pytest.raises(ValueError, match="drops column.*'v'"):
+        mf.commit_parquet_generation(
+            spark, df.select("id"), root, keep_last=2
+        )
+    # refused BEFORE writing: no orphan generation, history unchanged
+    assert [s["seq"] for s in mf.snapshots(spark, root)] == [1]
+    assert mf.next_seq(spark, root) == 2
+
+    # widening passes
+    mf.commit_parquet_generation(
+        spark, df.withColumn("extra", F.lit(1)), root, keep_last=2
+    )
+    # deliberate narrowing passes with the knob
+    mf.commit_parquet_generation(
+        spark, df.select("id"), root, keep_last=2, allow_column_drop=True
+    )
+    assert set(mf.read_resolved(spark, root).columns) == {"id"}
+
+
+def test_recluster_zorder_committed_with_bloom(spark, tmp_path):
+    """recluster_zorder_committed(bloom_cols=...) pairs the layout
+    pass with BOTH skipping sidecars in one atomic commit: range
+    queries prune via _zonemap, key lookups prune via _bloom, and
+    both reads are exact against the full scan."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+    from airflow_etl_minio_to_postgres_spark.sources.files import (
+        recluster_zorder_committed,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 61).alias("bu"), (F.col("id") % 13).alias("bh")
+    )
+    root = f"file://{tmp_path / 'facts'}"
+    df.write.parquet(root)
+    recluster_zorder_committed(
+        spark,
+        root,
+        ["bu", "bh"],
+        n_files=8,
+        keep_last=2,
+        zone_map_cols=("bu", "bh"),
+        bloom_cols=("id",),
+    )
+    gen = mf.resolve_data_root(spark, root)
+    jvm, fs = mf._fs_for(spark, gen)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(mf._join(gen, "_zonemap")))
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(mf._join(gen, "_bloom")))
+    # range read exact
+    assert mf.zone_map_scan(spark, root, {"bu": (0, 5)}).count() == (
+        df.where(F.col("bu") <= 5).count()
+    )
+    # key read exact and pruned
+    probe = mf.bloom_point_scan(spark, root, "id", [3, 1999])
+    assert sorted(r["id"] for r in probe.collect()) == [3, 1999]
+    n_files = probe.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_files <= 3
+    # fsck validates both sidecars in one pass
+    rep = mf.fsck_index(spark, root, keep_last=2)
+    assert rep["issues"] == []

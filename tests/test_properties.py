@@ -1463,6 +1463,7 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
             [
                 "commit",
                 "commit_zm",
+                "commit_bloom",
                 "crash_before_publish",
                 "crash_after_zm_before_publish",
                 "crash_mid_publish",
@@ -1490,7 +1491,10 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     orphan) add the data-skipping invariants: whenever the SERVED
     generation carries a ``_zonemap``, its file inventory equals the
     actual data files and a skipping read equals the filtered full
-    scan — under every crash interleaving."""
+    scan — under every crash interleaving.  Bloom-committed
+    generations (``commit_bloom``) add the point-lookup invariants
+    the same way: sidecar inventory complete, a probe for a present
+    key finds exactly it, an absent key finds nothing."""
     import os as _os
 
     from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
@@ -1498,13 +1502,18 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     root = str(tmp_path_factory.mktemp("proto"))
     ids = spark.range(50)
 
-    def write_gen(seq: int, zone_maps: bool = False) -> str:
+    def write_gen(seq: int, zone_maps: bool = False,
+                  bloom: bool = False) -> str:
         gen = f"_gen-{seq:06d}"
         ids.withColumn("g", F.lit(int(seq))).write.mode("overwrite").parquet(
             mf._join(root, gen)
         )
         if zone_maps:
             mf.write_zone_maps(spark, mf._join(root, gen), ("id",))
+        if bloom:
+            mf.write_bloom_filters(
+                spark, mf._join(root, gen), ("id",), bits=256, k=3
+            )
         return gen
 
     # the pre-manifest legacy payload: stamp 0, hive-partitioned at
@@ -1536,12 +1545,28 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
             assert listed == mf._data_files(spark, resolved)
             skipped = mf.zone_map_scan(spark, root, {"id": (10, 19)})
             assert skipped.count() == 10
+        if _os.path.isdir(_os.path.join(resolved, "_bloom")):
+            listed = {
+                r["file"]
+                for r in spark.read.parquet(
+                    _os.path.join(resolved, "_bloom")
+                )
+                .where("file <> ''")
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            assert listed == mf._data_files(spark, resolved)
+            assert mf.bloom_point_scan(
+                spark, root, "id", [7, 9999]
+            ).count() == 1
 
     check()
     for op in ops:
         seq = mf.next_seq(spark, root)
         gen = write_gen(seq, zone_maps=op in ("commit_zm",
-                                              "crash_after_zm_before_publish"))
+                                              "crash_after_zm_before_publish"),
+                        bloom=op == "commit_bloom")
         if op in ("crash_before_publish", "crash_after_zm_before_publish"):
             check()  # orphan (sidecar'd or not) invisible; reader unaffected
             continue
@@ -1625,6 +1650,53 @@ def test_zone_map_scan_equals_full_filtered_scan(
         return (lo is None or v >= lo) and (hi is None or v <= hi)
 
     want = sorted((i, v) for i, v in enumerate(vals) if keep(v))
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(min_value=-50, max_value=50), st.none()),
+        min_size=1,
+        max_size=40,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-60, max_value=60), min_size=1, max_size=4
+    ),
+    n_files=st.integers(min_value=1, max_value=5),
+    bits=st.integers(min_value=64, max_value=512),
+)
+@SPARK_SETTINGS
+def test_bloom_point_scan_equals_full_filtered_scan(
+    spark, tmp_path_factory, vals, probes, n_files, bits
+):
+    """Property: for ANY data (nulls included), ANY probe set (present
+    or absent values), ANY file layout, and even a DELIBERATELY
+    undersized filter (bits down to 64 — high false-positive rate),
+    bloom_point_scan == the full scan with the same isin predicate.
+    False positives cost extra files, never wrong rows; false
+    negatives are structurally impossible (every present value set
+    its bits)."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path_factory.mktemp("blprop") / "t")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    mf.commit_parquet_generation(
+        spark,
+        df.repartition(n_files),
+        root,
+        bloom_cols=("v",),
+        bloom_bits=bits,
+        bloom_k=3,
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in mf.bloom_point_scan(spark, root, "v", probes).collect()
+    )
+    want = sorted(
+        (i, v) for i, v in enumerate(vals) if v is not None and v in probes
+    )
     assert got == want
 
 

@@ -8108,3 +8108,47 @@ def customer_fuzzy_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=2,
         max_block_size=8,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "events_bloom_point_lookup",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id IN (7, 77, 777)
+    ORDER BY event_id
+    """,
+)
+def events_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER point-lookup file skipping registered end-to-end
+    (sources/manifest.py write_bloom_filters / bloom_point_scan) —
+    the second half of the data-skipping story: zone maps answer
+    range overlap, which is useless for an equality probe on a
+    high-cardinality key over a HASH-distributed layout (every
+    file's [min, max] spans the domain — exactly how this entry lays
+    the table out, on purpose); the per-file Bloom sidecar answers
+    "may this file contain the key?" with zero false negatives, so
+    fetch-these-records-by-key touches ~1 file per key instead of
+    all of them (pytest-pinned: 3 keys over 8 files scan <= 3).
+    Sparse bitmap words (sized by set bits, never by the 2^20-bit
+    domain), positions from the engine's own JVM xxhash64 at the
+    column's native type, the isin predicate re-applied so false
+    positives never leak rows — the oracle runs the SAME lookup over
+    the full table, proving the pruning lossless.  Rebuilt per call:
+    the entry commits its own table."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        bloom_point_scan,
+        commit_parquet_generation,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="bloom_lookup_")
+    root = f"file://{os.path.join(base, 'events_bloom')}"
+    commit_parquet_generation(
+        spark, ev.repartition(8), root, bloom_cols=("event_id",)
+    )
+    return bloom_point_scan(
+        spark, root, "event_id", [7, 77, 777]
+    ).orderBy("event_id")

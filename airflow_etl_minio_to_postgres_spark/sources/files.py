@@ -580,6 +580,7 @@ def recluster_zorder_committed(
     sample_rate: float = 0.2,
     keep_last: int = 1,
     zone_map_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
     """The OBJECT-STORE face of :func:`recluster_zorder_parquet` — the
     same recluster plan committed through the manifest protocol
@@ -606,8 +607,11 @@ def recluster_zorder_committed(
     pairing: the z-order layout makes every file a tight
     hyper-rectangle, the sidecar lets ``manifest.zone_map_scan`` skip
     non-overlapping files at PLANNING time (one sidecar read instead
-    of a footer GET per file).  Returns the committed sequence
-    number."""
+    of a footer GET per file).  ``bloom_cols`` likewise writes the
+    per-file ``_bloom`` point-lookup sidecar
+    (``manifest.write_bloom_filters``) in the same commit — range
+    skipping from the layout, key skipping from the filters, one
+    atomic flip.  Returns the committed sequence number."""
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         _list_names,
         commit_parquet_generation,
@@ -636,6 +640,7 @@ def recluster_zorder_committed(
     return commit_parquet_generation(
         spark, staged, root, keep_last=keep_last,
         zone_map_cols=tuple(zone_map_cols),
+        bloom_cols=tuple(bloom_cols),
     )
 
 

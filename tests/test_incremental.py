@@ -3543,3 +3543,24 @@ def test_recluster_zorder_committed_with_bloom(spark, tmp_path):
     # fsck validates both sidecars in one pass
     rep = mf.fsck_index(spark, root, keep_last=2)
     assert rep["issues"] == []
+
+
+def test_bloom_point_scan_partitioned_generation(spark, tmp_path):
+    """Bloom sidecars work over hive-partitioned generations: relative
+    paths in the sidecar span the partition dirs, basePath keeps the
+    partition column in the result, and the probe is exact."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df, root, partition_by=("p",), bloom_cols=("id",)
+    )
+    got = mf.bloom_point_scan(spark, root, "id", [5, 333]).collect()
+    assert sorted((r["id"], r["p"]) for r in got) == [(5, 1), (333, 1)]
+    rep = mf.fsck_index(spark, root)
+    assert rep["issues"] == []

@@ -8152,3 +8152,63 @@ def events_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_point_scan(
         spark, root, "event_id", [7, 77, 777]
     ).orderBy("event_id")
+
+
+@register(
+    "events_skipping_scan_combined",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id IN (300, 500, 3000, 5000, 30000, 50000)
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def events_skipping_scan_combined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMBINED file skipping (sources/manifest.py skipping_scan) —
+    the real query shape: "these keys, in this date window" runs both
+    sidecar tests in one planner — the _zonemap overlap test on the
+    ts range and the _bloom containment test on the key set — and
+    scans only the INTERSECTION of their survivors (each sidecar can
+    only remove provably-empty files, so intersecting is exact).
+    The layout serves both prunings at once: range-clustered on ts
+    (tight per-file [min, max] for the zone test) with per-file
+    Bloom filters on event_id (key containment regardless of
+    clustering).  The full conjunctive predicate is re-applied, and
+    the oracle runs the SAME conjunction over the full table —
+    pruning proven lossless.  Event ids ride event time in the test
+    corpus, so the key ladder (300..50000) lands SOME keys inside the
+    10-day window and leaves others bloom-passing but zone-pruned or
+    absent entirely at EVERY scale factor — both pruning directions
+    are genuinely exercised wherever the driver runs it.  Rebuilt per
+    call: the entry commits its own table."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        skipping_scan,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="skip_combined_")
+    root = f"file://{os.path.join(base, 'events_skip')}"
+    commit_parquet_generation(
+        spark,
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        root,
+        zone_map_cols=("ts",),
+        bloom_cols=("event_id",),
+    )
+    return (
+        skipping_scan(
+            spark,
+            root,
+            ranges={"ts": ("2024-01-10 00:00:00", "2024-01-20 00:00:00")},
+            keys={"event_id": [300, 500, 3000, 5000, 30000, 50000]},
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -442,10 +442,33 @@ def zone_map_scan(
             pred = pred & (F.col(c) >= F.lit(lo).cast(dtypes[c]))
         if hi is not None:
             pred = pred & (F.col(c) <= F.lit(hi).cast(dtypes[c]))
+    kept = _zone_kept_files(spark, data_root, ranges, dtypes)
+    if kept is None:
+        return full.where(pred)
+    if not kept:
+        return full.where(F.lit(False))
+    return (
+        spark.read.option("basePath", data_root)
+        .parquet(*[_join(data_root, f) for f in sorted(kept)])
+        .where(pred)
+    )
+
+
+def _zone_kept_files(
+    spark: SparkSession, data_root: str, ranges: dict, dtypes: dict
+):
+    """Survivor set of the ``_zonemap`` overlap test — ``None`` when
+    the generation has no sidecar (no pruning information: the caller
+    falls back to the full scan), else the set of relative file paths
+    whose [min, max] intervals overlap every bounded range.  The
+    shared planning core of :func:`zone_map_scan` and
+    :func:`skipping_scan`."""
+    from pyspark.sql import functions as F
+
     jvm, fs = _fs_for(spark, data_root)
     zm_path = _join(data_root, ZONE_MAP_DIR)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(zm_path)):
-        return full.where(pred)
+        return None
     zm = spark.read.parquet(zm_path)
     zm_cols = set(zm.columns)
     keep = F.lit(True)
@@ -460,14 +483,7 @@ def zone_map_scan(
             keep = keep & (mx.isNull() | (mx >= F.lit(lo).cast(dtypes[c])))
         if hi is not None:
             keep = keep & (mn.isNull() | (mn <= F.lit(hi).cast(dtypes[c])))
-    kept = [r["file"] for r in zm.where(keep).select("file").collect()]
-    if not kept:
-        return full.where(F.lit(False))
-    return (
-        spark.read.option("basePath", data_root)
-        .parquet(*[_join(data_root, f) for f in kept])
-        .where(pred)
-    )
+    return {r["file"] for r in zm.where(keep).select("file").collect()}
 
 
 def write_bloom_filters(
@@ -576,7 +592,14 @@ def write_bloom_filters(
             )
         )
     bl_path = _join(gen_path, BLOOM_DIR)
-    words.unionByName(sentinels).coalesce(1).write.mode(
+    # sidecar size is words-per-file x files (unlike _zonemap's one
+    # row per file), so a single coalesced task would bottleneck a
+    # 10^5-file commit: scale the output file count with the
+    # inventory (~512 data files' words per sidecar file keeps each
+    # output in the tens of MB) — probes filter on word_idx, which
+    # pushes down regardless of the file count
+    n_out = max(1, len(names) // 512)
+    words.unionByName(sentinels).coalesce(n_out).write.mode(
         "overwrite"
     ).parquet(bl_path)
     return bl_path
@@ -607,8 +630,10 @@ def bloom_point_scan(
     metadata, the Delta add-file-replay shape).  Fallbacks mirror
     :func:`zone_map_scan`: no sidecar, or no filter for ``column``
     (it wasn't in ``bloom_cols``) → full scan with the predicate; a
-    column absent from the TABLE raises; an empty ``values`` list or
-    an empty survivor set returns an empty frame with the table's
+    column absent from the TABLE raises; ``None`` values are dropped
+    (an equality probe never matches null — SQL semantics, and the
+    writer set no bits for nulls); an empty ``values`` list or an
+    empty survivor set returns an empty frame with the table's
     schema without touching data.  ``values`` sizes the literal
     condition set (k conditions per value) — batches of key lookups
     are the use case, not semi-joins; join against the table for
@@ -623,14 +648,44 @@ def bloom_point_scan(
             f"bloom_point_scan: column {column!r} not in table schema "
             f"{sorted(dtypes)}"
         )
-    values = list(values)
+    # None never matches an equality probe (SQL semantics: col = NULL
+    # is null, and the writer set no bits for null values) — drop it
+    # here rather than crash the position computation on a null hash
+    values = [v for v in values if v is not None]
     pred = F.col(column).isin(values) if values else F.lit(False)
     if not values:
         return full.where(pred)
+    kept = _bloom_kept_files(spark, data_root, column, values, dtypes)
+    if kept is None:
+        return full.where(pred)
+    if not kept:
+        return full.where(F.lit(False))
+    return (
+        spark.read.option("basePath", data_root)
+        .parquet(*[_join(data_root, f) for f in sorted(kept)])
+        .where(pred)
+    )
+
+
+def _bloom_kept_files(
+    spark: SparkSession,
+    data_root: str,
+    column: str,
+    values: list,
+    dtypes: dict,
+):
+    """Survivor set of the ``_bloom`` containment test — ``None`` when
+    the generation has no sidecar or the sidecar carries no filter for
+    ``column`` (no pruning information), else the set of relative file
+    paths whose filters claim at least one of ``values`` (non-null,
+    non-empty — the callers pre-clean).  The shared planning core of
+    :func:`bloom_point_scan` and :func:`skipping_scan`."""
+    from pyspark.sql import functions as F
+
     jvm, fs = _fs_for(spark, data_root)
     bl_path = _join(data_root, BLOOM_DIR)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(bl_path)):
-        return full.where(pred)
+        return None
     bl = spark.read.parquet(bl_path)
     meta = {
         r["col"]: (int(r["word_idx"]), int(r["word"]))
@@ -639,7 +694,7 @@ def bloom_point_scan(
     if column not in meta:
         # committed without a bloom on this column: a hint, not a
         # contract — the re-applied predicate still filters
-        return full.where(pred)
+        return None
     bits, k = meta[column]
     probe = spark.createDataFrame(
         [(v,) for v in values], f"v {dtypes[column]}"
@@ -684,12 +739,73 @@ def bloom_point_scan(
         .select("file")
         .collect()
     )
-    kept = [r["file"] for r in kept_rows]
+    return {r["file"] for r in kept_rows}
+
+
+def skipping_scan(
+    spark: SparkSession,
+    root: str,
+    ranges: dict | None = None,
+    keys: dict | None = None,
+):
+    """COMBINED file-skipping read — the real query shape: range
+    predicates AND key lookups in one pruned scan ("these users'
+    events in this date window").  ``ranges`` maps column →
+    ``(lo, hi)`` (the ``_zonemap`` test), ``keys`` maps column →
+    list-of-values (the ``_bloom`` test, AND across columns, OR
+    within a column's values); the survivor set is the INTERSECTION
+    of every available sidecar's survivors — each sidecar can only
+    remove files the predicate proves empty, so intersecting is
+    exact — and the full conjunctive predicate is re-applied to the
+    scanned rows, making the result equal to
+    ``read_resolved(...).where(pred)`` by construction.
+
+    Degrades per sidecar, never wholesale: a missing ``_zonemap``
+    leaves pruning to the blooms and vice versa; neither present is
+    the plain filtered scan.  Column-absent-from-table raises;
+    ``None`` probe values are dropped (equality never matches null);
+    an empty values list for any key column makes the predicate
+    unsatisfiable — an empty frame with the table's schema, no data
+    touched."""
+    from pyspark.sql import functions as F
+
+    ranges = dict(ranges or {})
+    keys = {c: [v for v in vs if v is not None] for c, vs in (keys or {}).items()}
+    data_root = resolve_data_root(spark, root)
+    full = spark.read.option("basePath", data_root).parquet(data_root)
+    dtypes = dict(full.dtypes)
+    unknown = [c for c in (*ranges, *keys) if c not in dtypes]
+    if unknown:
+        raise ValueError(
+            f"skipping_scan: column(s) {unknown} not in table schema "
+            f"{sorted(dtypes)}"
+        )
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            pred = pred & (F.col(c) >= F.lit(lo).cast(dtypes[c]))
+        if hi is not None:
+            pred = pred & (F.col(c) <= F.lit(hi).cast(dtypes[c]))
+    for c, vs in keys.items():
+        pred = pred & (F.col(c).isin(vs) if vs else F.lit(False))
+    if any(not vs for vs in keys.values()):
+        return full.where(F.lit(False))
+    kept = None  # None = no pruning information yet
+    if ranges:
+        zk = _zone_kept_files(spark, data_root, ranges, dtypes)
+        if zk is not None:
+            kept = zk
+    for c, vs in keys.items():
+        bk = _bloom_kept_files(spark, data_root, c, vs, dtypes)
+        if bk is not None:
+            kept = bk if kept is None else (kept & bk)
+    if kept is None:
+        return full.where(pred)
     if not kept:
         return full.where(F.lit(False))
     return (
         spark.read.option("basePath", data_root)
-        .parquet(*[_join(data_root, f) for f in kept])
+        .parquet(*[_join(data_root, f) for f in sorted(kept)])
         .where(pred)
     )
 

@@ -3435,6 +3435,15 @@ def test_bloom_point_scan_fallbacks_and_nulls(spark, tmp_path):
     assert mf.bloom_point_scan(spark, root, "id", [2]).count() == 1
     with _pytest.raises(ValueError, match="not in table schema"):
         mf.bloom_point_scan(spark, root, "nope", [1])
+    # None probes are dropped (equality never matches null): a
+    # null-only probe is empty, a mixed probe matches only the real key
+    assert mf.bloom_point_scan(spark, root, "name", [None]).count() == 0
+    assert [
+        r["id"]
+        for r in mf.bloom_point_scan(
+            spark, root, "name", [None, "a"]
+        ).collect()
+    ] == [1]
 
     # no sidecar at all (plain commit): full-scan fallback
     root2 = str(tmp_path / "t2")
@@ -3564,3 +3573,51 @@ def test_bloom_point_scan_partitioned_generation(spark, tmp_path):
     assert sorted((r["id"], r["p"]) for r in got) == [(5, 1), (333, 1)]
     rep = mf.fsck_index(spark, root)
     assert rep["issues"] == []
+
+
+def test_skipping_scan_intersects_zone_and_bloom(spark, tmp_path):
+    """skipping_scan — range + key predicates in one pruned read: the
+    survivor set is the intersection of the _zonemap and _bloom
+    survivors (each can only remove provably-empty files, so
+    intersecting is exact), the result equals the plain filtered
+    scan, and the file count is bounded by the TIGHTER of the two
+    prunings.  Degrades per missing sidecar; unsatisfiable key lists
+    return empty without touching data."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    # range-clustered on ts-like 'seq' so zone maps prune, bloom on id
+    df = spark.range(4000).select(
+        F.col("id"), F.col("id").alias("seq"), (F.col("id") % 9).alias("grp")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark,
+        df.repartitionByRange(8, "seq").sortWithinPartitions("seq"),
+        root,
+        zone_map_cols=("seq",),
+        bloom_cols=("id",),
+    )
+    # keys 100 and 3900: both pass bloom (~1 file each) but only 100
+    # is inside the range -> exactly one row, at most one file scanned
+    got = mf.skipping_scan(
+        spark, root, ranges={"seq": (0, 499)}, keys={"id": [100, 3900]}
+    )
+    assert [(r["id"], r["grp"]) for r in got.collect()] == [(100, 1)]
+    n_files = got.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_files <= 1
+    # equals the plain filtered scan on a range-only query too
+    assert (
+        mf.skipping_scan(spark, root, ranges={"seq": (250, 750)}).count()
+        == 501
+    )
+    # keys-only query: bloom pruning alone
+    assert mf.skipping_scan(spark, root, keys={"id": [0, 1, 2]}).count() == 3
+    # unsatisfiable key list -> empty, schema intact
+    empty = mf.skipping_scan(spark, root, keys={"id": []})
+    assert empty.count() == 0 and set(empty.columns) == {"id", "seq", "grp"}
+    with _pytest.raises(ValueError, match="not in table schema"):
+        mf.skipping_scan(spark, root, ranges={"nope": (1, 2)})

@@ -575,7 +575,8 @@ def write_bloom_filters(
     for p in parts[1:]:
         words = words.unionByName(p)
     meta_vals = ", ".join(
-        f"('', '{c}', {bits}L, {k}L)" for c in bloom_cols
+        "('', '" + c.replace("'", "''") + f"', {bits}L, {k}L)"
+        for c in bloom_cols
     )
     sentinels = spark.sql(
         f"SELECT * FROM VALUES {meta_vals} AS t(file, col, word_idx, word)"

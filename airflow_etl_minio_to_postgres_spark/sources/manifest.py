@@ -253,6 +253,57 @@ def read_snapshot(spark: SparkSession, root: str, seq: int):
     return spark.read.parquet(_join(root, gen))
 
 
+def restore_snapshot(
+    spark: SparkSession,
+    root: str,
+    seq: int,
+    keep_last: int = 1,
+    partition_by: tuple[str, ...] = (),
+    zone_map_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    allow_column_drop: bool = False,
+) -> int:
+    """The Delta ``RESTORE`` shape: re-commit retained snapshot
+    ``seq`` as the NEWEST generation, so readers (resolving views,
+    ``read_resolved``) flip back to yesterday's table through the
+    normal atomic publish — the undo for a bad compaction or a
+    poisoned ingest, one call after ``snapshot_diff`` confirmed the
+    damage.
+
+    A DATA COPY, not a metadata re-point, on purpose: a new manifest
+    naming an OLD generation would be collected out from under itself
+    by the GC arithmetic (retention keeps the generations of the last
+    ``keep_last`` PUBLISHED seqs — an old generation re-pointed by a
+    new seq is outside that set), and the copy keeps every generation
+    immutable-once-published, which the crash model relies on.
+
+    Sidecars do NOT travel with the copy — pass ``zone_map_cols`` /
+    ``bloom_cols`` to rebuild them for the restored generation (a
+    restore of a zone-mapped table without them degrades skipping
+    reads to full scans; ``fsck_index`` surfaces that as the
+    dropped-sidecar warning).  The copy happens BEFORE the commit's
+    GC, so a tight ``keep_last`` may age the SOURCE snapshot out in
+    the same call — safe (the data is already copied), but auditing
+    the restore with ``snapshot_diff`` against its source requires
+    retention that still covers it.  The commit-side schema guard
+    applies:
+    restoring PAST a widening commit drops the added columns — state
+    it with ``allow_column_drop=True``.  Raises ``KeyError`` /
+    ``FileNotFoundError`` for an unknown or GC'd ``seq`` exactly like
+    :func:`read_snapshot`.  Returns the NEW committed sequence
+    number."""
+    return commit_parquet_generation(
+        spark,
+        read_snapshot(spark, root, seq),
+        root,
+        keep_last=keep_last,
+        partition_by=tuple(partition_by),
+        zone_map_cols=tuple(zone_map_cols),
+        bloom_cols=tuple(bloom_cols),
+        allow_column_drop=allow_column_drop,
+    )
+
+
 def read_resolved(spark: SparkSession, root: str):
     """The thin RESOLVING READER for generic-consumer tables: one
     metadata ``listStatus`` to find the current generation, then a

@@ -3621,3 +3621,66 @@ def test_skipping_scan_intersects_zone_and_bloom(spark, tmp_path):
     assert empty.count() == 0 and set(empty.columns) == {"id", "seq", "grp"}
     with _pytest.raises(ValueError, match="not in table schema"):
         mf.skipping_scan(spark, root, ranges={"nope": (1, 2)})
+
+
+def test_restore_snapshot_recommits_old_version(spark, tmp_path):
+    """restore_snapshot — the Delta RESTORE shape as a data copy: the
+    restored table equals the old snapshot exactly (empty
+    snapshot_diff), serving flips through the normal publish, the
+    schema guard still protects against silently dropping columns a
+    later commit added, and a GC'd seq raises like read_snapshot."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    for stamp in (1, 2, 3):
+        df = spark.range(20).select(
+            F.col("id"), F.lit(stamp).alias("stamp")
+        )
+        mf.commit_parquet_generation(spark, df, root, keep_last=3)
+
+    # keep_last=4: the restore's own GC must still retain seq 1, or
+    # the value-equality diff below has nothing to diff against (a
+    # restore with tight retention copies the data FIRST, then GC
+    # ages the source snapshot out — safe, but out of the window)
+    new_seq = mf.restore_snapshot(spark, root, 1, keep_last=4)
+    assert new_seq == 4
+    got = mf.read_resolved(spark, root)
+    assert got.select("stamp").distinct().collect()[0][0] == 1
+    # value-equal to the restored snapshot, proven by the diff
+    assert mf.snapshot_diff(spark, root, 1, new_seq).count() == 0
+
+    # restoring past a widening commit refuses without the knob
+    mf.commit_parquet_generation(
+        spark,
+        spark.range(20).select(
+            F.col("id"), F.lit(5).alias("stamp"), F.lit("x").alias("extra")
+        ),
+        root,
+        keep_last=3,
+    )
+    with _pytest.raises(ValueError, match="drops column"):
+        mf.restore_snapshot(spark, root, 4, keep_last=3)
+    assert (
+        mf.restore_snapshot(
+            spark, root, 4, keep_last=3, allow_column_drop=True
+        )
+        == 6
+    )
+
+    # sidecars rebuild on request for the restored generation
+    mf.restore_snapshot(
+        spark, root, 6, keep_last=3, zone_map_cols=("id",),
+        bloom_cols=("id",), allow_column_drop=False,
+    )
+    gen = mf.resolve_data_root(spark, root)
+    jvm, fs = mf._fs_for(spark, gen)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(mf._join(gen, "_zonemap")))
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(mf._join(gen, "_bloom")))
+
+    # an out-of-window seq raises exactly like read_snapshot
+    with _pytest.raises(KeyError, match="no committed snapshot"):
+        mf.restore_snapshot(spark, root, 99)

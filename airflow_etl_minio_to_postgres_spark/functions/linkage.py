@@ -113,6 +113,15 @@ def blocked_fuzzy_pairs(
         *[F.col(c).alias(a) for c, a in zip(block_cols, blk)],
         F.xxhash64(*block_cols).alias("_bk"),
     )
+    # Drop null-block rows BEFORE the fan: they can never pair (the
+    # documented SQL-equality semantics above), but xxhash64 leaves the
+    # running hash UNCHANGED for null inputs, so e.g. (x, NULL) and
+    # (NULL, x) share a _bk bucket and would m**2-pair in the join only
+    # to be filtered by the real-column re-check — a phantom hot block
+    # on null-heavy keys (r15 advisor finding).  Results are identical;
+    # only the wasted comparisons go.
+    for a in blk:
+        fan = fan.where(F.col(a).isNotNull())
     a_fan, b_fan, keys = salted_band_sides(
         fan, "_id", key="_bk", max_bucket_size=max_block_size
     )

@@ -53,11 +53,16 @@ from __future__ import annotations
 import json
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 MANIFEST_DIR = "_manifests"
 ZONE_MAP_DIR = "_zonemap"
 BLOOM_DIR = "_bloom"
+# Largest probe set the bloom containment test plans as expressions
+# (|values| x k aggregate columns); larger probe sets degrade to the
+# full filtered scan — see _bloom_kept_files.
+BLOOM_PROBE_CAP = 256
 # \d{6,}: names are formatted {:06d} but parse wider, so seq 1,000,000+
 # still resolves (a fullmatch on exactly six digits would silently stop
 # matching the NEWEST manifest and readers would fall back to a stale
@@ -333,8 +338,14 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
 def _data_files(spark: SparkSession, path: str) -> set[str]:
     """Every data file under ``path``, as paths RELATIVE to it —
     one recursive ``listFiles`` (metadata-sized); sidecars, markers,
-    and staging temps (any ``_``/``.``-prefixed path component) are
-    excluded."""
+    and staging temps are excluded by SPARK'S OWN visibility rule: a
+    ``_``/``.``-prefixed path component is hidden UNLESS it contains
+    ``=`` (a Hive partition directory — Spark's file index reads
+    ``_commit_id=5/`` but skips ``_zonemap/``/``_SUCCESS``).  The
+    ``=`` exemption matters: an underscore-prefixed PARTITION COLUMN
+    (the repo's own ``_commit_id`` layout) must list as data here or
+    every inventory consumer — the empty-commit re-land, GC, fsck,
+    sidecar builders — misreads a populated generation as empty."""
     jvm, fs = _fs_for(spark, path)
     qualified = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(path)
@@ -344,7 +355,10 @@ def _data_files(spark: SparkSession, path: str) -> set[str]:
     while it.hasNext():
         p = it.next().getPath().toString()
         rel = p[len(qualified) + 1 :]
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+        if any(
+            seg.startswith(("_", ".")) and "=" not in seg
+            for seg in rel.split("/")
+        ):
             continue
         out.add(rel)
     return out
@@ -727,12 +741,22 @@ def _bloom_kept_files(
     dtypes: dict,
 ):
     """Survivor set of the ``_bloom`` containment test — ``None`` when
-    the generation has no sidecar or the sidecar carries no filter for
-    ``column`` (no pruning information), else the set of relative file
-    paths whose filters claim at least one of ``values`` (non-null,
-    non-empty — the callers pre-clean).  The shared planning core of
-    :func:`bloom_point_scan` and :func:`skipping_scan`."""
+    the generation has no sidecar, the sidecar carries no filter for
+    ``column`` (no pruning information), or the probe set exceeds
+    ``BLOOM_PROBE_CAP`` — the containment test builds ``|values| x k``
+    aggregate columns plus an O(|values| x k) boolean tree, so a
+    row-set-sized probe list would blow up the DRIVER PLAN, not the
+    executors; above the cap the caller falls back to the full
+    filtered scan (and row-set-sized lookups should be a join against
+    the table, per the ``bloom_point_scan`` docs).  Else the set of
+    relative file paths whose filters claim at least one of ``values``
+    (non-null, non-empty — the callers pre-clean).  The shared
+    planning core of :func:`bloom_point_scan` and
+    :func:`skipping_scan`."""
     from pyspark.sql import functions as F
+
+    if len(values) > BLOOM_PROBE_CAP:
+        return None
 
     jvm, fs = _fs_for(spark, data_root)
     bl_path = _join(data_root, BLOOM_DIR)
@@ -910,8 +934,15 @@ def commit_parquet_generation(
         prev_root = _join(root, str(got[1]["generation"]))
         try:
             prev_cols = set(spark.read.parquet(prev_root).columns)
-        except Exception:
-            prev_cols = set()  # unreadable predecessor: nothing to guard
+        except AnalysisException:
+            # the EXPECTED degradation only: predecessor prefix absent
+            # or schema-less (GC'd out from under a stale manifest, a
+            # crash between write and publish).  Anything else — a
+            # storage hiccup, a permission error — PROPAGATES: a
+            # blanket except here would silently disable the guard and
+            # admit the exact column-dropping recommit it exists to
+            # refuse (r15 advisor finding).
+            prev_cols = set()
         dropped = sorted(prev_cols - set(df.columns))
         if dropped and not allow_column_drop:
             raise ValueError(
@@ -937,7 +968,21 @@ def commit_parquet_generation(
         # out of the data), so readers see the right schema and zero
         # rows.  An empty commit is legitimate (a compaction that
         # filtered everything, an empty CDC batch) — it must produce a
-        # servable snapshot, not a wedge.
+        # servable snapshot, not a wedge.  GUARD first: the listing is
+        # a PROXY for emptiness, and overwriting on a wrong proxy is
+        # silent data loss published as the new snapshot — so confirm
+        # against the frame itself (one limit(1) job, only on this
+        # rare path) and refuse loudly on disagreement rather than
+        # drop rows the write just landed.
+        if df.limit(1).count() > 0:
+            raise RuntimeError(
+                "commit_parquet_generation: the partitioned write of "
+                f"{_join(root, gen)!r} listed NO data files but the "
+                "frame is non-empty — refusing to re-land an empty "
+                "snapshot over data; the listing rule and the layout "
+                "disagree (report this: it means _data_files cannot "
+                "see files Spark just wrote)"
+            )
         df.limit(0).write.mode("overwrite").parquet(_join(root, gen))
     if zone_map_cols:
         write_zone_maps(spark, _join(root, gen), tuple(zone_map_cols))

@@ -2109,3 +2109,32 @@ def test_entity_clusters_transitive_chain(spark):
         for r in entity_clusters(df, pairs, id_col="id").collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_blocked_fuzzy_pairs_null_blocks_filtered_before_join(spark):
+    """Efficiency pin for the r15 advisor finding: xxhash64 leaves the
+    running hash UNCHANGED on null inputs, so null-block rows shared a
+    ``_bk`` bucket and m**2-paired in the join before the real-column
+    re-check dropped them — a phantom hot block.  They can never pair
+    (documented SQL-equality semantics), so the fan now drops them
+    PRE-join: the optimized plan pushes ``isnotnull`` on every block
+    column into both scan sides."""
+    from airflow_etl_minio_to_postgres_spark.functions.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "alice", "us", "sf"),
+        (2, "alicf", "us", "sf"),
+        (3, "alice", None, "sf"),
+        (4, "alice", "us", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, region string, city string"
+    )
+    pairs = blocked_fuzzy_pairs(
+        df, "id", "name", ["region", "city"], max_distance=2
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(region" in plan and "isnotnull(city" in plan

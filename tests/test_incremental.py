@@ -3684,3 +3684,115 @@ def test_restore_snapshot_recommits_old_version(spark, tmp_path):
     # an out-of-window seq raises exactly like read_snapshot
     with _pytest.raises(KeyError, match="no committed snapshot"):
         mf.restore_snapshot(spark, root, 99)
+
+
+def test_commit_underscore_partition_column_preserves_data(spark, tmp_path):
+    """A partition COLUMN whose name is underscore-prefixed (the repo's
+    own ``_commit_id`` streaming layout) writes ``_commit_id=...``
+    directories — hidden to a naive underscore rule but VISIBLE to
+    Spark (hidden-unless-``=`` is Spark's own file-index rule).  Round
+    15's emptiness proxy used the naive rule, so a populated
+    generation read as empty and was silently overwritten with
+    ``limit(0)`` — data loss published as the snapshot (r15 advisor
+    finding, medium).  Pin: rows survive, GC/fsck inventories see the
+    files, and the genuinely-empty underscore-partitioned commit still
+    re-lands flat and servable."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "silver")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("_commit_id")
+    )
+    seq = mf.commit_parquet_generation(
+        spark, df, root, partition_by=("_commit_id",), keep_last=2
+    )
+    assert seq == 1
+    got = mf.read_resolved(spark, root)
+    assert got.count() == 40
+    assert set(got.columns) == {"id", "_commit_id"}
+    # the inventory rule sees the partition dirs' files
+    gen = mf.resolve_data_root(spark, root)
+    files = mf._data_files(spark, gen)
+    assert files and all("_commit_id=" in f for f in files)
+    assert mf.fsck_index(spark, root, keep_last=2)["issues"] == []
+
+    # recommit (exercises GC over the underscore layout) and the
+    # genuinely-empty case still re-lands flat with full schema
+    mf.commit_parquet_generation(
+        spark, df.where("id < 10"), root,
+        partition_by=("_commit_id",), keep_last=2,
+    )
+    assert mf.read_resolved(spark, root).count() == 10
+    mf.commit_parquet_generation(
+        spark, df.where("id < 0"), root,
+        partition_by=("_commit_id",), keep_last=2,
+    )
+    empty = mf.read_resolved(spark, root)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "_commit_id"}
+
+
+def test_bloom_probe_cap_degrades_to_full_scan(spark, tmp_path):
+    """A probe set past ``BLOOM_PROBE_CAP`` would plan |values| x k
+    aggregate columns — a DRIVER blow-up, not an executor cost (r15
+    advisor finding).  The planner returns None (no pruning) and the
+    scan degrades to the full filtered read: same rows, no error; at
+    or below the cap it still prunes."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "keys")
+    df = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    ).repartition(8)
+    mf.commit_parquet_generation(spark, df, root, bloom_cols=("key",))
+    gen = mf.resolve_data_root(spark, root)
+    dtypes = dict(spark.read.parquet(gen).dtypes)
+
+    over = [f"k{i}" for i in range(mf.BLOOM_PROBE_CAP + 1)]
+    assert mf._bloom_kept_files(spark, gen, "key", over, dtypes) is None
+    got = mf.bloom_point_scan(spark, root, "key", over)
+    assert got.count() == mf.BLOOM_PROBE_CAP + 1  # all exist: k0..k256
+
+    under = ["k3", "k404", "nope"]
+    kept = mf._bloom_kept_files(spark, gen, "key", under, dtypes)
+    assert kept is not None and len(kept) < 8
+    assert mf.bloom_point_scan(spark, root, "key", under).count() == 2
+
+
+def test_commit_schema_guard_degrades_only_on_missing_predecessor(
+    spark, tmp_path
+):
+    """The guard's except is NARROW (r15 advisor finding: a blanket
+    except silently disabled the guard on any storage hiccup).  A
+    genuinely absent predecessor (GC'd under a stale manifest /
+    crash between write and publish) still degrades gracefully — the
+    recommit with fewer columns goes through; the normal readable
+    predecessor still refuses."""
+    import shutil
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, spark.range(5).selectExpr("id", "id*2 as v"), root,
+        keep_last=2,
+    )
+    # readable predecessor: dropping v refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drops column"):
+        mf.commit_parquet_generation(
+            spark, spark.range(5).selectExpr("id"), root, keep_last=2
+        )
+    # simulate the expected degradation: predecessor prefix vanished
+    gen = mf.resolve_data_root(spark, root)
+    shutil.rmtree(gen[len("file:"):] if gen.startswith("file:") else gen)
+    seq = mf.commit_parquet_generation(
+        spark, spark.range(5).selectExpr("id"), root, keep_last=2
+    )
+    assert seq == 2
+    assert mf.read_resolved(spark, root).columns == ["id"]

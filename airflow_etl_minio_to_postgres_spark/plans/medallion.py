@@ -170,6 +170,7 @@ def write_medallion(
     mode: str = "overwrite",
     min_rows: int = 1,
     audit_null_cols: dict[str, list[str]] | None = None,
+    commit_keep_last: int | None = None,
 ) -> dict[str, str]:
     """Materialize silver + every built gold table as parquet under
     ``base_path/{silver,gold/<table>}``, with an inline QA audit riding
@@ -189,6 +190,20 @@ def write_medallion(
     run FAILS via ``assert_min_rows`` if the table came out below
     ``min_rows`` (set 0 to monitor without gating).  All observed metrics
     land in ``result.audits[table]``.
+
+    ``commit_keep_last`` routes every table through the MANIFEST
+    PROTOCOL (``sources.manifest.commit_parquet_generation``,
+    retention = the given ``keep_last``) instead of the plain
+    overwrite: each run lands as an immutable ``_gen-<seq>`` behind an
+    atomic publish, so the reference's own gold outputs gain time
+    travel (``read_snapshot``), rerun auditing (``snapshot_diff`` — an
+    idempotent rerun PROVES itself value-equal with an empty diff),
+    and crash safety (a failed run leaves yesterday's gold serving) —
+    the same upgrade ``customers_cdc_lakehouse`` gave the CDC path.
+    Readers switch to ``read_resolved`` / ``create_resolving_view``;
+    ``mode`` is ignored on this path (generations never overwrite).
+    The QA audit rides unchanged — observed metrics collect during the
+    committed write's single scan and ``min_rows`` still gates.
     """
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         assert_min_rows,
@@ -203,7 +218,20 @@ def write_medallion(
         audited, obs = observe_quality(
             df, f"{name}_audit", audit_null_cols.get(name)
         )
-        out = write_parquet(audited, path, mode)
+        if commit_keep_last is not None:
+            from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+                commit_parquet_generation,
+            )
+
+            commit_parquet_generation(
+                audited.sparkSession,
+                audited,
+                path,
+                keep_last=commit_keep_last,
+            )
+            out = path
+        else:
+            out = write_parquet(audited, path, mode)
         result.audits[name] = dict(obs.get)
         assert_min_rows(obs, min_rows, f"{name}_audit")
         return out

@@ -8212,3 +8212,182 @@ def events_skipping_scan_combined(
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# --- round 16: restore registered, generic pruned reads, committed gold ---
+
+
+@register(
+    "events_restore_snapshot",
+    """
+    SELECT CAST(0 AS BIGINT)               AS diff_rows,
+           3                               AS n_snapshots,
+           (SELECT count(*) FROM events)   AS restored_rows,
+           (SELECT count(*) FROM events
+            WHERE event_id BETWEEN 100 AND 2999
+              AND user_id IN (7, 8, 46))   AS pruned_rows
+    """,
+)
+def events_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE registered end-to-end (sources/manifest.py
+    restore_snapshot — the Delta RESTORE shape, r15 verdict item 3):
+    the undo for a bad compaction or poisoned ingest.  The events
+    table commits as generation 1 (range-clustered on event_id, zone
+    maps on event_id + blooms on user_id), a poisoned commit perturbs
+    every 'click' value as generation 2, and restore_snapshot(seq=1)
+    re-commits snapshot 1 as generation 3 through the normal atomic
+    publish, rebuilding both sidecars for the restored generation.
+    The receipt the oracle re-derives from the input table alone:
+    snapshot_diff(1, 3) is EMPTY (restore is value-exact — zero rows
+    lost or invented), all three generations stay retained under
+    keep_last=3 (the source snapshot survives its own restore for
+    auditing), the resolving read serves every original row, and a
+    combined zone-and-bloom skipping_scan through the RESTORED
+    generation returns exactly the full-scan predicate count — the
+    rebuilt sidecars prune losslessly.  Rebuilt per call: the entry
+    mutates its table (a memo would make receipts
+    rotation-order-dependent)."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        read_resolved,
+        restore_snapshot,
+        skipping_scan,
+        snapshot_diff,
+        snapshots,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="restore_")
+    root = f"file://{os.path.join(base, 'events_restore')}"
+    commit_parquet_generation(
+        spark,
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+            "event_id"
+        ),
+        root,
+        keep_last=3,
+        zone_map_cols=("event_id",),
+        bloom_cols=("user_id",),
+    )
+    poisoned = ev.withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "click", F.col("value") + F.lit(1000.0)
+        ).otherwise(F.col("value")),
+    )
+    commit_parquet_generation(spark, poisoned, root, keep_last=3)
+    restore_snapshot(
+        spark,
+        root,
+        1,
+        keep_last=3,
+        zone_map_cols=("event_id",),
+        bloom_cols=("user_id",),
+    )
+    diff_rows = snapshot_diff(spark, root, 1, 3).count()
+    n_snapshots = len(snapshots(spark, root))
+    restored_rows = read_resolved(spark, root).count()
+    pruned_rows = skipping_scan(
+        spark,
+        root,
+        ranges={"event_id": (100, 2999)},
+        keys={"user_id": [7, 8, 46]},
+    ).count()
+    return spark.createDataFrame(
+        [(diff_rows, n_snapshots, restored_rows, pruned_rows)],
+        "diff_rows long, n_snapshots int, restored_rows long, "
+        "pruned_rows long",
+    )
+
+
+@register(
+    "events_read_resolved_pruned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id BETWEEN 1000 AND 4999
+      AND user_id IN (7, 8, 46)
+    ORDER BY event_id
+    """,
+)
+def events_read_resolved_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERIC-CONSUMER file skipping (sources/manifest.py
+    read_resolved ranges=/keys= — r15 verdict item 4): the resolving
+    reader every plain-parquet consumer already uses gains the
+    zone-map ∩ bloom planning path without a second entry point, so a
+    predicate-bearing read touches only survivor files instead of the
+    generation's full inventory (at object-store scale: ~k file opens
+    instead of one GET per footer).  The table commits range-clustered
+    on event_id (tight per-file zone bounds) with blooms on user_id;
+    the read carries BOTH predicate kinds and the result is checked
+    ROW-LEVEL against the oracle running the same conjunction over the
+    full table — pruning proven lossless on values, not just counts.
+    Rebuilt per call: the entry commits its own table."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        read_resolved,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="resolved_pruned_")
+    root = f"file://{os.path.join(base, 'events_resolved')}"
+    commit_parquet_generation(
+        spark,
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+            "event_id"
+        ),
+        root,
+        zone_map_cols=("event_id",),
+        bloom_cols=("user_id",),
+    )
+    return (
+        read_resolved(
+            spark,
+            root,
+            ranges={"event_id": (1000, 4999)},
+            keys={"user_id": [7, 8, 46]},
+        )
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "medallion_gold_hoa_committed",
+    _MEDALLION_CTE + "SELECT DISTINCT hoa_key, hoa, hoa_flag FROM keyed",
+)
+def medallion_gold_hoa_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own gold output through the MANIFEST PROTOCOL
+    (plans/medallion.py write_medallion commit_keep_last= — r15
+    verdict item 5): the hoa dimension lands as an immutable
+    ``_gen-<seq>`` behind the atomic publish instead of the plain
+    overwrite, so the core reference surface (gold task,
+    dag_etl_minio_to_postgres.py:365-597) gains time travel,
+    snapshot_diff rerun audits, and crash safety — the same upgrade
+    customers_cdc_lakehouse gave the CDC path.  The QA audit
+    (observe_quality + min_rows gate) rides the committed write's
+    single scan unchanged.  Checked against the IDENTICAL oracle as
+    medallion_gold_hoa: the protocol detour must be value-invisible
+    to consumers.  Rerun idempotence (second commit, empty
+    snapshot_diff) is pytest-pinned."""
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import (
+        MedallionResult,
+        write_medallion,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        read_resolved,
+    )
+
+    res = _run_demo_medallion(spark, sf_dir)
+    trimmed = MedallionResult(
+        silver=res.silver,
+        field_config=res.field_config,
+        gold={"hoa": res.gold["hoa"]},
+    )
+    base = tempfile.mkdtemp(prefix="gold_committed_")
+    write_medallion(trimmed, base, commit_keep_last=2)
+    return read_resolved(spark, os.path.join(base, "gold", "hoa"))

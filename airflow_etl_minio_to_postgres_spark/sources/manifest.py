@@ -309,7 +309,12 @@ def restore_snapshot(
     )
 
 
-def read_resolved(spark: SparkSession, root: str):
+def read_resolved(
+    spark: SparkSession,
+    root: str,
+    ranges: dict | None = None,
+    keys: dict | None = None,
+):
     """The thin RESOLVING READER for generic-consumer tables: one
     metadata ``listStatus`` to find the current generation, then a
     plain parquet scan of it — how a table whose consumers are
@@ -318,8 +323,54 @@ def read_resolved(spark: SparkSession, root: str):
     protocol: they switch one call, everything downstream (pushdown,
     pruning, schema) is the untouched parquet scan.  A never-committed
     table resolves to ``root`` itself, so the switch is safe BEFORE
-    the writer migrates."""
+    the writer migrates.
+
+    ``ranges`` / ``keys`` opt a PREDICATE-BEARING consumer into the
+    file-skipping planner without learning a second entry point: the
+    call becomes :func:`skipping_scan` verbatim (zone-map ∩ bloom
+    survivor intersection, full predicate re-applied — equal to the
+    plain scan plus ``where`` by construction), and degrades per
+    missing sidecar down to exactly that plain filtered scan.  At
+    object-store scale this is the difference between ~k file opens
+    and one GET per footer of the generation (r15 verdict item 4 —
+    previously only the explicit ``skipping_scan`` call got pruning,
+    so every generic reader paid the full inventory)."""
+    if ranges or keys:
+        return skipping_scan(spark, root, ranges=ranges, keys=keys)
     return spark.read.parquet(resolve_data_root(spark, root))
+
+
+def rebuild_sidecars(
+    spark: SparkSession,
+    root: str,
+    zone_map_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 5,
+) -> str:
+    """(Re)build the ``_zonemap`` / ``_bloom`` sidecars for the CURRENT
+    generation of ``root`` in place — how a generation that landed
+    WITHOUT stats (a compactor that didn't pass ``zone_map_cols``, a
+    table adopted mid-life, a restore that skipped the rebuild) gains
+    file-skipping reads after the fact.
+
+    Additive METADATA only: the generation's data files are untouched
+    (the immutability the crash model relies on is about data, and
+    sidecar writes land under ``_``-prefixed names Spark's scans never
+    read as rows), the write is a full idempotent overwrite of each
+    sidecar (stats recompute from the live inventory — never a merge
+    with stale stats), and a crash mid-rebuild leaves at worst a
+    partial sidecar that ``fsck_index`` reports and a re-run repairs.
+    One scan of the generation per sidecar family, output file count
+    scales with the inventory.  Returns the generation path."""
+    gen = resolve_data_root(spark, root)
+    if zone_map_cols:
+        write_zone_maps(spark, gen, tuple(zone_map_cols))
+    if bloom_cols:
+        write_bloom_filters(
+            spark, gen, tuple(bloom_cols), bits=bloom_bits, k=bloom_k
+        )
+    return gen
 
 
 def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
@@ -330,7 +381,17 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
     re-run this (one listStatus) as the last step of every maintenance
     cycle, the same slot that runs ``fsck_index``; a reader mid-query
     on the previous generation is exactly what the GC grace window
-    (``keep_last``) protects.  Returns ``name``."""
+    (``keep_last``) protects.  Returns ``name``.
+
+    The view binds the generation's FULL file inventory — SQL
+    predicates against it get parquet footer pushdown but NOT the
+    zone-map/bloom sidecar pruning (a temp view cannot re-plan its
+    file list per query).  A predicate-bearing consumer that needs
+    file skipping at object-store scale should call
+    ``read_resolved(root, ranges=…, keys=…)`` (or register the
+    PRUNED frame it returns as its own view for a known predicate);
+    ``maintenance_cycle(zone_map_cols=…, bloom_cols=…)`` keeps the
+    sidecars those reads plan with current across compactions."""
     read_resolved(spark, root).createOrReplaceTempView(name)
     return name
 
@@ -1013,6 +1074,8 @@ def maintenance_cycle(
     keep_last: int = 1,
     view_name: str | None = None,
     fsck_sample: int = 1000,
+    zone_map_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict:
     """One SCHEDULED-MAINTENANCE cycle for a manifest-committed serving
     index, in the order the invariants require: run the ``compactor``
@@ -1029,6 +1092,16 @@ def maintenance_cycle(
     This is the cron body RUNBOOK §5b prescribes next to the recall
     health evals; the end-to-end composition is driver-gated by
     ``docs_index_fsck``.
+
+    ``zone_map_cols`` / ``bloom_cols`` keep the file-skipping sidecars
+    CURRENT across compactions of generic committed tables: a
+    compactor that lands its generation without stats silently
+    degrades every ``skipping_scan`` / ``read_resolved(ranges=…)``
+    consumer to full scans (fsck reports it only as the
+    dropped-sidecar warning) — naming the columns here rebuilds both
+    sidecars on the fresh generation (:func:`rebuild_sidecars`)
+    BEFORE fsck runs, so the same cycle that would have surfaced the
+    warning validates the rebuilt inventories instead.
 
     The call shape is decided by INSPECTING the compactor's signature,
     never by catching ``TypeError`` — a catch would swallow a
@@ -1051,6 +1124,13 @@ def maintenance_cycle(
             "parameter"
         )
     compactor(spark, root, keep_last=keep_last)
+    if zone_map_cols or bloom_cols:
+        rebuild_sidecars(
+            spark,
+            root,
+            zone_map_cols=tuple(zone_map_cols),
+            bloom_cols=tuple(bloom_cols),
+        )
     report = fsck_index(spark, root, sample=fsck_sample, keep_last=keep_last)
     if report["issues"]:
         raise RuntimeError(

@@ -399,10 +399,12 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
 def _data_files(spark: SparkSession, path: str) -> set[str]:
     """Every data file under ``path``, as paths RELATIVE to it —
     one recursive ``listFiles`` (metadata-sized); sidecars, markers,
-    and staging temps are excluded by SPARK'S OWN visibility rule: a
-    ``_``/``.``-prefixed path component is hidden UNLESS it contains
-    ``=`` (a Hive partition directory — Spark's file index reads
-    ``_commit_id=5/`` but skips ``_zonemap/``/``_SUCCESS``).  The
+    and staging temps are excluded by SPARK'S OWN visibility rule
+    (verified empirically against the local file index): a
+    ``.``-prefixed path component is always hidden, a ``_``-prefixed
+    one is hidden UNLESS it contains ``=`` (a Hive partition
+    directory — Spark reads ``_commit_id=5/`` but skips
+    ``_zonemap/``/``_SUCCESS``; it ignores ``.p=5/`` entirely).  The
     ``=`` exemption matters: an underscore-prefixed PARTITION COLUMN
     (the repo's own ``_commit_id`` layout) must list as data here or
     every inventory consumer — the empty-commit re-land, GC, fsck,
@@ -417,7 +419,8 @@ def _data_files(spark: SparkSession, path: str) -> set[str]:
         p = it.next().getPath().toString()
         rel = p[len(qualified) + 1 :]
         if any(
-            seg.startswith(("_", ".")) and "=" not in seg
+            seg.startswith(".")
+            or (seg.startswith("_") and "=" not in seg)
             for seg in rel.split("/")
         ):
             continue

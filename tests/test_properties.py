@@ -1468,6 +1468,8 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
                 "crash_after_zm_before_publish",
                 "crash_mid_publish",
                 "crash_before_gc",
+                "restore",
+                "rebuild_sidecars",
             ]
         ),
         min_size=1,
@@ -1494,7 +1496,17 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     scan — under every crash interleaving.  Bloom-committed
     generations (``commit_bloom``) add the point-lookup invariants
     the same way: sidecar inventory complete, a probe for a present
-    key finds exactly it, an absent key finds nothing."""
+    key finds exactly it, an absent key finds nothing.
+
+    Round 16 adds the two in-place mutation ops to the alphabet:
+    ``restore`` re-commits the OLDEST retained snapshot as the newest
+    generation (readers must flip to the restored snapshot's VALUES —
+    the expected stamp becomes the restored generation's stamp, not
+    its new sequence number — under the same retention arithmetic as
+    any commit), and ``rebuild_sidecars`` builds zone+bloom stats on
+    the served generation in place (after which every sidecar
+    invariant must hold on a generation that committed WITHOUT
+    them).  Both are no-ops before the first successful publish."""
     import os as _os
 
     from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
@@ -1524,6 +1536,7 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     ).parquet(root)
     expected_stamp = 0
     published: list[int] = []
+    stamp_of: dict[int, int] = {}  # seq -> stamp its generation carries
 
     def check():
         resolved = mf.resolve_data_root(spark, root)
@@ -1561,8 +1574,37 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
                 spark, root, "id", [7, 9999]
             ).count() == 1
 
+    def assert_retention():
+        gens = sorted(
+            n for n in _os.listdir(root) if n.startswith("_gen-")
+        )
+        keep = [f"_gen-{s:06d}" for s in sorted(published)[-keep_last:]]
+        assert gens == keep, (gens, keep)
+        flat_gone = not any("=" in n for n in _os.listdir(root))
+        assert flat_gone == (len(published) >= keep_last)
+
     check()
     for op in ops:
+        if op in ("restore", "rebuild_sidecars"):
+            if not published:
+                continue  # both need a served committed generation
+            if op == "rebuild_sidecars":
+                mf.rebuild_sidecars(
+                    spark, root, zone_map_cols=("id",),
+                    bloom_cols=("id",), bloom_bits=256, bloom_k=3,
+                )
+                check()  # sidecar invariants now apply to the served gen
+                continue
+            src = min(s["seq"] for s in mf.snapshots(spark, root))
+            new_seq = mf.restore_snapshot(
+                spark, root, src, keep_last=keep_last
+            )
+            stamp_of[new_seq] = stamp_of[src]
+            expected_stamp = stamp_of[src]
+            published.append(new_seq)
+            check()  # readers serve the restored snapshot's values
+            assert_retention()
+            continue
         seq = mf.next_seq(spark, root)
         gen = write_gen(seq, zone_maps=op in ("commit_zm",
                                               "crash_after_zm_before_publish"),
@@ -1589,6 +1631,7 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
             continue
         mf.publish_generation(spark, root, seq, gen)
         expected_stamp = seq
+        stamp_of[seq] = seq
         published.append(seq)
         if op == "crash_before_gc":
             check()  # already serving the new generation
@@ -1596,16 +1639,10 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
         mf.gc_generations(spark, root, seq, gen, keep_last=keep_last)
         check()
         # retention: at most keep_last published generations remain
-        # (orphans collected), and the newest is the resolved one
-        gens = sorted(
-            n for n in _os.listdir(root) if n.startswith("_gen-")
-        )
-        keep = [f"_gen-{s:06d}" for s in sorted(published)[-keep_last:]]
-        assert gens == keep, (gens, keep)
-        # the legacy payload survives only while fewer than
-        # keep_last generations were ever published
-        flat_gone = not any("=" in n for n in _os.listdir(root))
-        assert flat_gone == (len(published) >= keep_last)
+        # (orphans collected), the newest is the resolved one, and the
+        # legacy payload survives only while fewer than keep_last
+        # generations were ever published
+        assert_retention()
 
 
 @given(
@@ -1752,3 +1789,42 @@ def test_blocked_fuzzy_pairs_equals_python_model(spark, names, blocks, d):
                 if dist <= d:
                     want[(i, j)] = dist
     assert got == want
+
+
+@given(
+    colname=st.sampled_from(["p", "_p", "_commit_id", "tag_", "p_1"]),
+    n_rows=st.integers(min_value=0, max_value=40),
+    n_parts=st.integers(min_value=1, max_value=4),
+    recommits=st.integers(min_value=1, max_value=2),
+)
+@SPARK_SETTINGS
+def test_commit_partitioned_roundtrip_any_column_name(
+    spark, tmp_path_factory, colname, n_rows, n_parts, recommits
+):
+    """Property (r15 advisor medium): for ANY partition column name —
+    underscore-prefixed included — ANY row count (zero included), and
+    ANY partition-value cardinality, a partitioned
+    commit_parquet_generation round-trips the exact frame through
+    read_resolved, across recommits with GC.  The failure this pins
+    against: a naive hidden-file rule classifying a populated
+    underscore-partitioned generation as EMPTY and overwriting it
+    with limit(0)."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path_factory.mktemp("anypart") / "t")
+    df = spark.createDataFrame(
+        [(i, str(i % n_parts)) for i in range(n_rows)],
+        f"id long, `{colname}` string",
+    )
+    for _ in range(recommits):
+        mf.commit_parquet_generation(
+            spark, df, root, partition_by=(colname,), keep_last=1
+        )
+    got = mf.read_resolved(spark, root)
+    assert set(got.columns) == {"id", colname}
+    # partition values round-trip through Spark's partition-type
+    # inference (string "0" reads back as int 0) — compare canonically
+    assert sorted(
+        (r["id"], str(r[colname])) for r in got.collect()
+    ) == sorted((i, str(i % n_parts)) for i in range(n_rows))
+    assert mf.fsck_index(spark, root, keep_last=1)["issues"] == []

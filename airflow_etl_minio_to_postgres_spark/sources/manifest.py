@@ -950,6 +950,52 @@ def skipping_scan(
     )
 
 
+def lookup_join(
+    spark: SparkSession,
+    root: str,
+    probes,
+    on: str,
+    how: str = "semi",
+):
+    """Point-lookup a committed table with a PROBE DATAFRAME — the
+    planner decision the ``bloom_point_scan`` docs tell users to make
+    by hand ("row-set-sized lookups should be a join"), made first
+    class.  When the probe side has at most ``BLOOM_PROBE_CAP``
+    distinct keys (one bounded distinct-limit aggregation to find
+    out — the planning cost), the keys collect and the read is the
+    bloom-pruned :func:`bloom_point_scan` (touches ~k files instead
+    of the generation's inventory); above the cap the read is the
+    plain resolved scan and the lookup is the join Spark's own
+    planner sizes (broadcast below the threshold, shuffle above —
+    the correct shape when the probe side is itself fact-sized).
+
+    ``how='semi'``: rows of the table whose ``on`` matches any probe
+    key (probe duplicates and extra columns never affect the result).
+    ``how='inner'``: the table joined to ``probes`` carrying the
+    probe side's columns (probe duplicates multiply, as inner join
+    semantics say they must).  NULL probe keys never match (SQL
+    equality), on both paths."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ callers)
+
+    if how not in ("semi", "inner"):
+        raise ValueError(
+            f"lookup_join: how={how!r} not supported — 'semi' or 'inner'"
+        )
+    head = (
+        probes.select(on).distinct().limit(BLOOM_PROBE_CAP + 1).collect()
+    )
+    if len(head) <= BLOOM_PROBE_CAP:
+        vals = [r[0] for r in head if r[0] is not None]
+        base = bloom_point_scan(spark, root, on, vals)
+        if how == "semi":
+            return base  # the re-applied isin IS the semi predicate
+        return base.join(probes, on, "inner")
+    base = read_resolved(spark, root)
+    if how == "semi":
+        return base.join(probes.select(on), on, "left_semi")
+    return base.join(probes, on, "inner")
+
+
 def commit_parquet_generation(
     spark: SparkSession,
     df,

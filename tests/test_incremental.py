@@ -4008,3 +4008,49 @@ def test_rebuild_sidecars_repairs_corrupt_sidecar(spark, tmp_path):
     pruned = mf.read_resolved(spark, root, ranges={"k": (0, 249)})
     assert pruned.count() == 250
     assert len(pruned.inputFiles()) < 4
+
+
+def test_lookup_join_prunes_small_probes_and_joins_large(spark, tmp_path):
+    """lookup_join — the 'row-set-sized lookups are a join' guidance
+    made first class: <=BLOOM_PROBE_CAP distinct probe keys collect
+    and ride the bloom-pruned scan (files touched < inventory);
+    above the cap the read is the full resolved scan and Spark's
+    planner sizes the join.  Semi ignores probe duplicates/extra
+    columns and null keys; inner carries probe columns and
+    multiplies duplicates."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, df.repartition(8, "k"), root, bloom_cols=("k",)
+    )
+
+    probes = spark.createDataFrame(
+        [(3, "a"), (3, "b"), (77, "c"), (None, "d"), (99999, "e")],
+        "k long, tag string",
+    )
+    semi = mf.lookup_join(spark, root, probes, "k", how="semi")
+    assert sorted(r["k"] for r in semi.collect()) == [3, 77]
+    assert len(semi.inputFiles()) < 8  # bloom-pruned path
+    inner = mf.lookup_join(spark, root, probes, "k", how="inner")
+    got = sorted((r["k"], r["tag"]) for r in inner.collect())
+    assert got == [(3, "a"), (3, "b"), (77, "c")]  # dup multiplies
+
+    big = spark.range(int(mf.BLOOM_PROBE_CAP) + 50).select(
+        F.col("id").alias("k")
+    )
+    semi_big = mf.lookup_join(spark, root, big, "k", how="semi")
+    assert semi_big.count() == mf.BLOOM_PROBE_CAP + 50
+    assert len(semi_big.inputFiles()) == 8  # full scan + planner join
+    inner_big = mf.lookup_join(spark, root, big, "k", how="inner")
+    assert inner_big.count() == mf.BLOOM_PROBE_CAP + 50
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not supported"):
+        mf.lookup_join(spark, root, probes, "k", how="outer")

@@ -1828,3 +1828,68 @@ def test_commit_partitioned_roundtrip_any_column_name(
         (r["id"], str(r[colname])) for r in got.collect()
     ) == sorted((i, str(i % n_parts)) for i in range(n_rows))
     assert mf.fsck_index(spark, root, keep_last=1)["issues"] == []
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.integers(min_value=-50, max_value=50), st.none()),
+            st.one_of(st.integers(min_value=-20, max_value=20), st.none()),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    lo=st.one_of(st.integers(min_value=-60, max_value=60), st.none()),
+    hi=st.one_of(st.integers(min_value=-60, max_value=60), st.none()),
+    probes=st.lists(
+        st.integers(min_value=-25, max_value=25), min_size=0, max_size=4
+    ),
+    n_files=st.integers(min_value=1, max_value=5),
+    bits=st.integers(min_value=64, max_value=256),
+)
+@SPARK_SETTINGS
+def test_skipping_scan_equals_full_filtered_scan(
+    spark, tmp_path_factory, vals, lo, hi, probes, n_files, bits
+):
+    """Property for the COMBINED zone ∩ bloom path (the individual
+    sidecars each have their own equality property; the INTERSECTION
+    logic is separate code): for ANY data (nulls in both columns),
+    ANY range, ANY probe set (present/absent values, EMPTY list =
+    unsatisfiable), ANY layout, and a deliberately undersized bloom,
+    skipping_scan == read_resolved + the same conjunctive predicate.
+    Each sidecar may only remove files its predicate proves empty, so
+    intersecting survivors is exact."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path_factory.mktemp("skipprop") / "t")
+    df = spark.createDataFrame(
+        [(i, r, k) for i, (r, k) in enumerate(vals)],
+        "id long, r long, k long",
+    )
+    mf.commit_parquet_generation(
+        spark,
+        df.repartition(n_files),
+        root,
+        zone_map_cols=("r",),
+        bloom_cols=("k",),
+        bloom_bits=bits,
+        bloom_k=3,
+    )
+    got = sorted(
+        (row["id"], row["r"], row["k"])
+        for row in mf.skipping_scan(
+            spark, root, ranges={"r": (lo, hi)}, keys={"k": probes}
+        ).collect()
+    )
+
+    def keep(r, k):
+        if lo is not None and (r is None or r < lo):
+            return False
+        if hi is not None and (r is None or r > hi):
+            return False
+        return k is not None and k in probes
+
+    want = sorted(
+        (i, r, k) for i, (r, k) in enumerate(vals) if keep(r, k)
+    )
+    assert got == want

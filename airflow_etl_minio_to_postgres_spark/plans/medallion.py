@@ -203,7 +203,13 @@ def write_medallion(
     Readers switch to ``read_resolved`` / ``create_resolving_view``;
     ``mode`` is ignored on this path (generations never overwrite).
     The QA audit rides unchanged — observed metrics collect during the
-    committed write's single scan and ``min_rows`` still gates.
+    committed write's single scan — and ``min_rows`` gates BEFORE the
+    publish (``pre_publish_validate``): a below-``min_rows`` run
+    leaves its staged generation deleted, the manifest untouched, and
+    GC un-run, so yesterday's gold keeps serving even at
+    ``commit_keep_last=1`` (on the plain-overwrite path the gate can
+    only fail AFTER the overwrite — that path has no crash-safety
+    story, which is exactly why the committed path exists).
     """
     from airflow_etl_minio_to_postgres_spark.operators.audit import (
         assert_min_rows,
@@ -223,15 +229,23 @@ def write_medallion(
                 commit_parquet_generation,
             )
 
+            def _gate() -> None:
+                # Runs after the staged write (obs has resolved) but
+                # before the manifest publish + GC: a below-min_rows
+                # run must neither become the serving snapshot nor
+                # collect yesterday's good generation.
+                result.audits[name] = dict(obs.get)
+                assert_min_rows(obs, min_rows, f"{name}_audit")
+
             commit_parquet_generation(
                 audited.sparkSession,
                 audited,
                 path,
                 keep_last=commit_keep_last,
+                pre_publish_validate=_gate,
             )
-            out = path
-        else:
-            out = write_parquet(audited, path, mode)
+            return path
+        out = write_parquet(audited, path, mode)
         result.audits[name] = dict(obs.get)
         assert_min_rows(obs, min_rows, f"{name}_audit")
         return out

@@ -8391,3 +8391,143 @@ def medallion_gold_hoa_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="gold_committed_")
     write_medallion(trimmed, base, commit_keep_last=2)
     return read_resolved(spark, os.path.join(base, "gold", "hoa"))
+
+
+# --- round 17: lookup_join registered, committed surrogate-id gold ---
+
+
+@register(
+    "events_lookup_join",
+    """
+    WITH probes(event_id, tag) AS (
+        VALUES (7, 'a'), (77, 'b'), (777, 'c'), (77, 'd'), (NULL, 'e')
+    )
+    SELECT
+      (SELECT count(*) FROM events
+       WHERE event_id IN (7, 77, 777))                     AS semi_rows,
+      TRUE                                                 AS semi_matches_filter,
+      (SELECT count(*) FROM events e
+       JOIN probes p ON e.event_id = p.event_id)           AS inner_rows,
+      (SELECT CAST(sum(e.event_id) AS BIGINT) FROM events e
+       JOIN probes p ON e.event_id = p.event_id)           AS inner_key_sum,
+      (SELECT count(DISTINCT p.tag) FROM events e
+       JOIN probes p ON e.event_id = p.event_id)           AS matched_tags,
+      TRUE                                                 AS semi_pruned_files_lt_full
+    """,
+)
+def events_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-DATAFRAME point lookup as a planner decision
+    (sources/manifest.py lookup_join — r16 verdict item 3): the
+    choice the bloom_point_scan docs told users to make by hand
+    ("row-set-sized lookups should be a join") made first class.  A
+    probe side at or under BLOOM_PROBE_CAP distinct keys (one bounded
+    distinct-limit aggregation — the planning cost) collects and
+    rides the bloom-pruned scan; above the cap it is the join Spark's
+    own planner sizes against the resolved read (pytest pins both
+    sides of the cap).  This entry exercises the below-cap planner on
+    a committed, bloom-sidecar'd events table with a probe frame that
+    carries DUPLICATE keys (77 twice) and a NULL key, and its receipt
+    is oracle-rederived from the input table alone: the semi form's
+    row count equals `WHERE event_id IN (...)`; the semi result is
+    engine-checked value-equal (exceptAll both ways) against the
+    UNPRUNED filtered scan — pruning proven lossless; the inner form
+    multiplies matches per duplicate probe (inner join semantics) and
+    never matches the NULL key, pinned by exact-integer aggregates
+    (row count, key sum, matched-tag count); and the semi scan
+    touched strictly FEWER files than the generation's inventory —
+    the pruned-vs-full receipt, re-derived engine-side per call.
+    Rebuilt per call: the entry commits its own table."""
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        commit_parquet_generation,
+        lookup_join,
+        read_resolved,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="lookup_join_")
+    root = f"file://{os.path.join(base, 'events_lookup')}"
+    commit_parquet_generation(
+        spark, ev.repartition(8), root, bloom_cols=("event_id",)
+    )
+    probes = spark.createDataFrame(
+        [(7, "a"), (77, "b"), (777, "c"), (77, "d"), (None, "e")],
+        "event_id long, tag string",
+    )
+    semi = lookup_join(spark, root, probes, "event_id", how="semi")
+    full = read_resolved(spark, root)
+    plain = full.where(F.col("event_id").isin([7, 77, 777]))
+    semi_rows = semi.count()
+    semi_matches = (
+        semi.exceptAll(plain).count() == 0
+        and plain.exceptAll(semi).count() == 0
+    )
+    pruned_lt_full = len(set(semi.inputFiles())) < len(set(full.inputFiles()))
+    inner = lookup_join(spark, root, probes, "event_id", how="inner")
+    got = inner.agg(
+        F.count(F.lit(1)).alias("inner_rows"),
+        F.sum("event_id").alias("inner_key_sum"),
+        F.countDistinct("tag").alias("matched_tags"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                semi_rows,
+                bool(semi_matches),
+                got["inner_rows"],
+                got["inner_key_sum"],
+                got["matched_tags"],
+                bool(pruned_lt_full),
+            )
+        ],
+        "semi_rows long, semi_matches_filter boolean, inner_rows long, "
+        "inner_key_sum long, matched_tags long, "
+        "semi_pruned_files_lt_full boolean",
+    )
+
+
+@register(
+    "medallion_gold_property_committed",
+    _MEDALLION_CTE
+    + """
+    SELECT i.property_id, k.natural_key, k.property_key, k.hoa_key,
+           k.taxes_key, k.property_title, k.zip, k.market
+    FROM keyed k LEFT JOIN ids i USING (property_key)
+    """,
+)
+def medallion_gold_property_committed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SURROGATE-ID gold table through the manifest protocol
+    (r16 verdict item 4): property is the table whose T12 id
+    assignment + T13 key->id join-back make rerun idempotence
+    NON-TRIVIAL — the empty-diff proof only holds if ids are
+    deterministic across reruns (they are: dense row_number over the
+    sorted distinct key set, never an insert-order accident like the
+    reference's SERIAL), and that determinism is what lets a
+    committed gold rerun audit itself with snapshot_diff at scale
+    (pytest-pinned: a second committed run diffs empty, ids
+    bit-identical).  On this path the QA gate also runs BEFORE the
+    publish (pre_publish_validate), so a below-min_rows run can
+    neither serve nor GC yesterday's generation.  Checked against the
+    IDENTICAL oracle as medallion_gold_property: the protocol detour
+    is value-invisible.  Rebuilt per call: the entry commits its own
+    table."""
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import (
+        MedallionResult,
+        write_medallion,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        read_resolved,
+    )
+
+    res = _run_demo_medallion(spark, sf_dir)
+    trimmed = MedallionResult(
+        silver=res.silver,
+        field_config=res.field_config,
+        gold={"property": res.gold["property"]},
+    )
+    base = tempfile.mkdtemp(prefix="gold_prop_committed_")
+    write_medallion(trimmed, base, commit_keep_last=2)
+    return read_resolved(spark, os.path.join(base, "gold", "property"))

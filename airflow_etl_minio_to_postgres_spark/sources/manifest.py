@@ -399,30 +399,42 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
 def _data_files(spark: SparkSession, path: str) -> set[str]:
     """Every data file under ``path``, as paths RELATIVE to it —
     one recursive ``listFiles`` (metadata-sized); sidecars, markers,
-    and staging temps are excluded by SPARK'S OWN visibility rule
-    (verified empirically against the local file index): a
-    ``.``-prefixed path component is always hidden, a ``_``-prefixed
-    one is hidden UNLESS it contains ``=`` (a Hive partition
-    directory — Spark reads ``_commit_id=5/`` but skips
-    ``_zonemap/``/``_SUCCESS``; it ignores ``.p=5/`` entirely).  The
-    ``=`` exemption matters: an underscore-prefixed PARTITION COLUMN
-    (the repo's own ``_commit_id`` layout) must list as data here or
+    and staging temps are excluded by SPARK'S OWN visibility rule —
+    ALL FOUR clauses of ``shouldFilterOutPathName`` (verified
+    empirically against the local file index): a path component is
+    hidden when it is ``.``-prefixed, ``_``-prefixed without ``=``,
+    or a mid-copy ``*._COPYING_`` temp — UNLESS it is a parquet
+    summary file (``_metadata``/``_common_metadata`` prefix, which
+    Spark keeps visible so parquet can find them).  The ``=``
+    exemption matters: an underscore-prefixed PARTITION COLUMN (the
+    repo's own ``_commit_id`` layout) must list as data here or
     every inventory consumer — the empty-commit re-land, GC, fsck,
-    sidecar builders — misreads a populated generation as empty."""
+    sidecar builders — misreads a populated generation as empty;
+    the summary/COPYING clauses keep this inventory agreeing with
+    Spark's scan when a writer drops a ``_metadata`` file or a copy
+    is caught mid-flight."""
     jvm, fs = _fs_for(spark, path)
     qualified = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(path)
     ).toString()
+
+    def _hidden(seg: str) -> bool:
+        exclude = (
+            seg.startswith(".")
+            or (seg.startswith("_") and "=" not in seg)
+            or seg.endswith("._COPYING_")
+        )
+        keep = seg.startswith("_metadata") or seg.startswith(
+            "_common_metadata"
+        )
+        return exclude and not keep
+
     out = set()
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
     while it.hasNext():
         p = it.next().getPath().toString()
         rel = p[len(qualified) + 1 :]
-        if any(
-            seg.startswith(".")
-            or (seg.startswith("_") and "=" not in seg)
-            for seg in rel.split("/")
-        ):
+        if any(_hidden(seg) for seg in rel.split("/")):
             continue
         out.add(rel)
     return out
@@ -974,8 +986,18 @@ def lookup_join(
     ``how='inner'``: the table joined to ``probes`` carrying the
     probe side's columns (probe duplicates multiply, as inner join
     semantics say they must).  NULL probe keys never match (SQL
-    equality), on both paths."""
-    from pyspark.sql import functions as F  # noqa: F401 (parity w/ callers)
+    equality), on both paths.
+
+    On the below-cap inner path the probe frame is evaluated twice
+    (the key collect, then the join) — the probe side there is
+    additionally pinned to the COLLECTED keyset (``isin``), so a
+    non-deterministic probe frame can never smuggle keys into the
+    join that the bloom pruning excluded from the scan: the collected
+    keyset IS the lookup.  Probe ROWS for those keys still come from
+    the second evaluation — like any Spark plan that reads a source
+    twice, an unstable probe source should be persisted by the caller
+    if row-level reproducibility matters."""
+    from pyspark.sql import functions as F
 
     if how not in ("semi", "inner"):
         raise ValueError(
@@ -989,7 +1011,10 @@ def lookup_join(
         base = bloom_point_scan(spark, root, on, vals)
         if how == "semi":
             return base  # the re-applied isin IS the semi predicate
-        return base.join(probes, on, "inner")
+        # Pin the probe side to the collected keyset: base is already
+        # pruned to vals, so a probe re-evaluation producing OTHER
+        # keys would otherwise drop those matches silently.
+        return base.join(probes.filter(F.col(on).isin(vals)), on, "inner")
     base = read_resolved(spark, root)
     if how == "semi":
         return base.join(probes.select(on), on, "left_semi")
@@ -1008,6 +1033,7 @@ def commit_parquet_generation(
     bloom_bits: int = 1 << 20,
     bloom_k: int = 5,
     allow_column_drop: bool = False,
+    pre_publish_validate=None,
 ) -> int:
     """Write ANY DataFrame as the next manifest-committed generation
     of ``root`` — the generic adopter path for serving tables whose
@@ -1037,8 +1063,20 @@ def commit_parquet_generation(
     states the migration is deliberate.  Additions and type changes
     pass (widening is the normal evolution direction; type drift is
     ``snapshot_diff``'s report, and a serving-layout loss is
-    ``fsck_index``'s kind-regression issue).  Returns the committed
-    sequence number."""
+    ``fsck_index``'s kind-regression issue).
+
+    ``pre_publish_validate`` (zero-arg callable) is the QA GATE the
+    atomic flip makes possible: it runs AFTER the staged generation
+    (and its sidecars) are fully written but BEFORE the manifest
+    publish and GC.  If it raises, the staged prefix is deleted, the
+    exception propagates, and NOTHING changed from a reader's point
+    of view — the previous snapshot keeps serving and retention never
+    ran, so a below-quality run can neither become the serving table
+    nor collect its predecessor.  Because any observation attached to
+    the frame (``observe_quality``) resolves during the staged
+    write's scan, the hook can gate on observed metrics with zero
+    extra passes (this is ``write_medallion``'s ``min_rows`` path).
+    Returns the committed sequence number."""
     got = latest_manifest(spark, root)
     if got is not None:
         prev_root = _join(root, str(got[1]["generation"]))
@@ -1081,17 +1119,27 @@ def commit_parquet_generation(
         # servable snapshot, not a wedge.  GUARD first: the listing is
         # a PROXY for emptiness, and overwriting on a wrong proxy is
         # silent data loss published as the new snapshot — so confirm
-        # against the frame itself (one limit(1) job, only on this
-        # rare path) and refuse loudly on disagreement rather than
-        # drop rows the write just landed.
-        if df.limit(1).count() > 0:
+        # against the WRITTEN OUTPUT (Spark's own read of the staged
+        # prefix; one limit(1) job, only on this rare path), never by
+        # re-running the frame's lineage, which for a
+        # non-deterministic frame (rand/sample/unstable source) can
+        # disagree with what the write actually landed.  A read that
+        # cannot even infer a schema IS the genuinely-file-less case
+        # the re-land exists for.
+        try:
+            written_nonempty = (
+                spark.read.parquet(_join(root, gen)).limit(1).count() > 0
+            )
+        except AnalysisException:
+            written_nonempty = False
+        if written_nonempty:
             raise RuntimeError(
                 "commit_parquet_generation: the partitioned write of "
-                f"{_join(root, gen)!r} listed NO data files but the "
-                "frame is non-empty — refusing to re-land an empty "
-                "snapshot over data; the listing rule and the layout "
-                "disagree (report this: it means _data_files cannot "
-                "see files Spark just wrote)"
+                f"{_join(root, gen)!r} listed NO data files but "
+                "Spark's own read of it returns rows — refusing to "
+                "re-land an empty snapshot over data; the listing "
+                "rule and the layout disagree (report this: it means "
+                "_data_files cannot see files Spark just wrote)"
             )
         df.limit(0).write.mode("overwrite").parquet(_join(root, gen))
     if zone_map_cols:
@@ -1104,6 +1152,18 @@ def commit_parquet_generation(
             bits=bloom_bits,
             k=bloom_k,
         )
+    if pre_publish_validate is not None:
+        try:
+            pre_publish_validate()
+        except BaseException:
+            # Validation refused the staged generation: delete it so a
+            # deliberate rejection leaves no orphan debt (a CRASH here
+            # would leave one, which GC/fsck already handle), then let
+            # the failure propagate.  The manifest was never touched —
+            # the previous snapshot is still serving and GC never ran.
+            jvm, fs = _fs_for(spark, root)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, gen)), True)
+            raise
     publish_generation(spark, root, seq, gen)
     gc_generations(
         spark,

@@ -4054,3 +4054,169 @@ def test_lookup_join_prunes_small_probes_and_joins_large(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not supported"):
         mf.lookup_join(spark, root, probes, "k", how="outer")
+
+
+def test_pre_publish_validate_gates_before_publish_and_gc(spark, tmp_path):
+    """commit_parquet_generation(pre_publish_validate=): the QA hook
+    runs after the staged write but BEFORE the manifest publish and
+    GC (r16 advisor finding, medium — previously write_medallion's
+    min_rows gate fired after publish, so a bad run became the
+    serving snapshot AND, at keep_last=1, collected yesterday's good
+    generation in the same call).  Pin: a raising hook leaves the
+    previous snapshot serving with its values intact, the manifest
+    sequence unchanged, and NO staged orphan; a passing hook commits
+    normally and observed it ran post-write."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    good = spark.range(10).selectExpr("id as k")
+    assert mf.commit_parquet_generation(spark, good, root, keep_last=1) == 1
+
+    def refuse():
+        raise ValueError("QA gate: too few rows")
+
+    with _pytest.raises(ValueError, match="QA gate"):
+        mf.commit_parquet_generation(
+            spark,
+            good.where("k < 0"),
+            root,
+            keep_last=1,
+            pre_publish_validate=refuse,
+        )
+    # previous snapshot still serving, values intact, seq unchanged
+    assert mf.latest_manifest(spark, root)[0] == 1
+    assert mf.read_resolved(spark, root).count() == 10
+    # the refused staged generation left no orphan debt
+    assert not (tmp_path / "t" / "_gen-000002").exists()
+    assert mf.fsck_index(spark, root, keep_last=1)["issues"] == []
+
+    ran = []
+    assert (
+        mf.commit_parquet_generation(
+            spark,
+            good.where("k < 5"),
+            root,
+            keep_last=1,
+            pre_publish_validate=lambda: ran.append(True),
+        )
+        == 2
+    )
+    assert ran == [True]
+    assert mf.read_resolved(spark, root).count() == 5
+
+
+def test_write_medallion_min_rows_gates_before_commit_publish(
+    spark, tmp_path
+):
+    """The medallion QA gate on the committed path must protect the
+    serving snapshot: a below-min_rows rerun at commit_keep_last=1
+    raises AND yesterday's good gold keeps serving (the docstring's
+    crash-safety claim, now true for QA failures too — r16 advisor
+    medium).  Audits still record the bad run's observed metrics."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import (
+        run_medallion,
+        write_medallion,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    raw = spark.createDataFrame(
+        [("A St", "02134"), ("B Ave", "02135")],
+        "Property_Title string, Zip string",
+    )
+    fc = spark.createDataFrame(
+        [("Property_Title", "property"), ("Zip", "property")],
+        ["column_name", "target_table"],
+    )
+    base = str(tmp_path / "lake")
+    good = run_medallion(raw, fc, targets=set())
+    write_medallion(good, base, commit_keep_last=1, min_rows=1)
+    assert mf.read_resolved(spark, f"{base}/silver").count() == 2
+
+    bad = run_medallion(raw.where(F.lit(False)), fc, targets=set())
+    with _pytest.raises(ValueError, match="required minimum"):
+        write_medallion(bad, base, commit_keep_last=1, min_rows=1)
+    # the good generation was neither replaced nor GC'd
+    assert mf.latest_manifest(spark, f"{base}/silver")[0] == 1
+    assert mf.read_resolved(spark, f"{base}/silver").count() == 2
+    # the bad run's audit metrics were still observed and recorded
+    assert bad.audits["silver"]["n_rows"] == 0
+
+
+def test_data_files_matches_spark_rule_all_clauses(spark, tmp_path):
+    """_data_files mirrors ALL FOUR clauses of Spark's
+    shouldFilterOutPathName (r16 advisor finding): parquet summary
+    files (_metadata/_common_metadata) stay VISIBLE exactly as
+    Spark's scan keeps them, mid-copy *._COPYING_ temps are hidden,
+    on top of the dot-prefix and underscore-unless-'=' rules already
+    pinned elsewhere."""
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    mf.commit_parquet_generation(
+        spark, spark.range(10).selectExpr("id as k"), root
+    )
+    gen = mf.resolve_data_root(spark, root)
+    for extra in (
+        "_metadata",
+        "_common_metadata",
+        "part-junk.parquet._COPYING_",
+    ):
+        with open(f"{gen}/{extra}", "wb") as fh:
+            fh.write(b"x")
+    files = mf._data_files(spark, gen)
+    assert "_metadata" in files
+    assert "_common_metadata" in files
+    assert "part-junk.parquet._COPYING_" not in files
+    assert any(f.endswith(".parquet") and f.startswith("part-") for f in files)
+
+
+def test_committed_property_gold_rerun_ids_deterministic(spark, tmp_path):
+    """The surrogate-id gold table (T12 ids + T13 join-back) through
+    the manifest protocol must prove rerun idempotence with an EMPTY
+    snapshot_diff — which only holds if ids are deterministic across
+    independent runs (dense row_number over the sorted distinct key
+    set; an insert-order id scheme like the reference's SERIAL would
+    diff every row).  r16 verdict item 4."""
+    from airflow_etl_minio_to_postgres_spark.plans.medallion import (
+        run_medallion,
+        write_medallion,
+    )
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    raw = spark.createDataFrame(
+        [
+            ("A St", "02134", "bos", 1, "y", 3),
+            ("B Ave", "02135", "bos", 2, "n", 4),
+            ("A St", "02134", "bos", 1, "y", 3),
+            ("C Rd", "02136", "nyc", 3, "y", 5),
+        ],
+        "Property_Title string, Zip string, Market string, HOA int, "
+        "HOA_Flag string, Taxes int",
+    )
+    fc = spark.createDataFrame(
+        [
+            ("Property_Title", "property"), ("Zip", "property"),
+            ("Market", "property"), ("HOA", "hoa"), ("HOA_Flag", "hoa"),
+            ("Taxes", "taxes"),
+        ],
+        ["column_name", "target_table"],
+    )
+    base = str(tmp_path / "lake")
+    write_medallion(run_medallion(raw, fc), base, commit_keep_last=2)
+    write_medallion(run_medallion(raw, fc), base, commit_keep_last=2)
+    prop = f"{base}/gold/property"
+    assert mf.latest_manifest(spark, prop)[0] == 2
+    # empty diff == ids bit-identical across the two independent runs
+    assert mf.snapshot_diff(spark, prop, 1, 2).count() == 0
+    got = mf.read_resolved(spark, prop)
+    assert got.count() == 4
+    # ids dense over the distinct keys, join-back resolved every row
+    ids = sorted(
+        r[0] for r in got.select("property_id").distinct().collect()
+    )
+    assert ids == [1, 2, 3]

@@ -1470,6 +1470,8 @@ def test_psi_by_matches_per_slice_global(spark, ref_rows, cur_rows, n_buckets):
                 "crash_before_gc",
                 "restore",
                 "rebuild_sidecars",
+                "commit_rejected",
+                "commit_ok_validated",
             ]
         ),
         min_size=1,
@@ -1506,7 +1508,16 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
     any commit), and ``rebuild_sidecars`` builds zone+bloom stats on
     the served generation in place (after which every sidecar
     invariant must hold on a generation that committed WITHOUT
-    them).  Both are no-ops before the first successful publish."""
+    them).  Both are no-ops before the first successful publish.
+
+    Round 17 adds the QA-gated commit (``pre_publish_validate``, the
+    r16 advisor medium): ``commit_rejected`` drives the REAL
+    ``commit_parquet_generation`` with a raising hook — the whole
+    commit must be invisible (reader values, the ``_gen-`` listing
+    incl. any crash-stranded orphans, and ``next_seq`` all exactly
+    unchanged), at any point in any interleaving; ``commit_ok_validated``
+    drives it with a passing hook and must behave exactly like a
+    normal commit (hook ran once, publish + retention as usual)."""
     import os as _os
 
     from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
@@ -1585,6 +1596,51 @@ def test_manifest_protocol_crash_model(spark, tmp_path_factory, ops, keep_last):
 
     check()
     for op in ops:
+        if op == "commit_rejected":
+            seq_before = mf.next_seq(spark, root)
+            gens_before = sorted(
+                n for n in _os.listdir(root) if n.startswith("_gen-")
+            )
+
+            def _refuse():
+                raise ValueError("QA gate: rejected")
+
+            try:
+                mf.commit_parquet_generation(
+                    spark,
+                    ids.withColumn("g", F.lit(int(seq_before))),
+                    root,
+                    keep_last=keep_last,
+                    pre_publish_validate=_refuse,
+                )
+                raise AssertionError("rejected commit must raise")
+            except ValueError:
+                pass
+            # the whole commit is invisible: values, generation
+            # listing (crash orphans included), and the sequence
+            assert sorted(
+                n for n in _os.listdir(root) if n.startswith("_gen-")
+            ) == gens_before
+            assert mf.next_seq(spark, root) == seq_before
+            check()
+            continue
+        if op == "commit_ok_validated":
+            seq = mf.next_seq(spark, root)
+            ran: list[int] = []
+            mf.commit_parquet_generation(
+                spark,
+                ids.withColumn("g", F.lit(int(seq))),
+                root,
+                keep_last=keep_last,
+                pre_publish_validate=lambda: ran.append(1),
+            )
+            assert ran == [1]
+            expected_stamp = seq
+            stamp_of[seq] = seq
+            published.append(seq)
+            check()
+            assert_retention()
+            continue
         if op in ("restore", "rebuild_sidecars"):
             if not published:
                 continue  # both need a served committed generation

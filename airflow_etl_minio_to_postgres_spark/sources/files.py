@@ -581,6 +581,7 @@ def recluster_zorder_committed(
     keep_last: int = 1,
     zone_map_cols: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
+    verify_row_count: bool = True,
 ) -> int:
     """The OBJECT-STORE face of :func:`recluster_zorder_parquet` — the
     same recluster plan committed through the manifest protocol
@@ -611,7 +612,18 @@ def recluster_zorder_committed(
     per-file ``_bloom`` point-lookup sidecar
     (``manifest.write_bloom_filters``) in the same commit — range
     skipping from the layout, key skipping from the filters, one
-    atomic flip.  Returns the committed sequence number."""
+    atomic flip.
+
+    ``verify_row_count`` (default ON): a re-cluster is row-preserving
+    BY DEFINITION, so the commit validates the STAGED generation's
+    row count against the source generation's before the publish
+    (``pre_publish_validate`` with the staged path — two
+    footer-metadata count jobs, no data read) and refuses to serve a
+    row-dropping rewrite: the compaction-bug class where an OPTIMIZE
+    silently loses rows is caught while yesterday's generation is
+    still the snapshot, instead of by a later ``snapshot_diff``
+    audit after the damage served.  Returns the committed sequence
+    number."""
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         _list_names,
         commit_parquet_generation,
@@ -637,10 +649,26 @@ def recluster_zorder_committed(
     staged = _zorder_staged(
         df, zorder_cols, bits, n_files, rank_bucket, sample_rate
     )
+    guard = None
+    if verify_row_count:
+        expected = df.count()  # footer-metadata job over the source gen
+
+        def guard(staged_path: str) -> None:
+            got = spark.read.parquet(staged_path).count()
+            if got != expected:
+                raise RuntimeError(
+                    f"recluster_zorder_committed: staged generation at "
+                    f"{staged_path!r} holds {got} rows but the source "
+                    f"generation holds {expected} — a re-cluster is "
+                    "row-preserving by definition; refusing to publish "
+                    "(previous generation keeps serving)"
+                )
+
     return commit_parquet_generation(
         spark, staged, root, keep_last=keep_last,
         zone_map_cols=tuple(zone_map_cols),
         bloom_cols=tuple(bloom_cols),
+        pre_publish_validate=guard,
     )
 
 

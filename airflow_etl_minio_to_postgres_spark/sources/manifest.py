@@ -1065,18 +1065,26 @@ def commit_parquet_generation(
     ``snapshot_diff``'s report, and a serving-layout loss is
     ``fsck_index``'s kind-regression issue).
 
-    ``pre_publish_validate`` (zero-arg callable) is the QA GATE the
-    atomic flip makes possible: it runs AFTER the staged generation
-    (and its sidecars) are fully written but BEFORE the manifest
-    publish and GC.  If it raises, the staged prefix is deleted, the
-    exception propagates, and NOTHING changed from a reader's point
-    of view — the previous snapshot keeps serving and retention never
-    ran, so a below-quality run can neither become the serving table
-    nor collect its predecessor.  Because any observation attached to
+    ``pre_publish_validate`` is the QA GATE the atomic flip makes
+    possible: it runs AFTER the staged generation (and its sidecars)
+    are fully written but BEFORE the manifest publish and GC.  If it
+    raises, the staged prefix is deleted, the exception propagates,
+    and NOTHING changed from a reader's point of view — the previous
+    snapshot keeps serving and retention never ran, so a
+    below-quality run can neither become the serving table nor
+    collect its predecessor.  Because any observation attached to
     the frame (``observe_quality``) resolves during the staged
-    write's scan, the hook can gate on observed metrics with zero
-    extra passes (this is ``write_medallion``'s ``min_rows`` path).
-    Returns the committed sequence number."""
+    write's scan, a zero-arg hook can gate on observed metrics with
+    zero extra passes (this is ``write_medallion``'s ``min_rows``
+    path).  A hook that accepts one positional argument instead
+    receives the STAGED GENERATION PATH, enabling output-aware
+    validation — count or constraint-check what was actually written
+    (parquet counts are footer-metadata jobs) rather than re-deriving
+    it from the frame (``recluster_zorder_committed``'s row-count
+    guard).  The call shape is decided by signature inspection, never
+    by catching ``TypeError`` (which would swallow a TypeError raised
+    INSIDE the hook and mask the validation).  Returns the committed
+    sequence number."""
     got = latest_manifest(spark, root)
     if got is not None:
         prev_root = _join(root, str(got[1]["generation"]))
@@ -1153,8 +1161,24 @@ def commit_parquet_generation(
             k=bloom_k,
         )
     if pre_publish_validate is not None:
+        import inspect
+
+        takes_path = any(
+            p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
+            )
+            for p in inspect.signature(
+                pre_publish_validate
+            ).parameters.values()
+        )
         try:
-            pre_publish_validate()
+            if takes_path:
+                pre_publish_validate(_join(root, gen))
+            else:
+                pre_publish_validate()
         except BaseException:
             # Validation refused the staged generation: delete it so a
             # deliberate rejection leaves no orphan debt (a CRASH here

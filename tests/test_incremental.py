@@ -4220,3 +4220,77 @@ def test_committed_property_gold_rerun_ids_deterministic(spark, tmp_path):
         r[0] for r in got.select("property_id").distinct().collect()
     )
     assert ids == [1, 2, 3]
+
+
+def test_pre_publish_validate_receives_staged_path(spark, tmp_path):
+    """A hook that accepts one positional argument receives the STAGED
+    generation path (signature-inspected, never TypeError-caught) —
+    output-aware validation: gate on what was actually written, not on
+    a re-derivation of the frame."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    seen: list[str] = []
+
+    def inspect_output(staged_path):
+        seen.append(staged_path)
+        assert spark.read.parquet(staged_path).count() == 10
+
+    mf.commit_parquet_generation(
+        spark,
+        spark.range(10).selectExpr("id as k"),
+        root,
+        pre_publish_validate=inspect_output,
+    )
+    assert len(seen) == 1 and seen[0].endswith("_gen-000001")
+
+    # a TypeError raised INSIDE the hook must propagate as validation
+    # failure (staged gen deleted), never be mistaken for call-shape
+    with _pytest.raises(TypeError, match="inside"):
+        mf.commit_parquet_generation(
+            spark,
+            spark.range(5).selectExpr("id as k"),
+            root,
+            pre_publish_validate=lambda p: (_ for _ in ()).throw(
+                TypeError("inside the hook")
+            ),
+        )
+    assert mf.latest_manifest(spark, root)[0] == 1
+    assert mf.read_resolved(spark, root).count() == 10
+
+
+def test_recluster_committed_refuses_row_dropping_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """verify_row_count (default ON): a re-cluster is row-preserving by
+    definition, so a buggy staging that loses rows is refused BEFORE
+    the publish — yesterday's generation keeps serving, no GC ran —
+    instead of being caught by a later snapshot_diff audit after the
+    damage served."""
+    import pytest as _pytest
+
+    from airflow_etl_minio_to_postgres_spark.sources import files as sf
+    from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).selectExpr(
+        "id as k", "cast(id % 7 as long) as u"
+    )
+    mf.commit_parquet_generation(spark, df.repartition(4), root)
+
+    real = sf._zorder_staged
+
+    def dropping(frame, *a, **k):
+        return real(frame, *a, **k).where("k < 900")  # the bug
+
+    monkeypatch.setattr(sf, "_zorder_staged", dropping)
+    with _pytest.raises(RuntimeError, match="row-preserving"):
+        sf.recluster_zorder_committed(spark, root, ["k", "u"])
+    assert mf.latest_manifest(spark, root)[0] == 1
+    assert mf.read_resolved(spark, root).count() == 1000
+
+    monkeypatch.setattr(sf, "_zorder_staged", real)
+    seq = sf.recluster_zorder_committed(spark, root, ["k", "u"])
+    assert seq == 2 and mf.read_resolved(spark, root).count() == 1000

@@ -224,18 +224,20 @@ def write_medallion(
         audited, obs = observe_quality(
             df, f"{name}_audit", audit_null_cols.get(name)
         )
+        def _gate() -> None:
+            # The one QA gate for both paths.  On the committed path
+            # it runs as pre_publish_validate — after the staged write
+            # (obs has resolved) but before the manifest publish + GC,
+            # so a below-min_rows run can neither become the serving
+            # snapshot nor collect yesterday's good generation.  On
+            # the plain path it runs right after the overwrite.
+            result.audits[name] = dict(obs.get)
+            assert_min_rows(obs, min_rows, f"{name}_audit")
+
         if commit_keep_last is not None:
             from airflow_etl_minio_to_postgres_spark.sources.manifest import (
                 commit_parquet_generation,
             )
-
-            def _gate() -> None:
-                # Runs after the staged write (obs has resolved) but
-                # before the manifest publish + GC: a below-min_rows
-                # run must neither become the serving snapshot nor
-                # collect yesterday's good generation.
-                result.audits[name] = dict(obs.get)
-                assert_min_rows(obs, min_rows, f"{name}_audit")
 
             commit_parquet_generation(
                 audited.sparkSession,
@@ -246,8 +248,7 @@ def write_medallion(
             )
             return path
         out = write_parquet(audited, path, mode)
-        result.audits[name] = dict(obs.get)
-        assert_min_rows(obs, min_rows, f"{name}_audit")
+        _gate()
         return out
 
     paths["silver"] = _write("silver", result.silver, f"{base_path}/silver")

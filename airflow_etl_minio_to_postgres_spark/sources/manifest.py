@@ -399,35 +399,42 @@ def create_resolving_view(spark: SparkSession, name: str, root: str) -> str:
 def _data_files(spark: SparkSession, path: str) -> set[str]:
     """Every data file under ``path``, as paths RELATIVE to it —
     one recursive ``listFiles`` (metadata-sized); sidecars, markers,
-    and staging temps are excluded by SPARK'S OWN visibility rule —
-    ALL FOUR clauses of ``shouldFilterOutPathName`` (verified
-    empirically against the local file index): a path component is
-    hidden when it is ``.``-prefixed, ``_``-prefixed without ``=``,
-    or a mid-copy ``*._COPYING_`` temp — UNLESS it is a parquet
-    summary file (``_metadata``/``_common_metadata`` prefix, which
-    Spark keeps visible so parquet can find them).  The ``=``
+    and staging temps are excluded by SPARK'S OWN visibility rule
+    (verified empirically against the local file index): a path
+    component is hidden when it is ``.``-prefixed, ``_``-prefixed
+    without ``=``, or a mid-copy ``*._COPYING_`` temp.  The ``=``
     exemption matters: an underscore-prefixed PARTITION COLUMN (the
     repo's own ``_commit_id`` layout) must list as data here or
     every inventory consumer — the empty-commit re-land, GC, fsck,
-    sidecar builders — misreads a populated generation as empty;
-    the summary/COPYING clauses keep this inventory agreeing with
-    Spark's scan when a writer drops a ``_metadata`` file or a copy
-    is caught mid-flight."""
+    sidecar builders — misreads a populated generation as empty.
+
+    ONE DELIBERATE divergence from ``shouldFilterOutPathName``:
+    Spark exempts parquet SUMMARY files (``_metadata``/
+    ``_common_metadata`` prefixes) from hiding so the parquet layer
+    can discover them — but (verified empirically) its row scan
+    never reads rows FROM them (the parquet layer skips summary
+    files by name), so they are visible-but-rowless to Spark.  This
+    inventory keeps them HIDDEN, which is ROW-CONSISTENT with
+    Spark's scan (identical row counts for every consumer —
+    emptiness, GC arithmetic, sidecar losslessness) while keeping
+    them out of the places Spark's name-based skip does not protect:
+    sidecar builders computing per-file stats and pruned scans
+    passing explicit read paths, where a summary file would be read
+    as row data.  Nothing in-repo or in any modern Spark writer
+    emits summary files (disabled since Spark 2.0), and generation
+    GC removes whole ``_gen-*`` prefixes recursively, so a stray one
+    can never be orphaned by being hidden here."""
     jvm, fs = _fs_for(spark, path)
     qualified = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(path)
     ).toString()
 
     def _hidden(seg: str) -> bool:
-        exclude = (
+        return (
             seg.startswith(".")
             or (seg.startswith("_") and "=" not in seg)
             or seg.endswith("._COPYING_")
         )
-        keep = seg.startswith("_metadata") or seg.startswith(
-            "_common_metadata"
-        )
-        return exclude and not keep
 
     out = set()
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
@@ -1085,6 +1092,24 @@ def commit_parquet_generation(
     by catching ``TypeError`` (which would swallow a TypeError raised
     INSIDE the hook and mask the validation).  Returns the committed
     sequence number."""
+    validate_takes_path = False
+    if pre_publish_validate is not None:
+        # Decide the hook's call shape UP FRONT (an uninspectable
+        # callable fails here, before any write — not after staging a
+        # generation it would then orphan).
+        import inspect
+
+        validate_takes_path = any(
+            p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
+            )
+            for p in inspect.signature(
+                pre_publish_validate
+            ).parameters.values()
+        )
     got = latest_manifest(spark, root)
     if got is not None:
         prev_root = _join(root, str(got[1]["generation"]))
@@ -1161,21 +1186,8 @@ def commit_parquet_generation(
             k=bloom_k,
         )
     if pre_publish_validate is not None:
-        import inspect
-
-        takes_path = any(
-            p.kind
-            in (
-                inspect.Parameter.POSITIONAL_ONLY,
-                inspect.Parameter.POSITIONAL_OR_KEYWORD,
-                inspect.Parameter.VAR_POSITIONAL,
-            )
-            for p in inspect.signature(
-                pre_publish_validate
-            ).parameters.values()
-        )
         try:
-            if takes_path:
+            if validate_takes_path:
                 pre_publish_validate(_join(root, gen))
             else:
                 pre_publish_validate()
@@ -1185,8 +1197,17 @@ def commit_parquet_generation(
             # would leave one, which GC/fsck already handle), then let
             # the failure propagate.  The manifest was never touched —
             # the previous snapshot is still serving and GC never ran.
-            jvm, fs = _fs_for(spark, root)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, gen)), True)
+            # The cleanup must never REPLACE the validation error: a
+            # storage hiccup during the delete just strands the orphan
+            # (the already-handled crash case) while the caller still
+            # sees WHY the publish was refused.
+            try:
+                jvm, fs = _fs_for(spark, root)
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_join(root, gen)), True
+                )
+            except Exception:
+                pass
             raise
     publish_generation(spark, root, seq, gen)
     gc_generations(

@@ -4147,32 +4147,56 @@ def test_write_medallion_min_rows_gates_before_commit_publish(
     assert bad.audits["silver"]["n_rows"] == 0
 
 
-def test_data_files_matches_spark_rule_all_clauses(spark, tmp_path):
-    """_data_files mirrors ALL FOUR clauses of Spark's
-    shouldFilterOutPathName (r16 advisor finding): parquet summary
-    files (_metadata/_common_metadata) stay VISIBLE exactly as
-    Spark's scan keeps them, mid-copy *._COPYING_ temps are hidden,
-    on top of the dot-prefix and underscore-unless-'=' rules already
-    pinned elsewhere."""
+def test_data_files_copying_hidden_summary_divergence_documented(
+    spark, tmp_path
+):
+    """_data_files vs Spark's shouldFilterOutPathName (r16 advisor
+    finding): mid-copy *._COPYING_ temps are hidden exactly as Spark
+    hides them; parquet summary files (_metadata/_common_metadata)
+    are the ONE documented divergence — Spark keeps them visible for
+    parquet-layer discovery but (empirically) reads ZERO rows from
+    them, so hiding them here is ROW-CONSISTENT with Spark's scan
+    while keeping them out of per-file stats and explicit-path
+    pruned reads, where Spark's name-based skip does not protect
+    us.  Pin both halves: the inventory hides them, and the whole
+    sidecar pipeline (build, prune, fsck) stays lossless with them
+    present."""
+    import glob as _glob
+    import shutil as _shutil
+
     from airflow_etl_minio_to_postgres_spark.sources import manifest as mf
 
     root = str(tmp_path / "t")
     mf.commit_parquet_generation(
-        spark, spark.range(10).selectExpr("id as k"), root
+        spark, spark.range(1000).selectExpr("id as k"), root
     )
     gen = mf.resolve_data_root(spark, root)
-    for extra in (
-        "_metadata",
-        "_common_metadata",
-        "part-junk.parquet._COPYING_",
-    ):
-        with open(f"{gen}/{extra}", "wb") as fh:
-            fh.write(b"x")
+    # realistic summary files: valid parquet footers (a corrupt one
+    # breaks Spark's OWN schema reads before our inventory matters)
+    part = _glob.glob(f"{gen}/part-*.parquet")[0]
+    _shutil.copy(part, f"{gen}/_metadata")
+    _shutil.copy(part, f"{gen}/_common_metadata")
+    with open(f"{gen}/part-junk.parquet._COPYING_", "wb") as fh:
+        fh.write(b"x")  # mid-copy temp: junk bytes, hidden everywhere
     files = mf._data_files(spark, gen)
-    assert "_metadata" in files
-    assert "_common_metadata" in files
+    assert "_metadata" not in files
+    assert "_common_metadata" not in files
     assert "part-junk.parquet._COPYING_" not in files
     assert any(f.endswith(".parquet") and f.startswith("part-") for f in files)
+    # row-consistency with Spark's own scan: summary files are
+    # visible to Spark but contribute no rows
+    assert spark.read.parquet(gen).count() == 1000
+    # the sidecar pipeline stays whole and lossless with them present
+    mf.rebuild_sidecars(spark, root, zone_map_cols=("k",), bloom_cols=("k",))
+    zm_files = {
+        r["file"]
+        for r in spark.read.parquet(f"{gen}/_zonemap").select("file").collect()
+    }
+    assert "_metadata" not in zm_files and zm_files == files
+    assert mf.skipping_scan(
+        spark, root, ranges={"k": (10, 19)}, keys={"k": [12, 17]}
+    ).count() == 2
+    assert mf.fsck_index(spark, root)["issues"] == []
 
 
 def test_committed_property_gold_rerun_ids_deterministic(spark, tmp_path):

@@ -13,7 +13,17 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _n_buckets(df: DataFrame) -> int:
+    """Coarse-group bucket count: a small multiple of the session's
+    parallelism.  Purely a batching knob — results are identical for
+    any value (every logical group maps wholly into one bucket); it
+    only sets how many pandas invocations amortize the per-call Arrow
+    overhead and how evenly they spread over cores."""
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
 
 
 def per_group_counts_pandas(
@@ -22,6 +32,18 @@ def per_group_counts_pandas(
     """Per-group value-distribution counts, computed by pandas inside the
     group (batch sibling of ``streaming.stateful_user_counts``).  Integer
     outputs only, so the demo stays bit-reproducible in SQL.
+
+    Optimization r17 (guide §4.1): the shuffle key is a COARSE
+    deterministic hash bucket of ``group_col``, not the group itself —
+    each pandas call now processes a bucketful of groups (a two-column
+    groupby inside pandas) instead of one, so the per-call Python
+    crossing overhead is paid ~2x-parallelism times, not once per
+    distinct group, and AQE can no longer coalesce thousands of
+    micro-groups into one starved task.  Every group still lands
+    wholly in one bucket, so counts are identical; null-key handling
+    is pinned to the old per-group form (null ``group_col`` groups
+    kept — Spark groupBy semantics; null ``value_col`` rows dropped —
+    pandas groupby dropna).
     """
     out_schema = T.StructType(
         [
@@ -30,18 +52,26 @@ def per_group_counts_pandas(
             T.StructField("n", T.LongType()),
         ]
     )
+    out_cols = [group_col, value_col, "n"]
 
     def _counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        kept = pdf[pdf[value_col].notna()]
         counted = (
-            pdf.groupby(value_col, as_index=False)
+            kept.groupby([group_col, value_col], as_index=False, dropna=False)
             .size()
             .rename(columns={"size": "n"})
         )
-        counted.insert(0, group_col, pdf[group_col].iloc[0])
-        return counted
+        return counted[out_cols]
 
-    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
-        _counts, schema=out_schema
+    bucket = F.pmod(
+        F.xxhash64(F.col(group_col)), F.lit(_n_buckets(df))
+    ).alias("_b")
+    return (
+        df.select(group_col, value_col, bucket)
+        .groupBy("_b")
+        .applyInPandas(_counts, schema=out_schema)
     )
 
 
@@ -91,7 +121,19 @@ def asof_join_cogrouped(
             f"right columns {sorted(overlap)} collide with left; rename "
             "them before the cogroup or they will be pruned"
         )
-    right = right.withColumnRenamed(right_on, "matched_ts")
+    # Optimization r17 (guide §4.1): cogroup on a COARSE deterministic
+    # hash bucket of ``by``, not ``by`` itself — one pandas call now
+    # merges a bucketful of keys via ``merge_asof(by=...)`` instead of
+    # one key per call, so the per-call Arrow overhead is paid
+    # ~2x-parallelism times rather than once per distinct key, and AQE
+    # can't coalesce thousands of micro-cogroups onto one starved task.
+    # Every key lands wholly in one bucket and merge_asof's ``by``
+    # matching is per-key, so the matched rows are identical.  The
+    # right-hand key column is renamed so the now-non-key name doesn't
+    # collide with the left twin (the pruning above).
+    right = right.withColumnRenamed(right_on, "matched_ts").withColumnRenamed(
+        by, "_rby"
+    )
 
     # A side with no rows for a key arrives as an EMPTY, COLUMN-LESS
     # frame (zero Arrow batches), so expected columns are captured here
@@ -101,26 +143,39 @@ def asof_join_cogrouped(
     def _merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
             return pd.DataFrame(columns=out_cols)
-        l = l.sort_values(left_on, kind="mergesort")
+        l = l.drop(columns=["_b"]).sort_values(left_on, kind="mergesort")
         if r.empty:  # left outer semantics: keep left rows, null match
             out = l.copy()
             out["matched_ts"] = pd.NaT
             out[value_col] = float("nan")
             return out
-        r = r.sort_values(["matched_ts", value_col], kind="mergesort").drop(
-            columns=[by]
+        # merge_asof(by=) needs frames sorted on the match column only;
+        # the per-key backward pick is identical to the per-group form
+        # because (by, matched_ts) is unique by contract.
+        r = r.drop(columns=["_b"]).sort_values(
+            ["matched_ts", value_col], kind="mergesort"
         )
-        return pd.merge_asof(
+        out = pd.merge_asof(
             l,
             r,
             left_on=left_on,
             right_on="matched_ts",
+            left_by=by,
+            right_by="_rby",
             direction="backward",
         )
+        return out[out_cols]
 
+    nb = _n_buckets(left)
+    lb = left.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(by)), F.lit(nb))
+    )
+    rb = right.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("_rby")), F.lit(nb))
+    )
     return (
-        left.groupBy(by)
-        .cogroup(right.groupBy(by))
+        lb.groupBy("_b")
+        .cogroup(rb.groupBy("_b"))
         .applyInPandas(_merge, schema=out_schema)
     )
 

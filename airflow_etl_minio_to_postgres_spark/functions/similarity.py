@@ -21,6 +21,7 @@ any multiply, matching DuckDB's behavior on ``FLOAT[]`` lists.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,8 +44,521 @@ def cosine_expr(a: Column, b: Column) -> Column:
     upstream encode) would raise DIVIDE_BY_ZERO and kill the whole job —
     at 100 TB a dirty row must degrade to NULL, never fail the pipeline
     (same policy as the try_cast in events_json_props).  DuckDB's ``/``
-    returns NULL on zero divisors already, so the oracle agrees."""
+    returns NULL on zero divisors already, so the oracle agrees.
+
+    NOTE (optimization r17): this higher-order-function form is the
+    expression REFERENCE; every hot path now runs :func:`cosine_arrow`
+    (one numpy batch op per Arrow batch — measured 6x on the pair-join
+    shape, guide §4.2).  Kept because (a) it is the semantics contract
+    the Arrow twin is tested against, and (b) expression-only consumers
+    (oracle parity experiments, plans that must stay Python-free) still
+    need it."""
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized cosine (optimization guide §4.2: hand whole Arrow batches
+# to numpy instead of folding per element in interpreted HOF expressions).
+#
+# Semantics match cosine_expr: float32 is cast up before any multiply; a
+# zero-norm side degrades the pair to NULL (the try_divide posture); a NULL
+# or ragged (zip_with would null-pad) embedding degrades to NULL.  Dirty
+# rows with non-finite components also degrade to NULL — a strict superset
+# of the expression form's NULL set (which would propagate NaN); filters
+# and thresholds behave identically, and no test/oracle input carries
+# non-finite embeddings.
+#
+# Precision: BIT-IDENTICAL to cosine_expr, not merely close.  The batch
+# kernel accumulates SEQUENTIALLY OVER DIMENSIONS (vectorized over rows):
+# num = a0*b0; num = num + a1*b1; ... — the exact rounding sequence of the
+# expression form's left fold (and of the DuckDB oracle's list_sum and the
+# property tests' Python models), just issued as d vectorized ops instead
+# of per-row interpretation.  numpy's einsum/matmul reductions were
+# measured ~5x faster still, but their summation order is unspecified —
+# a last-ulp drift could flip a threshold or rank boundary on adversarial
+# near-ties, which the determinism contracts here forbid; the sequential
+# kernel keeps every "bit-identical" claim in this module literally true.
+# All cosine-producing operators go through this ONE routine, so
+# cross-operator bit-identity (indexed vs batch vs knn_join serving)
+# holds by construction.
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_cosine(ma, mb):
+    """Row-wise cosine of two (n, d) float64 matrices -> (values, null_mask).
+
+    ONE routine for every caller — a constant query is broadcast to (n, d)
+    first, so single-query and pair paths reduce in the identical order.
+    Accumulation is sequential over dimensions (see block comment): the
+    same doubles as cosine_expr, bit for bit.
+    """
+    import numpy as np
+
+    d = ma.shape[1]
+    if d == 0:
+        num = np.zeros(ma.shape[0])
+        na = np.zeros(ma.shape[0])
+        nb = np.zeros(ma.shape[0])
+    else:
+        num = ma[:, 0] * mb[:, 0]
+        na = ma[:, 0] * ma[:, 0]
+        nb = mb[:, 0] * mb[:, 0]
+        for i in range(1, d):
+            num = num + ma[:, i] * mb[:, i]
+            na = na + ma[:, i] * ma[:, i]
+            nb = nb + mb[:, i] * mb[:, i]
+    den = np.sqrt(na) * np.sqrt(nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = num / den
+    nulls = ~np.isfinite(vals)
+    return vals, nulls
+
+
+def _series_to_matrix(s):
+    """Arrow list column (pandas Series of ndarrays/lists) -> (n, d)
+    float64 matrix, or None when rows are missing/ragged (slow path)."""
+    import numpy as np
+
+    try:
+        m = np.stack(s.to_numpy())
+    except (ValueError, TypeError):
+        return None
+    if m.dtype == object or m.ndim != 2:
+        return None
+    return m.astype(np.float64, copy=False)
+
+
+def _batch_pair_cosine(va, vb):
+    """Worker-side body of :func:`cosine_arrow` (module-level so the
+    pickled closure stays tiny and worker reuse caches the import)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    ma = _series_to_matrix(va)
+    mb = _series_to_matrix(vb)
+    if ma is None or mb is None or ma.shape != mb.shape:
+        # slow path: null / ragged rows present — per-row with NULL
+        # degrade exactly where zip_with would null-pad
+        out = []
+        for a, b in zip(va, vb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            aa = np.asarray(a, dtype=np.float64)
+            bb = np.asarray(b, dtype=np.float64)
+            if aa.shape != bb.shape or aa.ndim != 1:
+                out.append(None)
+                continue
+            v, nul = _pairwise_cosine(aa[None, :], bb[None, :])
+            out.append(None if nul[0] else float(v[0]))
+        return pd.Series(out, dtype="object")
+    vals, nulls = _pairwise_cosine(ma, mb)
+    if not nulls.any():
+        return pd.Series(vals)
+    out = vals.astype(object)
+    out[nulls] = None
+    return pd.Series(out, dtype="object")
+
+
+_COS_PAIR_UDF = None
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine_expr` (see the block comment
+    above for semantics/precision); the production path for every cosine
+    in this module."""
+    global _COS_PAIR_UDF
+    if _COS_PAIR_UDF is None:
+        import pandas as pd
+
+        @F.pandas_udf("double")
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            return _batch_pair_cosine(va, vb)
+
+        _COS_PAIR_UDF = _cos
+    return _COS_PAIR_UDF(a, b)
+
+
+def cosine_vs_const_arrow(vec: Column, query: list[float]) -> Column:
+    """Cosine against a CONSTANT query vector: the query is captured in
+    the UDF closure (shipped once per task, never per row) and broadcast
+    to the batch shape so the reduction order — hence the produced
+    doubles — is identical to :func:`cosine_arrow` on a query column."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _cos_q(va: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = _series_to_matrix(va)
+        if ma is None or ma.shape[1] != q.shape[0]:
+            return _batch_pair_cosine(
+                va, pd.Series([q] * len(va), dtype="object")
+            )
+        vals, nulls = _pairwise_cosine(ma, np.broadcast_to(q, ma.shape))
+        if not nulls.any():
+            return pd.Series(vals)
+        out = vals.astype(object)
+        out[nulls] = None
+        return pd.Series(out, dtype="object")
+
+    return _cos_q(vec)
+
+
+def _assign_rows(m, cids, cmat, cnorm):
+    """(n, d) row block -> argmax-cosine cell id per row, with the
+    kmeans/ivf tie-break (ties -> smallest cid) and degrade policy
+    (zero-norm pair -> that cell scores -inf, the coalesce(-inf) posture;
+    a NaN cosine ranks greatest, Spark's double ordering).  num/na
+    accumulate sequentially over dimensions — the identical rounding
+    sequence to cosine_expr's fold, see _pairwise_cosine."""
+    import numpy as np
+
+    d = m.shape[1]
+    num = m[:, 0:1] * cmat[None, :, 0]
+    na = m[:, 0] * m[:, 0]
+    for i in range(1, d):
+        num = num + m[:, i : i + 1] * cmat[None, :, i]
+        na = na + m[:, i] * m[:, i]
+    den = np.sqrt(na)[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = num / den
+    sims = np.where(np.isnan(sims), np.inf, sims)
+    sims = np.where(den == 0.0, -np.inf, sims)
+    best = sims.max(axis=1, keepdims=True)
+    cand = sims == best
+    sentinel = np.iinfo(np.int64).max
+    return np.where(cand, cids[None, :], sentinel).min(axis=1)
+
+
+def _cell_norms(cmat):
+    """Per-centroid norms with the norm_expr fold order (sequential x*x
+    adds from the first component, then sqrt)."""
+    import numpy as np
+
+    nc = cmat[:, 0] * cmat[:, 0]
+    for i in range(1, cmat.shape[1]):
+        nc = nc + cmat[:, i] * cmat[:, i]
+    return np.sqrt(nc)
+
+
+def nearest_cid_arrow(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    spark: SparkSession | None = None,
+    via_broadcast: bool = False,
+) -> Column:
+    """Argmax-cosine cell id against a DRIVER-HELD centroid list as one
+    Arrow batch op — the r17 replacement for BOTH k-means assignment
+    forms (the literal n_cells x dim expression and the broadcast-join +
+    re-aggregate form): one numpy (n x k) scoring block per Arrow batch,
+    no fan-out join, no re-collapsing groupBy, and plan size is O(1) in
+    n_cells either way.  ``via_broadcast=True`` ships the centroid
+    matrix as a SparkContext broadcast (the >limit regime, ~100k cells —
+    a pickled closure would re-ship per task); below the limit the
+    closure is cheaper.  Tie-break, zero-norm and NaN semantics are the
+    _assign_rows contract — identical to the retired expression forms."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.asarray([int(c) for c, _ in centroids], dtype=np.int64)
+    cmat = np.asarray(
+        [[float(x) for x in v] for _, v in centroids], dtype=np.float64
+    )
+    cnorm = _cell_norms(cmat)
+
+    bc = None
+    if via_broadcast:
+        if spark is None:
+            raise ValueError("via_broadcast requires the SparkSession")
+        bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def _batch(va: pd.Series) -> pd.Series:
+        ids, mat, nrm = bc.value if bc is not None else (cids, cmat, cnorm)
+        if len(va) == 0:
+            return pd.Series([], dtype="int64")
+        m = _series_to_matrix(va)
+        if m is None or m.shape[1] != mat.shape[1]:
+            out = []
+            for v in va:
+                if v is None:
+                    # every cell's cosine is NULL -> coalesce(-inf) ties
+                    # -> smallest cid, the expression form's behavior
+                    out.append(int(ids.min()))
+                    continue
+                vv = np.asarray(v, dtype=np.float64)
+                if vv.ndim != 1 or vv.shape[0] != mat.shape[1]:
+                    out.append(int(ids.min()))
+                    continue
+                out.append(int(_assign_rows(vv[None, :], ids, mat, nrm)[0]))
+            return pd.Series(out, dtype="int64")
+        return pd.Series(_assign_rows(m, ids, mat, nrm))
+
+    @F.pandas_udf("long")
+    def _assign(va: pd.Series) -> pd.Series:
+        return _batch(va)
+
+    return _assign(vec)
+
+
+def _probe_rows(m, cids, cmat, cnorm, nprobe):
+    """(n, d) row block -> (n, min(nprobe, k)) matrix of ranked cell
+    ids, reproducing the retired per-vector window's
+    ``ORDER BY sim DESC NULLS LAST, cid``: finite cosines descending
+    first, NULL-cosine cells (zero-norm side, non-finite math) last,
+    ties and null-ranking both breaking to the smallest cid (stable
+    argsort over a cid-sorted centroid list).  num/na accumulate
+    sequentially over dimensions — the identical doubles to
+    cosine_expr's fold, see :func:`_pairwise_cosine`."""
+    import numpy as np
+
+    d = m.shape[1]
+    num = m[:, 0:1] * cmat[None, :, 0]
+    na = m[:, 0] * m[:, 0]
+    for i in range(1, d):
+        num = num + m[:, i : i + 1] * cmat[None, :, i]
+        na = na + m[:, i] * m[:, i]
+    den = np.sqrt(na)[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = num / den
+    neg = np.where(np.isfinite(sims) & (den != 0.0), -sims, np.inf)
+    order = np.argsort(neg, axis=1, kind="stable")[:, :nprobe]
+    return cids[order]
+
+
+def probe_cids_arrow(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    spark: SparkSession | None = None,
+    via_broadcast: bool = False,
+) -> Column:
+    """Ranked top-``nprobe`` cell ids per vector against a DRIVER-HELD
+    centroid list, as ONE Arrow batch op returning ``array<long>`` —
+    the r17 replacement for :func:`ivf_assign`'s broadcast-crossJoin
+    fan-out + per-vector row_number window (guide §4.2): no corpus x
+    n_cells intermediate, no window Exchange, one narrow map.
+    Ordering semantics match the retired window exactly (see
+    :func:`_probe_rows`); a NULL / ragged / wrong-dim vector has every
+    cosine NULL, so it probes the ``nprobe`` smallest cids — the
+    window's NULLS LAST behavior.  Shipping mirrors
+    :func:`nearest_cid_arrow`: closure pickle by default,
+    SparkContext broadcast for huge centroid sets."""
+    import numpy as np
+
+    ordered = sorted(centroids, key=lambda c: int(c[0]))
+    cids = np.asarray([int(c) for c, _ in ordered], dtype=np.int64)
+    cmat = np.asarray(
+        [[float(x) for x in v] for _, v in ordered], dtype=np.float64
+    )
+    cnorm = _cell_norms(cmat)
+    take = int(min(nprobe, len(ordered)))
+
+    bc = None
+    if via_broadcast:
+        if spark is None:
+            raise ValueError("via_broadcast requires the SparkSession")
+        bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def _batch(va: pd.Series) -> pd.Series:
+        ids, mat, nrm = bc.value if bc is not None else (cids, cmat, cnorm)
+        if len(va) == 0:
+            return pd.Series([], dtype="object")
+        m = _series_to_matrix(va)
+        if m is None or m.shape[1] != mat.shape[1]:
+            out = []
+            first = ids[:take]
+            for v in va:
+                if v is None:
+                    out.append(first)
+                    continue
+                vv = np.asarray(v, dtype=np.float64)
+                if vv.ndim != 1 or vv.shape[0] != mat.shape[1]:
+                    out.append(first)
+                    continue
+                out.append(_probe_rows(vv[None, :], ids, mat, nrm, take)[0])
+            return pd.Series(out, dtype="object")
+        ranked = _probe_rows(m, ids, mat, nrm, take)
+        return pd.Series(list(ranked), dtype="object")
+
+    @F.pandas_udf("array<long>")
+    def _probe(va: pd.Series) -> pd.Series:
+        return _batch(va)
+
+    return _probe(vec)
+
+
+def _pair_sims_block(m):
+    """(m, d) block -> (m, m) cosine matrix with the EXACT doubles of
+    cosine_expr on every (i, j) pair: num and na accumulate
+    sequentially over dimensions (see :func:`_pairwise_cosine`), norms
+    multiply as sqrt(na_i) * sqrt(na_j).  Zero-norm / non-finite pairs
+    come out NaN (the NULL-degrade posture of cosine_arrow)."""
+    import numpy as np
+
+    d = m.shape[1]
+    num = m[:, 0:1] * m[None, :, 0]
+    na = m[:, 0] * m[:, 0]
+    for i in range(1, d):
+        num = num + m[:, i : i + 1] * m[None, :, i]
+        na = na + m[:, i] * m[:, i]
+    nrm = np.sqrt(na)
+    den = nrm[:, None] * nrm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = num / den
+    return sims
+
+
+def semantic_pair_drops_grouped(
+    cellv: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cid",
+) -> DataFrame:
+    """Within-cell SemDeDup drop ids — every id with a smaller-id
+    same-cell neighbor at cosine >= ``threshold`` — via ONE grouped
+    Arrow crossing per cell (optimization r17, guide §4.2 + §8's
+    move-bytes-once rule): each cell's vectors cross the Python
+    boundary ONCE (m x d doubles) and the m^2 pair cosines run as d
+    vectorized numpy steps, instead of the retired equi-self-join
+    whose ArrowEvalPython predicate shipped BOTH vectors per candidate
+    pair (m^2 x 2d doubles — measured 4 GB/entry at sf0.1 nprobe=2,
+    the whole regression).  Pair semantics are exact: cosines are
+    bit-identical to cosine_expr (sequential fold — see
+    :func:`_pair_sims_block`), the drop rule compares actual id VALUES
+    (never row order), NULL/ragged vectors neither drop nor get
+    dropped (their cosines are NULL), and vectors of different
+    dimensions never pair (zip_with null-pads -> NULL cosine), handled
+    by running one block per distinct dimension.  Memory contract:
+    one cell's m^2 double matrix must fit in task memory — the same
+    cell-sizing policy SemDeDup already imposes (n_cells grows with
+    the corpus so cells stay bounded); the join form's only advantage
+    was graceful spill, which a cell sized to policy never needs.
+    Output may repeat an id across cells (nprobe > 1); callers
+    ``distinct()`` exactly as they did over the join form."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([cellv.schema[id_col]])
+    thr = float(threshold)
+
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[int] = []
+        if len(pdf) > 1:
+            arrs = [
+                None
+                if v is None
+                else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ]
+            ids = pdf[id_col].to_numpy()
+            by_dim: dict[int, list[int]] = {}
+            for i, a in enumerate(arrs):
+                if a is not None and a.ndim == 1:
+                    by_dim.setdefault(a.shape[0], []).append(i)
+            for _, idx in by_dim.items():
+                if len(idx) < 2:
+                    continue
+                block_ids = ids[idx]
+                m = np.stack([arrs[i] for i in idx])
+                sims = _pair_sims_block(m)
+                with np.errstate(invalid="ignore"):
+                    hit = (
+                        (block_ids[:, None] < block_ids[None, :])
+                        & np.isfinite(sims)  # NULL-degrade: never drops
+                        & (sims >= thr)
+                    )
+                ids_out.extend(block_ids[hit.any(axis=0)].tolist())
+        return pd.DataFrame({id_col: pd.Series(ids_out, dtype="int64")})
+
+    return (
+        cellv.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_drops, schema=out_schema)
+    )
+
+
+def flag_close_to_any_arrow(
+    vec: Column, bench: list[list[float]], threshold: float
+) -> Column:
+    """TRUE iff ``vec``'s cosine to ANY of the DRIVER-HELD ``bench``
+    vectors reaches ``threshold`` — the decontamination screen as one
+    Arrow batch op (optimization r17, guide §4.2): each corpus vector
+    crosses the boundary ONCE and scores against the whole benchmark
+    matrix in d sequential numpy steps, instead of the retired
+    corpus x |benchmark| crossJoin whose Arrow predicate shipped the
+    vector once PER benchmark row.  Cosines are bit-identical to
+    cosine_expr (sequential fold); NULL / ragged / wrong-dim /
+    zero-norm comparisons are NULL (never >= threshold), matching the
+    cosine_arrow degrade policy.  Benchmarks are small by contract
+    (eval suites); the matrix rides the UDF closure like
+    :func:`nearest_cid_arrow`'s centroid list."""
+    import numpy as np
+
+    # One matrix per distinct benchmark dimension (a NULL or ragged
+    # benchmark row can never flag anything — its cosines are NULL —
+    # so it is exact to skip it); cross-dim comparisons are NULL too,
+    # so a corpus vector only scores against its own-dim matrix.
+    by_dim: dict[int, list[list[float]]] = {}
+    for v in bench:
+        if v is None:
+            continue
+        vv = [float(x) for x in v]
+        by_dim.setdefault(len(vv), []).append(vv)
+    mats = {
+        d: np.asarray(vs, dtype=np.float64) for d, vs in by_dim.items()
+    }
+    norms = {d: _cell_norms(m) for d, m in mats.items()}
+    thr = float(threshold)
+
+    def _score(m, mat, nrm):
+        d = m.shape[1]
+        num = m[:, 0:1] * mat[None, :, 0]
+        na = m[:, 0] * m[:, 0]
+        for i in range(1, d):
+            num = num + m[:, i : i + 1] * mat[None, :, i]
+            na = na + m[:, i] * m[:, i]
+        den = np.sqrt(na)[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = num / den
+        with np.errstate(invalid="ignore"):
+            # isfinite: a NULL-degrade cosine (zero-norm side, inf
+            # math) can never flag — the try_divide posture
+            return (np.isfinite(sims) & (sims >= thr)).any(axis=1)
+
+    def _one(vv):
+        mat = mats.get(vv.shape[0])
+        if mat is None:
+            return False
+        return bool(_score(vv[None, :], mat, norms[vv.shape[0]])[0])
+
+    @F.pandas_udf("boolean")
+    def _flag(va: pd.Series) -> pd.Series:
+        if len(va) == 0 or not mats:
+            return pd.Series([False] * len(va), dtype="bool")
+        m = _series_to_matrix(va)
+        if m is not None and m.shape[1] in mats:
+            return pd.Series(_score(m, mats[m.shape[1]], norms[m.shape[1]]))
+        out = []
+        for v in va:
+            if v is None:
+                out.append(False)
+                continue
+            vv = np.asarray(v, dtype=np.float64)
+            if vv.ndim != 1:
+                out.append(False)
+                continue
+            out.append(_one(vv))
+        return pd.Series(out, dtype="bool")
+
+    return _flag(vec)
 
 
 def topk_cosine(
@@ -57,24 +571,19 @@ def topk_cosine(
     """Exact top-k neighbors of ``query_id`` by cosine similarity.
 
     The query point is a one-row broadcast — no shuffle of the corpus; the
-    top-k is a TakeOrdered, not a global sort materialization.  The query
-    norm rides the broadcast (computed once, not re-folded per corpus
-    row — the ``ivf_knn_join`` norm-precompute pattern; bit-identical:
-    same sqrt-then-multiply, same fold order).
+    top-k is a TakeOrdered, not a global sort materialization.  Scoring is
+    one :func:`cosine_arrow` batch op (guide §4.2) — the r17 replacement
+    for the per-row HOF fold + hoisted-norm pattern.
     """
     q = df.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_query_vec"),
-        norm_expr(F.col(vec_col)).alias("_qnorm"),
     )
     return (
         df.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.try_divide(
-                dot_expr(F.col(vec_col), F.col("_query_vec")),
-                norm_expr(F.col(vec_col)) * F.col("_qnorm"),
-            ).alias("cosine"),
+            cosine_arrow(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -110,36 +619,56 @@ def ivf_assign(
     """IVF cell assignment: each vector joins its ``nprobe`` nearest
     centroids (max cosine, centroid id as the deterministic tie-break).
 
-    Shape at scale: corpus x n_cells narrow map against BROADCAST centroids
-    + a per-vector top-nprobe window — no corpus shuffle beyond the window's
-    own (vector-id-partitioned, perfectly balanced).  Returns (id, cid)
-    with up to ``nprobe`` rows per id; ``nprobe`` defaults to 1 (one
-    row per id, the classic assignment).  nprobe > 1 is the standard
-    mitigation for the cell-boundary recall edge: a vector near a
-    boundary lands in BOTH flanking cells, so a near-dup pair split
-    across the boundary still shares a cell downstream.  ``rank_col``
+    Shape at scale (optimization r17, guide §4.2/§2.4): the centroid
+    table is collected driver-side (n_cells x dim — metadata, the
+    Spark MLlib KMeans pattern; it was already required to fit as a
+    broadcast) and each vector's ranked probe list is ONE Arrow batch
+    op (:func:`probe_cids_arrow`) + a posexplode — replacing the
+    corpus x n_cells crossJoin fan-out and the per-vector row_number
+    window, whose id-keyed Exchange was the assignment's only shuffle.
+    The ranking semantics and produced rows are identical to the
+    window form (property-pinned).  Returns (id, cid) with up to
+    ``nprobe`` rows per id; ``nprobe`` defaults to 1 (one row per id,
+    the classic assignment).  nprobe > 1 is the standard mitigation
+    for the cell-boundary recall edge: a vector near a boundary lands
+    in BOTH flanking cells, so a near-dup pair split across the
+    boundary still shares a cell downstream.  ``rank_col``
     additionally exposes the 1-based probe rank (1 = primary cell) for
     callers that need to distinguish the nearest cell from the extra
     probes.
     """
-    from pyspark.sql import Window
-
-    sims = df.select(id_col, vec_col).crossJoin(
-        F.broadcast(centroids.select(centroid_id, centroid_vec))
-    ).select(
-        id_col,
-        centroid_id,
-        cosine_expr(F.col(vec_col), F.col(centroid_vec)).alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id))
-    ranked = sims.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= F.lit(int(nprobe))
-    )
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, centroid_vec).collect()
+    ]
     cols = [id_col, centroid_id]
+    if not cents:
+        empty = df.select(
+            F.col(id_col), F.lit(None).cast("long").alias(centroid_id)
+        ).where(F.lit(False))
+        if rank_col is not None:
+            empty = empty.withColumn(rank_col, F.lit(None).cast("long"))
+            cols.append(rank_col)
+        return empty.select(*cols)
+    probed = df.select(
+        id_col,
+        probe_cids_arrow(
+            F.col(vec_col),
+            cents,
+            int(nprobe),
+            spark=df.sparkSession,
+            via_broadcast=len(cents) > 256,
+        ).alias("_probes"),
+    )
+    exploded = probed.select(
+        id_col, F.posexplode("_probes").alias("_pos", centroid_id)
+    )
     if rank_col is not None:
-        ranked = ranked.withColumn(rank_col, F.col("_rn").cast("long"))
+        exploded = exploded.withColumn(
+            rank_col, (F.col("_pos") + 1).cast("long")
+        )
         cols.append(rank_col)
-    return ranked.select(*cols)
+    return exploded.select(*cols)
 
 
 def ivf_topk(
@@ -176,23 +705,14 @@ def ivf_topk(
     probes = ivf_assign(
         qrow, centroids, id_col, vec_col, nprobe=nprobe
     ).select("cid")
-    # query norm rides the one-row broadcast — computed once, not
-    # re-folded per probed-corpus row (bit-identical hoist, the
-    # ivf_knn_join precompute pattern)
-    q = qrow.select(
-        F.col(vec_col).alias("_query_vec"),
-        norm_expr(F.col(vec_col)).alias("_qnorm"),
-    )
+    q = qrow.select(F.col(vec_col).alias("_query_vec"))
     return (
         corpus.join(F.broadcast(probes), "cid", "semi")
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.try_divide(
-                dot_expr(F.col(vec_col), F.col("_query_vec")),
-                norm_expr(F.col(vec_col)) * F.col("_qnorm"),
-            ).alias("cosine"),
+            cosine_arrow(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -263,19 +783,15 @@ def ivf_topk_indexed(
     )
     if exclude_id is not None:
         corpus = corpus.where(F.col(id_col) != exclude_id)
-    qcol = F.array(*[F.lit(x) for x in q])
-    # the query norm is already computed driver-side for probe ranking
-    # with the engine's exact fold order (sequential x*x adds from 0,
-    # then sqrt — Python and JVM binary64 agree bit-for-bit), so embed
-    # it as a literal instead of re-folding the query array per corpus
-    # row (the ivf_knn_join norm-precompute pattern, linear-path form)
+    # Scoring: the constant-query Arrow form — the query ships once per
+    # task in the UDF closure and is broadcast to the batch shape, so the
+    # produced doubles are identical to cosine_arrow on a query COLUMN
+    # (the ivf_topk / ivf_topk_batch paths) and the bit-identity contract
+    # between indexed and unindexed serving holds by construction.
     return (
         corpus.select(
             id_col,
-            F.try_divide(
-                dot_expr(F.col(vec_col), qcol),
-                norm_expr(F.col(vec_col)) * F.lit(qn),
-            ).alias("cosine"),
+            cosine_vs_const_arrow(F.col(vec_col), q).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -335,31 +851,26 @@ def ivf_topk_batch(
     cells = sorted(
         r[0] for r in probes.select("cid").distinct().collect()
     )
-    # per-side norm precompute (the ivf_knn_join pattern, where it was
-    # measured 3.6x on the quadratic term): each corpus row is scored
-    # against EVERY query probing its cell, so folding the corpus norm
-    # once per row — and each query norm once into the broadcast —
-    # replaces two O(dim) folds per (row, query) pair with one dot
-    # product; bit-identical (same sqrt-then-multiply, same fold order)
+    # Scoring is ONE cosine_arrow batch op per Arrow batch of candidate
+    # pairs (guide §4.2).  The r15 norm-precompute pattern (hoist each
+    # side's norm out of the quadratic term) is retired with the HOF
+    # fold it was amortizing: in numpy the full cosine of a batch is one
+    # einsum pass, and using the SAME routine as every other serving
+    # operator keeps the indexed/batch/knn_join bit-identity contract.
     from airflow_etl_minio_to_postgres_spark.sources.manifest import (
         resolve_data_root,
     )
 
-    corpus = (
-        spark.read.parquet(resolve_data_root(spark, path))
-        .where(F.col("cid").isin(cells))
-        .withColumn("_cnorm", norm_expr(F.col(vec_col)))
+    corpus = spark.read.parquet(resolve_data_root(spark, path)).where(
+        F.col("cid").isin(cells)
     )
     qside = probes.join(
         queries.select(query_id_col, query_vec_col), query_id_col
-    ).withColumn("_qnorm", norm_expr(F.col(query_vec_col)))
+    )
     scored = corpus.join(F.broadcast(qside), "cid").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.try_divide(
-            dot_expr(F.col(vec_col), F.col(query_vec_col)),
-            F.col("_cnorm") * F.col("_qnorm"),
-        ).alias("cosine"),
+        cosine_arrow(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
@@ -402,12 +913,25 @@ def semantic_decontaminate(
     never shuffled end-to-end.  A forced broadcast of the flagged side
     is deliberately NOT used (the lexical twin's rationale: an
     adversarially contaminated corpus could flag a large fraction)."""
+    # Optimization r17 (guide §4.2): the benchmark is collected
+    # driver-side (it was already required to fit as a broadcast) and
+    # flag discovery becomes ONE Arrow batch op per corpus batch —
+    # each corpus vector crosses the Python boundary once and scores
+    # against the whole benchmark matrix in d numpy steps, instead of
+    # the corpus x |benchmark| crossJoin whose Arrow predicate shipped
+    # the vector once per benchmark row.  Same flags, bit-identical
+    # cosines (see flag_close_to_any_arrow).
+    bench = [
+        r[0] for r in benchmark.select(F.col(vec_col)).collect()
+    ]
     flagged = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(
-            F.broadcast(benchmark.select(F.col(vec_col).alias("_bv")))
+        corpus.select(
+            id_col,
+            flag_close_to_any_arrow(
+                F.col(vec_col), bench, threshold
+            ).alias("_hit"),
         )
-        .where(cosine_expr(F.col(vec_col), F.col("_bv")) >= F.lit(threshold))
+        .where(F.col("_hit"))
         .select(id_col)
         .distinct()
     )
@@ -517,35 +1041,27 @@ def ivf_knn_join(
     probe_cells = ivf_assign(
         queries, centroids, query_id_col, query_vec_col, nprobe=nprobe
     )
-    # Norms are per-VECTOR, so compute them once on each side before the
-    # pair join — inside cosine_expr they would be re-derived per
-    # CANDIDATE PAIR (3x the higher-order-function arithmetic on the
-    # quadratic term; at nprobe=n_cells that is 3x the whole brute-force
-    # scan).  dot/(na*nb) via try_divide keeps the exact expression
-    # shape of cosine_expr, so results are bit-identical.
+    # Scoring is ONE cosine_arrow numpy op per Arrow batch of candidate
+    # pairs (guide §4.2) — it replaces the r15 norm-precompute pattern
+    # (hoisting each side's O(dim) HOF fold out of the quadratic term,
+    # measured 3.6x back when the fold was interpreted per row); the
+    # Arrow batch form is faster still and keeps every serving operator
+    # on the SAME reduction, preserving the batch/indexed/knn_join
+    # bit-identity contract.
     qside = probe_cells.join(
-        queries.select(
-            query_id_col,
-            F.col(query_vec_col),
-            norm_expr(F.col(query_vec_col)).alias("_qnorm"),
-        ),
+        queries.select(query_id_col, F.col(query_vec_col)),
         query_id_col,
     )
     scored = (
-        corpus.select(
-            id_col,
-            F.col(vec_col),
-            norm_expr(F.col(vec_col)).alias("_cnorm"),
-        )
+        corpus.select(id_col, F.col(vec_col))
         .join(corpus_cells, id_col)
         .join(qside, "cid")
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.try_divide(
-                dot_expr(F.col(vec_col), F.col(query_vec_col)),
-                F.col("_cnorm") * F.col("_qnorm"),
-            ).alias("cosine"),
+            cosine_arrow(F.col(vec_col), F.col(query_vec_col)).alias(
+                "cosine"
+            ),
         )
     )
     if exclude_self:
@@ -878,7 +1394,7 @@ def embedding_near_dup_pairs(
             vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
             "id_b",
         )
-        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .withColumn("cosine", cosine_arrow(F.col("v_a"), F.col("v_b")))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -945,7 +1461,7 @@ def knn_join(
             "_nid",
         )
         .select(
-            "_qid", "_nid", cosine_expr(F.col("_qv"), F.col("_nv")).alias("cosine")
+            "_qid", "_nid", cosine_arrow(F.col("_qv"), F.col("_nv")).alias("cosine")
         )
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid"))
@@ -981,7 +1497,7 @@ def ann_topk_sign_lsh(
         .where((F.col("bucket") == F.col("_qb")) & (F.col(id_col) != query_id))
         .select(
             id_col,
-            cosine_expr(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
+            cosine_arrow(F.col(vec_col), F.col("_query_vec")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1147,23 +1663,27 @@ def kmeans_centroids(
     ]
     counts = {cid: 0 for cid, _ in centroids}
     for _ in range(n_iters):
-        if len(centroids) <= literal_centroid_limit:
-            # literal form: assignment is a narrow map, ZERO exchanges
-            # before the n_cells-row aggregate
-            assigned = corpus.select(
-                _nearest_centroid_expr(F.col(vec_col), centroids).alias(
-                    "cid"
-                ),
-                vec_col,
-            )
-        else:
-            # broadcast form: plan size stays O(1) in n_cells at the
-            # cost of one corpus-sized exchange per iteration — the
-            # SemDeDup-paper regime (~100k cells) where inlining
-            # centroids as literals would explode the plan
-            assigned = _assign_broadcast(
-                corpus, centroids, id_col, vec_col
-            ).select("cid", vec_col)
+        # Assignment runs the Arrow kernel (nearest_cid_arrow) in BOTH
+        # regimes — optimization r17, guide §4.2: one numpy (n x k)
+        # scoring block per Arrow batch replaces the interpreted
+        # per-cell HOF cosine (literal form) AND the fan-out join +
+        # re-collapse groupBy (broadcast form; its corpus-sized
+        # exchange per iteration disappears outright).  Assignments are
+        # bit-identical to the retired execution forms (sequential
+        # dimension fold, same tie-break/zero-norm/NaN policy — pinned
+        # by test_kmeans_* parity tests); `literal_centroid_limit` now
+        # selects how the centroid matrix SHIPS: closure pickle up to
+        # the limit, SparkContext broadcast above it (~100k cells —
+        # re-pickling the matrix per task would dominate).
+        assigned = corpus.select(
+            nearest_cid_arrow(
+                F.col(vec_col),
+                centroids,
+                spark=df.sparkSession,
+                via_broadcast=len(centroids) > literal_centroid_limit,
+            ).alias("cid"),
+            vec_col,
+        )
         stats = (
             assigned
             .groupBy("cid")
@@ -1258,23 +1778,19 @@ def semantic_dedup(
         corpus, centroids, id_col, vec_col,
         nprobe=nprobe, rank_col="_cell_rank",
     )
-    # cellv feeds BOTH sides of the pair join and the final anti-join:
-    # persist so cell assignment (a window over a broadcast cross) runs
-    # once, not three times.
+    # cellv feeds BOTH the drop-set discovery and the final anti-join:
+    # persist so cell assignment runs once, not twice.
     cellv = _persist_tracked(corpus.join(assigned, id_col))
-    a = cellv.select(
-        "cid", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
-    )
-    b = cellv.select(
-        "cid", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
-    )
-    dropped = (
-        a.join(b, "cid")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(cosine_expr(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-    )
+    # Within-cell pair discovery is ONE grouped Arrow crossing per cell
+    # (optimization r17, guide §4.2 + §8): each cell's vectors cross
+    # the Python boundary once and the m^2 cosines run as d vectorized
+    # numpy steps — the retired cid-keyed self-join shipped both
+    # vectors per CANDIDATE PAIR through its Arrow predicate (~4 GB at
+    # sf0.1 nprobe=2).  Same drop set, bit-identical cosines (see
+    # semantic_pair_drops_grouped).
+    dropped = semantic_pair_drops_grouped(
+        cellv, threshold, id_col, vec_col
+    ).distinct()
     return (
         cellv.where(F.col("_cell_rank") == 1)
         .join(dropped, id_col, "left_anti")

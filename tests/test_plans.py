@@ -297,10 +297,14 @@ def test_remaining_classic_shapes_never_nested_loop(spark):
 
 
 def test_kmeans_iteration_is_one_exchange_no_python(spark):
-    """One k-means iteration = narrow literal-centroid assignment + a
-    map-side-combined groupBy collapsing to n_cells rows: exactly ONE
-    hash-partitioning Exchange, no crossJoin, no per-vector window, no
-    Python crossing."""
+    """The EXPRESSION REFERENCE form of k-means assignment
+    (_nearest_centroid_expr — the semantics contract the r17 Arrow
+    kernel is parity-tested against; see
+    test_kmeans_arrow_assignment_parity_and_plan for the production
+    path): narrow literal-centroid assignment + a map-side-combined
+    groupBy collapsing to n_cells rows: exactly ONE hash-partitioning
+    Exchange, no crossJoin, no per-vector window, no Python
+    crossing."""
     from pyspark.sql import functions as F
 
     from airflow_etl_minio_to_postgres_spark.functions.similarity import (
@@ -322,6 +326,114 @@ def test_kmeans_iteration_is_one_exchange_no_python(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_kmeans_arrow_assignment_parity_and_plan(spark):
+    """The r17 PRODUCTION k-means assignment (nearest_cid_arrow, guide
+    §4.2): (1) PLAN — a narrow map, ONE ArrowEvalPython, never the
+    row-wise BatchEvalPython, no join/window/fan-out, and the
+    iteration's stats aggregate still needs exactly ONE
+    hash-partitioning Exchange; (2) PARITY — cell ids equal the
+    expression reference (_nearest_centroid_expr) on adversarial
+    vectors: exact cosine ties (integer grids), zero-norm rows, NULL
+    rows, and a wrong-dimension row all break identically."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        _nearest_centroid_expr,
+        nearest_cid_arrow,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    rows = [
+        (1, [2.0, 0.0]),       # exact tie with nothing — clean argmax
+        (2, [1.0, 1.0]),       # exact match of cell 2, ties 0/1 below
+        (3, [0.0, 0.0]),       # zero-norm: every cosine NULL -> min cid
+        (4, None),             # NULL vector -> min cid
+        (5, [3.0, 3.0, 3.0]),  # wrong dim -> every cosine NULL -> min cid
+        (6, [-1.0, -1.0]),     # all-negative: ties at -1/sqrt2 break to 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = df.select(
+        "vec_id",
+        nearest_cid_arrow(F.col("embedding"), cents).alias("a"),
+        _nearest_centroid_expr(F.col("embedding"), cents).alias("e"),
+    ).collect()
+    assert all(r.a == r.e for r in got), [(r.vec_id, r.a, r.e) for r in got]
+
+    stats = (
+        df.select(
+            nearest_cid_arrow(F.col("embedding"), cents).alias("cid"),
+            "embedding",
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _physical_plan(stats)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+
+
+def test_ivf_assign_is_arrow_narrow_map_no_window(spark):
+    """The r17 ivf_assign shape (probe_cids_arrow + posexplode, guide
+    §4.2/§2.4): assignment is a NARROW map — no centroid crossJoin
+    fan-out (zero BroadcastExchange / nested-loop), no per-vector
+    row_number window (the old form's only Exchange), one
+    ArrowEvalPython and a Generate for the probe explode.  Semantics
+    vs the brute-force model are property-pinned in
+    test_ivf_assign_nprobe_matches_python_model."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    emb = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [-0.1] * 64)], "cid long, cvec array<double>"
+    )
+    plan = _physical_plan(
+        ivf_assign(emb, cents, nprobe=2, rank_col="rnk")
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # assignment itself needs no shuffle
+    assert "BroadcastExchange" not in plan
+    assert "Generate" in plan  # the posexplode of ranked probes
+
+
+def test_per_group_counts_bucketed_null_semantics(spark):
+    """The r17 coarse-bucket rewrite of per_group_counts_pandas must
+    keep the old per-group null policy: NULL group keys are KEPT (Spark
+    groupBy semantics), NULL values are DROPPED (pandas groupby
+    dropna) — and counts equal the plain groupBy on mixed data."""
+    from airflow_etl_minio_to_postgres_spark.functions.pandas_ops import (
+        per_group_counts_pandas,
+    )
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (2, "a"), (None, "x"), (None, "x"),
+        (1, None), (None, None), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "g long, v string")
+    got = {
+        (r.g, r.v): r.n
+        for r in per_group_counts_pandas(df, "g", "v").collect()
+    }
+    assert got == {
+        (1, "a"): 2,
+        (1, "b"): 1,
+        (2, "a"): 1,
+        (None, "x"): 2,
+        (3, "c"): 1,
+    }
+    plan = _physical_plan(per_group_counts_pandas(df, "g", "v"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_temperature_mix_two_scans_no_corpus_shuffle(spark):

@@ -256,8 +256,10 @@ def near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with ``id_a < id_b`` and
     ``jaccard >= threshold``.  The only shuffles are the minhash
-    aggregations, the band-key equi-join and the final distinct — never an
-    all-pairs product.  Docs shorter than the shingle width are excluded
+    aggregations, the band-key equi-join and the verification joins —
+    never an all-pairs product (candidates are unique by first-matching-
+    band construction, so no distinct exchange either).  Docs shorter
+    than the shingle width are excluded
     (they have no signature; degenerate all-null band keys would otherwise
     collide with each other).
     """
@@ -276,16 +278,47 @@ def near_dup_pairs(
     )
     banded = base.select(
         F.col(id_col),
-        F.explode(
-            band_keys_expr(F.col("minhash"), num_bands, rows_per_band)
-        ).alias("band_key"),
+        band_keys_expr(F.col("minhash"), num_bands, rows_per_band).alias(
+            "_bks"
+        ),
+    ).select(
+        F.col(id_col),
+        "_bks",
+        F.posexplode("_bks").alias("_band", "band_key"),
     )
+    # First-match banding: emit a candidate ONLY from the lowest band
+    # whose keys match (every prior band's key must differ).  One row
+    # per (doc, band) per side and exactly one first-matching band make
+    # the candidate set unique by construction — the dropDuplicates
+    # exchange over the m^2-per-hot-bucket candidate set disappears for
+    # the price of a few string compares on the band-key arrays the
+    # sides now carry.  Result set identical: later-band copies of a
+    # pair are exactly the rows dropDuplicates used to discard.
+    first_match = None
+    for b_prior in range(num_bands - 1):
+        cond = (F.col("_band") <= F.lit(b_prior)) | (
+            F.element_at(F.col("_bks_a"), b_prior + 1)
+            != F.element_at(F.col("_bks_b"), b_prior + 1)
+        )
+        first_match = cond if first_match is None else first_match & cond
     pairs = (
-        banded.select(F.col(id_col).alias("id_a"), "band_key")
-        .join(banded.select(F.col(id_col).alias("id_b"), "band_key"), "band_key")
+        banded.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_bks").alias("_bks_a"),
+            "_band",
+            "band_key",
+        )
+        .join(
+            banded.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_bks").alias("_bks_b"),
+                "band_key",
+            ),
+            "band_key",
+        )
         .where(F.col("id_a") < F.col("id_b"))
+        .where(first_match)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sets = base.select(id_col, "shingles")
     with_sets = (
@@ -374,6 +407,67 @@ def word_ngrams(
     )
 
 
+def _ranked_doc_sets(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    unit: str,
+) -> DataFrame:
+    """Per-doc frequency-ranked gram sets for the prefix-filter joins:
+    (id_col, _sg sorted array<struct<_df,gram>>, _sz, _gset array<string>),
+    persisted (tracked for :func:`release_caches`).
+
+    ONE gram-keyed window computes document frequency (the count rides
+    the same shuffle an aggregate+join-back would need twice), then ONE
+    doc-keyed aggregate builds the rarest-first-sorted gram set —
+    ``sort_array`` over ``struct(_df, gram)`` is exactly the
+    ``row_number() OVER (ORDER BY _df, gram)`` order (gram is distinct
+    per doc, so the sort key is unique).  The retired shape ran a
+    row_number + count window pair over the doc partition AND a separate
+    collect_list aggregate for the verification sets: two doc-keyed
+    shuffles of the full gram table and a window sort, where one
+    aggregate now serves prefix derivation (``slice`` of the sorted
+    array) and verification (``_gset``) alike.  Persisting the per-doc
+    rollup instead of the raw gram table also caches one row per doc
+    instead of one per (doc, gram)."""
+    gram_fn = word_ngrams if unit == "word" else char_ngrams
+    grams = gram_fn(df, n, text_col, id_col)
+
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("gram")
+    per_doc = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "gram"))).alias("_sg")
+        )
+        .select(
+            id_col,
+            "_sg",
+            F.size("_sg").alias("_sz"),
+            F.expr("transform(_sg, x -> x.gram)").alias("_gset"),
+        )
+    )
+    return _persist_tracked(per_doc)
+
+
+def _prefix_grams(
+    per_doc: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Explode each doc's first ``|G| - ceil(t*|G|) + 1`` rarest grams
+    (the PPJoin prefix) out of the sorted per-doc set: (id, gram, _sz)."""
+    prefix_len = F.col("_sz") - _req_ceil(threshold, F.col("_sz")) + 1
+    return per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(F.col("_gset"), F.lit(1), prefix_len.cast("int"))
+        ).alias("gram"),
+        "_sz",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -403,10 +497,11 @@ def ngram_jaccard_pairs(
     codegen'd expression — the candidate row count never explodes back
     into per-gram rows the way a count-the-intersection join would
     (|cand| x avg_set_size rows through a shuffle).  Stage budget: ONE
-    gram-partitioned window for document frequency, ONE doc-partitioned
-    window computing rank and set size together, the bounded prefix
-    self-join, one collect_list aggregate, two verification joins.
-    Everything is expression-only.
+    gram-partitioned window for document frequency, ONE doc-keyed
+    aggregate building the rarest-first-sorted gram set (prefix slice
+    and verification array both read from it — see
+    :func:`_ranked_doc_sets`), the bounded prefix self-join, two
+    verification joins.  Everything is expression-only.
 
     ``unit='word'`` (default) shingle-izes on words — see
     :func:`word_ngrams` for why character grams defeat prefix filtering
@@ -415,30 +510,9 @@ def ngram_jaccard_pairs(
     equality against it at test SF proves the prefix filter drops no
     qualifying pair.
     """
-    gram_fn = word_ngrams if unit == "word" else char_ngrams
-    grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
-
-    from pyspark.sql import Window
-
-    # Document frequency as a window over the gram partition: the count
-    # rides the SAME gram-keyed shuffle an aggregate+join-back would need
-    # twice (once for the groupBy, once to re-join the counts onto the
-    # gram table).  One full-gram-table shuffle saved — the gram table is
-    # the largest intermediate in this operator at scale.
-    wdf = Window.partitionBy("gram")
-    w = Window.partitionBy(id_col).orderBy("_df", "gram")
-    wsz = Window.partitionBy(id_col)
-    # one doc_id shuffle serves both the rank and the set size
-    ranked = (
-        grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_sz", F.count(F.lit(1)).over(wsz))
-    )
-    # prefix length: |G| - ceil(t*|G|) + 1
-    prefix = ranked.where(
-        F.col("_rn")
-        <= F.col("_sz") - _req_ceil(threshold, F.col("_sz")) + 1
-    ).select(id_col, "gram", "_sz")
+    per_doc = _ranked_doc_sets(df, n, text_col, id_col, unit)
+    # prefix length: |G| - ceil(t*|G|) + 1 rarest-first grams per doc
+    prefix = _prefix_grams(per_doc, id_col, threshold)
 
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), "gram", F.col("_sz").alias("_sa"))
@@ -455,9 +529,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    doc_sets = grams.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("gram")).alias("_gset")
-    )
+    doc_sets = per_doc.select(id_col, "_gset")
     return (
         cand.join(
             doc_sets.select(
@@ -512,33 +584,22 @@ def ngram_containment_pairs(
     one containment implies, ``|B| >= t*|A|`` (no upper bound — that is
     the point).  Verification reuses the sorted-array
     ``array_intersect`` expression, dividing by ``|A|`` instead of the
-    union size.  The same gram table is persisted once and feeds the
-    window stage, both join sides, and verification."""
-    gram_fn = word_ngrams if unit == "word" else char_ngrams
-    grams = _persist_tracked(gram_fn(df, n, text_col, id_col))
-
-    from pyspark.sql import Window
-
-    wdf = Window.partitionBy("gram")
-    w = Window.partitionBy(id_col).orderBy("_df", "gram")
-    wsz = Window.partitionBy(id_col)
-    ranked = (
-        grams.withColumn("_df", F.count(F.lit(1)).over(wdf))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_sz", F.count(F.lit(1)).over(wsz))
+    union size.  The persisted per-doc rollup (:func:`_ranked_doc_sets`)
+    feeds the prefix side, the exploded full-set container side, and
+    verification alike."""
+    per_doc = _ranked_doc_sets(df, n, text_col, id_col, unit)
+    prefix = _prefix_grams(per_doc, id_col, threshold)
+    # container side: the FULL gram set, no prefix truncation
+    full = per_doc.select(
+        F.col(id_col), F.explode("_gset").alias("gram"), "_sz"
     )
-    prefix = ranked.where(
-        F.col("_rn")
-        <= F.col("_sz") - _req_ceil(threshold, F.col("_sz")) + 1
-    ).select(id_col, "gram", "_sz")
 
     cand = (
         prefix.select(
             F.col(id_col).alias("id_a"), "gram", F.col("_sz").alias("_sa")
         )
         .join(
-            # container side: full gram table, no prefix truncation
-            ranked.select(
+            full.select(
                 F.col(id_col).alias("id_b"), "gram", F.col("_sz").alias("_sb")
             ),
             "gram",
@@ -551,9 +612,7 @@ def ngram_containment_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    doc_sets = grams.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("gram")).alias("_gset")
-    )
+    doc_sets = per_doc.select(id_col, "_gset")
     return (
         cand.join(
             doc_sets.select(
@@ -1067,9 +1126,20 @@ def simhash(
     """60-bit SimHash per document: per-token sha256-derived integers vote
     ±1 on each bit position; the sign of each bit's sum sets the bit.
 
-    Shape: explode(tokens) x explode(bit positions) -> two partial
-    aggregations — all codegen'd expressions, shuffle keyed on
-    (doc, bit) then (doc).  Returns (id_col, simhash long).
+    Shape: explode(tokens) -> ONE aggregate carrying the 60 per-bit vote
+    sums as independent aggregate COLUMNS of the same token row (the
+    :func:`_minhash_table` pattern).  The retired form exploded every
+    token row 60 ways (one row per bit position) and re-collapsed through
+    TWO hash aggregates — a 60x row fan-out whose (doc, bit)-keyed
+    shuffle and 60x-sized aggregation hash map were the operator's whole
+    cost.  Per-bit vote sums are plain conditional sums over token rows,
+    so computing them side by side keeps the row count at |tokens|, needs
+    a single doc-keyed shuffle with map-side partial aggregation (60
+    longs per doc), and the final signature is one arithmetic expression
+    over the 60 sums (bit terms are disjoint powers of two, so + is |).
+    Each per-bit sum adds the IDENTICAL ±1 integer votes the exploded
+    form summed — results are bit-identical.  Returns (id_col, simhash
+    long).
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), WHITESPACE)
     tok = (
@@ -1081,28 +1151,24 @@ def simhash(
             ),
         )
     )
-    bits = tok.select(
-        id_col,
-        "tok_hash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).withColumn(
-        # shiftright/shiftleft with a *column* shift amount need SQL form —
-        # the Python wrappers only take int literals.
-        "vote",
-        F.expr("CASE WHEN (shiftright(tok_hash, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (shiftright(tok_hash, {b}) & 1) = 1 "
+                    "THEN 1 ELSE -1 END"
+                )
+            ).alias(f"_s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    return (
-        bit_sums.withColumn(
-            "bit_val",
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").alias("simhash"))
-    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -1134,7 +1200,7 @@ def simhash_near_dup_pairs(
     banded = sigs.select(
         id_col,
         "simhash",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -1148,15 +1214,35 @@ def simhash_near_dup_pairs(
                     for b in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("band_key"),
+        ).alias("_band", "band_key"),
     )
     a_fan, b_fan, join_keys = salted_band_sides(
         banded, id_col, "band_key", max_bucket_size
     )
+
+    def chunk(col: str, b: int) -> Column:
+        return F.expr(f"shiftright({col}, {b * chunk_bits}) & {mask}")
+
+    # First-match banding: emit a pair ONLY from the lowest band whose
+    # chunks match — every band-b' < b chunk must differ.  A candidate
+    # pair is then unique by construction (one row per (doc, band) on
+    # each side, and exactly one band can be the first match), which
+    # deletes the dropDuplicates exchange that used to reshuffle the
+    # full m^2-per-hot-bucket candidate set; the replacement is a few
+    # shift-and-compare ops per candidate row on sigs the join already
+    # carries.  Result set identical: duplicates never had distinct
+    # (sig_a, sig_b), so dropping later copies == never emitting them.
+    first_match = None
+    for b_prior in range(SIMHASH_BANDS - 1):
+        cond = (F.col("_band") <= F.lit(b_prior)) | (
+            chunk("sig_a", b_prior) != chunk("sig_b", b_prior)
+        )
+        first_match = cond if first_match is None else first_match & cond
     pairs = (
         a_fan.select(
             F.col(id_col).alias("id_a"),
             F.col("simhash").alias("sig_a"),
+            "_band",
             *join_keys,
         )
         .join(
@@ -1168,8 +1254,8 @@ def simhash_near_dup_pairs(
             join_keys,
         )
         .where(F.col("id_a") < F.col("id_b"))
+        .where(first_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         pairs.withColumn(

@@ -32,8 +32,41 @@ sum) signature repeats.
 
 from __future__ import annotations
 
+import math
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# One reduce task per this many edge/label rows inside the iterative
+# loops.  Rows are two ids (~16 bytes), so this is ~100 MB-class reduce
+# partitions (guide-of-thumb shuffle sizing) — NOT a local-mode tune.
+_LOOP_ROWS_PER_TASK = 2_000_000
+
+
+@contextmanager
+def _loop_shuffle_partitions(spark, n_rows: int):
+    """Scale the iterative loop's reduce parallelism to the MEASURED
+    graph size, capped at the session's configured
+    ``spark.sql.shuffle.partitions``.
+
+    The per-round label/rank tables are bounded by the (already
+    checkpointed, already counted) edge list, so the right partition
+    count is derivable instead of configured: a billion-edge graph at
+    cluster scale keeps the session's full parallelism, while a
+    thousand-edge dup graph stops paying 6+ stages x 32-64 near-empty
+    tasks of pure per-task setup EVERY round (measured: the iterative
+    entries' propagate stages ran 64 tasks at ~0.1 CPU-s of fixed cost
+    per task for label tables of a few thousand rows).  Partition count
+    never affects results — only task-grain scheduling."""
+    n_parts = max(1, math.ceil(n_rows / _LOOP_ROWS_PER_TASK))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_parts = min(n_parts, int(prev))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -61,32 +94,36 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # round 0: label(u) = min(u, min neighbor) — one groupBy seeds the
-    # same state a separate init + first propagation round would.
-    labels = (
-        sym.groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
-        .withColumnRenamed("u", "node")
-        .localCheckpoint(eager=True)
-    )
-    prev_sig = None
-    for _ in range(max_iter):
-        sig = labels.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
-        ).collect()[0]
-        if prev_sig == (sig["n"], sig["s"]):
-            return labels.select("node", F.col("label").alias("component"))
-        prev_sig = (sig["n"], sig["s"])
-        # propagate: each node offers its label to every neighbor; keep min
-        offers = sym.join(
-            labels.withColumnRenamed("node", "u"), on="u"
-        ).select(F.col("v").alias("node"), "label")
+    with _loop_shuffle_partitions(edges.sparkSession, sym.count()):
+        # round 0: label(u) = min(u, min neighbor) — one groupBy seeds the
+        # same state a separate init + first propagation round would.
         labels = (
-            labels.unionByName(offers)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+            .withColumnRenamed("u", "node")
             .localCheckpoint(eager=True)
         )
+        prev_sig = None
+        for _ in range(max_iter):
+            sig = labels.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
+            ).collect()[0]
+            if prev_sig == (sig["n"], sig["s"]):
+                return labels.select(
+                    "node", F.col("label").alias("component")
+                )
+            prev_sig = (sig["n"], sig["s"])
+            # propagate: each node offers its label to every neighbor;
+            # keep min
+            offers = sym.join(
+                labels.withColumnRenamed("node", "u"), on="u"
+            ).select(F.col("v").alias("node"), "label")
+            labels = (
+                labels.unionByName(offers)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds the near-dup contract — use a "
@@ -178,48 +215,55 @@ def pagerank(
     # aggregate) reads the checkpointed blocks, never the upstream plan.
     # Mirrors ``sym`` in connected_components above.
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    out_deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = nodes.select(
-        F.col(id_col).alias("node"), F.lit(1.0 / n).alias("pagerank")
-    )
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(out_deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pagerank") / F.col("_deg")).alias("_c"))
+    # Eager per-round checkpoints so every round's shuffles plan (and
+    # run) inside the scaled-parallelism scope; each round computes
+    # exactly once either way — eager only moves WHEN, and pins the
+    # loop's task grain to the measured graph size.
+    with _loop_shuffle_partitions(nodes.sparkSession, max(n, edges.count())):
+        out_deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .localCheckpoint(eager=True)
         )
-        new_ranks = nodes.select(F.col(id_col).alias("node")).join(
-            contrib, F.col("node") == contrib["dst"], "left"
+        ranks = nodes.select(
+            F.col(id_col).alias("node"), F.lit(1.0 / n).alias("pagerank")
         )
-        if redistribute_dangling:
-            dangling = (
-                ranks.join(
-                    out_deg, ranks["node"] == out_deg["src"], "left_anti"
-                ).agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm"))
+        for _ in range(iterations):
+            contrib = (
+                edges.join(ranks, edges["src"] == ranks["node"])
+                .join(out_deg, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pagerank") / F.col("_deg")).alias("_c"))
             )
-            new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
-                "node",
-                (
-                    F.lit(base_mass)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n))
+            new_ranks = nodes.select(F.col(id_col).alias("node")).join(
+                contrib, F.col("node") == contrib["dst"], "left"
+            )
+            if redistribute_dangling:
+                dangling = (
+                    ranks.join(
+                        out_deg, ranks["node"] == out_deg["src"], "left_anti"
+                    ).agg(
+                        F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm")
                     )
-                ).alias("pagerank"),
-            )
-        else:
-            new_ranks = new_ranks.select(
-                "node",
-                (
-                    F.lit(base_mass)
-                    + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
-                ).alias("pagerank"),
-            )
-        ranks = new_ranks.localCheckpoint(eager=False)
+                )
+                new_ranks = new_ranks.crossJoin(F.broadcast(dangling)).select(
+                    "node",
+                    (
+                        F.lit(base_mass)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_c"), F.lit(0.0))
+                            + F.col("_dm") / F.lit(float(n))
+                        )
+                    ).alias("pagerank"),
+                )
+            else:
+                new_ranks = new_ranks.select(
+                    "node",
+                    (
+                        F.lit(base_mass)
+                        + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+            ranks = new_ranks.localCheckpoint(eager=True)
     return ranks

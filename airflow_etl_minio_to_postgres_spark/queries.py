@@ -172,6 +172,20 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a frame that arrives as fewer partitions than
+    the session parallelism — a test-SF table is ONE file, so a heavy
+    per-row stage downstream (a Python crossing, an expression-dense
+    hash) otherwise runs on one or two scan tasks while the rest of the
+    cluster idles.  Guarded on the actual partition count so a
+    production-scale many-partition scan never pays a gratuitous full
+    shuffle.  Row placement only; results unchanged."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
@@ -2502,7 +2516,7 @@ def docs_chunk_text_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine paths, one truth; the JVM expression form stays the
     production default, the UDTF is the template for fan-outs with no
     expression equivalent (real tokenizers, parsers)."""
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d = _spread(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     return chunk_text_udtf(d, chunk_tokens=8, overlap=2)
 
 
@@ -5309,7 +5323,7 @@ def multimodal_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             F.upper(F.trim("text")).alias("text"),
         )
     )
-    hashed = add_image_ahash(attach_payload(corpus))
+    hashed = add_image_ahash(attach_payload(_spread(corpus)))
     return ahash_near_dup_pairs(hashed, max_hamming=7, n_bands=8)
 
 
@@ -5334,7 +5348,7 @@ def multimodal_ahash_near_dup_pairs_salted(
             F.upper(F.trim("text")).alias("text"),
         )
     )
-    hashed = add_image_ahash(attach_payload(corpus))
+    hashed = add_image_ahash(attach_payload(_spread(corpus)))
     return ahash_near_dup_pairs(
         hashed, max_hamming=7, n_bands=8, max_bucket_size=512
     )
@@ -6938,7 +6952,9 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
-        hourly_agg_stream(stream_events(spark, sf_dir)), output_mode="complete"
+        hourly_agg_stream(stream_events(spark, sf_dir)),
+        output_mode="complete",
+        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
 
 
@@ -6982,6 +6998,7 @@ def events_streaming_enriched_segments(
             ev, cust, "user_id", "c_custkey", "c_mktsegment"
         ),
         output_mode="complete",
+        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
 
 
@@ -6998,6 +7015,7 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_events(spark, sf_dir), ["user_id", "event_type"]
         ),
         output_mode="append",
+        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
 
 
@@ -7137,7 +7155,9 @@ def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow backfill equals the batch interval join the oracle runs."""
     ev = stream_events(spark, sf_dir)
     return run_available_now(
-        stream_stream_attribution(ev), output_mode="append"
+        stream_stream_attribution(ev),
+        output_mode="append",
+        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
 
 
@@ -7851,10 +7871,7 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole pair loop; a round-robin spread restores parallelism.
     # Guarded on the actual partition count so a production-scale
     # many-partition scan never pays a gratuitous full shuffle.
-    c = load_table(spark, "customer", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < par:
-        c = c.repartition(par)
+    c = _spread(load_table(spark, "customer", sf_dir))
     return blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",
@@ -7899,10 +7916,7 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_clusters,
     )
 
-    c = load_table(spark, "customer", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < par:
-        c = c.repartition(par)
+    c = _spread(load_table(spark, "customer", sf_dir))
     pairs = blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",
@@ -8096,10 +8110,7 @@ def customer_fuzzy_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_fuzzy_pairs,
     )
 
-    c = load_table(spark, "customer", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < par:
-        c = c.repartition(par)
+    c = _spread(load_table(spark, "customer", sf_dir))
     return blocked_fuzzy_pairs(
         c,
         id_col="c_custkey",

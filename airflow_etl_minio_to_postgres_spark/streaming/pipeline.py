@@ -39,6 +39,64 @@ from airflow_etl_minio_to_postgres_spark.sources.catalog import (
 
 _sink_counter = itertools.count()
 
+# One state partition per this many bytes of backlog awaiting ingest at a
+# stateful stream's source.  State-store instances have a fixed per-
+# partition setup/commit cost with NO data component (measured: a fresh
+# stream-stream join spends ~0.25 s per state partition of pure no-CPU
+# provider init — 32 partitions x 4 join stores cost ~8 s wall on a 2 MB
+# backlog), so the partition count should follow the data, not the core
+# count.  64 MB keeps state partitions in the guide's reduce-partition
+# size band; the session's configured shuffle parallelism stays the cap.
+_STATE_BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+
+class scaled_state_partitions:
+    """Context manager sizing ``spark.sql.shuffle.partitions`` — which
+    pins a FRESH stateful stream's state-partition count for the life of
+    its checkpoint — to the bytes actually awaiting ingest at the
+    stream's source paths, capped at the session's configured value.
+
+    Scale-adaptive, not local-tuned: a 100 TB backlog keeps the
+    session's full parallelism, a megabyte-scale backfill stops paying
+    per-partition state-store setup for empty partitions.  Partition
+    count never changes WHAT a stateful query emits — aggregation and
+    join results are partitioning-independent — it only changes task
+    grain.  Only meaningful around the FIRST run of a checkpoint
+    (Structured Streaming re-reads the count from the checkpoint on
+    restart, as always)."""
+
+    def __init__(self, spark: SparkSession, *source_paths: str):
+        self._spark = spark
+        self._paths = source_paths
+        self._prev: str | None = None
+
+    def _backlog_bytes(self) -> int:
+        jvm = self._spark.sparkContext._jvm
+        hconf = self._spark.sparkContext._jsc.hadoopConfiguration()
+        total = 0
+        for p in self._paths:
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(hconf)
+            if fs.exists(hpath):
+                total += int(fs.getContentSummary(hpath).getLength())
+        return total
+
+    def __enter__(self):
+        if not self._paths:  # no listable backlog: keep session sizing
+            return self
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        n = max(1, -(-self._backlog_bytes() // _STATE_BYTES_PER_PARTITION))
+        n = min(n, int(self._prev))
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._prev
+            )
+        return False
+
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe on the filesystem SPARK writes to (Hadoop
@@ -149,20 +207,30 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "complete"
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    source_paths: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run a streaming frame to completion over all currently-available
-    input (micro-batch backfill) and return the materialized result."""
+    input (micro-batch backfill) and return the materialized result.
+
+    ``source_paths`` (the stream's input files/dirs, when the caller
+    knows them) sizes the fresh checkpoint's state-partition count to
+    the actual backlog via :class:`scaled_state_partitions` — omit it
+    for sources without a listable backlog and the session's configured
+    parallelism applies unchanged."""
     name = f"stream_result_{next(_sink_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    with scaled_state_partitions(spark, *source_paths):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 def stream_static_enrichment(
@@ -1654,6 +1722,7 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         stateful_user_counts(stream_events(spark, sf_dir).select("user_id")),
         output_mode="update",
+        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 

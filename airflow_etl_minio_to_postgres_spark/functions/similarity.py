@@ -978,6 +978,22 @@ def _projection_sql(vec_col: str, weights: list[float]) -> str:
     )
 
 
+def _first_match_cond(n_bands: int) -> Column:
+    """Predicate keeping a banded candidate row only when NO band before
+    the joined one also matched: for every prior band b', either the row
+    came from band <= b' or the two sides' b' keys differ.  Band keys
+    (``_bks_a`` / ``_bks_b`` arrays carried by the join sides) are
+    ``concat``-built strings — never NULL — so plain != is exact."""
+    cond = None
+    for b_prior in range(n_bands - 1):
+        c = (F.col("_band") <= F.lit(b_prior)) | (
+            F.element_at(F.col("_bks_a"), b_prior + 1)
+            != F.element_at(F.col("_bks_b"), b_prior + 1)
+        )
+        cond = c if cond is None else cond & c
+    return cond if cond is not None else F.lit(True)
+
+
 def hyperplane_band_keys_expr(
     vec_col: str, planes: list[list[float]], n_bands: int
 ) -> Column:
@@ -1373,16 +1389,35 @@ def embedding_near_dup_pairs(
     df = _persist_tracked(df.select(id_col, vec_col))
     b = df.select(
         F.col(id_col),
-        F.explode(
-            hyperplane_band_keys_expr(vec_col, planes, n_bands)
-        ).alias("band_key"),
+        hyperplane_band_keys_expr(vec_col, planes, n_bands).alias("_bks"),
+    ).select(
+        F.col(id_col),
+        "_bks",
+        F.posexplode("_bks").alias("_band", "band_key"),
     )
+    # First-matching-band candidates (the dedup-family shape): emit a
+    # pair only from the lowest band whose keys agree, so candidates
+    # are unique by construction and the dropDuplicates exchange over
+    # the per-bucket-quadratic candidate set disappears; later-band
+    # copies are exactly the rows the distinct used to discard.
     pairs = (
-        b.select(F.col(id_col).alias("id_a"), "band_key")
-        .join(b.select(F.col(id_col).alias("id_b"), "band_key"), on="band_key")
+        b.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_bks").alias("_bks_a"),
+            "_band",
+            "band_key",
+        )
+        .join(
+            b.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_bks").alias("_bks_b"),
+                "band_key",
+            ),
+            on="band_key",
+        )
         .where(F.col("id_a") < F.col("id_b"))
+        .where(_first_match_cond(n_bands))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     vecs = df
     return (
@@ -1440,16 +1475,31 @@ def knn_join(
     base = _persist_tracked(df.select(id_col, vec_col))
     b = base.select(
         F.col(id_col),
-        F.explode(
-            hyperplane_band_keys_expr(vec_col, planes, n_bands)
-        ).alias("band_key"),
+        hyperplane_band_keys_expr(vec_col, planes, n_bands).alias("_bks"),
+    ).select(
+        F.col(id_col),
+        "_bks",
+        F.posexplode("_bks").alias("_band", "band_key"),
     )
+    # first-matching-band candidates — see embedding_near_dup_pairs
     cand = (
-        b.select(F.col(id_col).alias("_qid"), "band_key")
-        .join(b.select(F.col(id_col).alias("_nid"), "band_key"), on="band_key")
+        b.select(
+            F.col(id_col).alias("_qid"),
+            F.col("_bks").alias("_bks_a"),
+            "_band",
+            "band_key",
+        )
+        .join(
+            b.select(
+                F.col(id_col).alias("_nid"),
+                F.col("_bks").alias("_bks_b"),
+                "band_key",
+            ),
+            on="band_key",
+        )
         .where(F.col("_qid") != F.col("_nid"))
+        .where(_first_match_cond(n_bands))
         .select("_qid", "_nid")
-        .dropDuplicates(["_qid", "_nid"])
     )
     scored = (
         cand.join(

@@ -8470,9 +8470,14 @@ def events_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = read_resolved(spark, root)
     plain = full.where(F.col("event_id").isin([7, 77, 777]))
     semi_rows = semi.count()
+    # multiset equality via |semi| == |plain| plus ONE exceptAll —
+    # equivalent to exceptAll both ways (equal sizes and an empty
+    # semi-minus-plain force plain-minus-semi empty too), at one full
+    # anti-join pass instead of two; the receipt's truth value is
+    # unchanged for every input.
     semi_matches = (
-        semi.exceptAll(plain).count() == 0
-        and plain.exceptAll(semi).count() == 0
+        plain.count() == semi_rows
+        and semi.exceptAll(plain).count() == 0
     )
     pruned_lt_full = len(set(semi.inputFiles())) < len(set(full.inputFiles()))
     inner = lookup_join(spark, root, probes, "event_id", how="inner")

@@ -1719,10 +1719,15 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it every column (including the wide ``props`` JSON string)
     crosses the Arrow boundary per micro-batch — ~5x slower at sf0.1.
     """
+    # Deliberately NOT backlog-sized (no source_paths): this operator
+    # crosses to Python per group (applyInPandasWithState), so collapsing
+    # state partitions serializes real per-group work — measured 1.8 s at
+    # the session's parallelism vs 3.6 s at the backlog-derived single
+    # partition.  Backlog sizing pays only where state-store setup
+    # dominates compute (pure-JVM stateful aggregations and joins).
     out = run_available_now(
         stateful_user_counts(stream_events(spark, sf_dir).select("user_id")),
         output_mode="update",
-        source_paths=(os.path.join(sf_dir, "events.parquet"),),
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 

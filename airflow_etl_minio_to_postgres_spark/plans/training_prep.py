@@ -11,8 +11,9 @@ language predicates run in the SAME scan stage (narrow, codegen'd, pushed
 against the parquet read), shrinking the corpus BEFORE any shuffle-bearing
 stage (dedup's groupBy, the similarity join, the cap's window) touches it.
 A stage-by-stage materialized pipeline would pay a full write+read between
-every step; here the only materialization is the similarity join's
-internal gram cache.
+every step; here the only materializations are the similarity join's
+internal gram cache and one tracked persist of the funnel's survivor set
+(below).
 
 Stage order is deliberate: cheap narrow filters first (largest volume
 reduction per cycle), exact dedup before the similarity join (exact dups
@@ -28,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+    _persist_tracked,
     decontaminate,
     drop_exact_dups,
     ngram_jaccard_pairs,
@@ -73,9 +75,23 @@ def prepare_training_corpus(
     )
     deduped = drop_exact_dups(filtered)
     if benchmark is not None:
+        # Persist the exact-dedup survivors before the screen: decontaminate
+        # consumes its corpus twice (gram screen + anti-join side), and
+        # without a boundary each consumption would re-run the quality/lang
+        # expression forest AND drop_exact_dups' own two-sided evaluation —
+        # the scan-stage funnel would execute ~4x per downstream reader.
+        deduped = _persist_tracked(deduped)
         deduped = decontaminate(
             deduped, benchmark, n=decontam_n, min_hits=decontam_min_hits
         )
+    # The funnel's survivor set feeds TWO consumers (the similarity join's
+    # gram build and the anti-join that drops near-dup losers).  Persist it
+    # so the upstream funnel — scan + quality/lang expressions + exact
+    # dedup's groupBy/semi-join (+ the decontamination screen) — runs once
+    # per corpus instead of once per consumer (guide §5: reuse x recompute
+    # cost).  Tracked: released by dedup.release_caches() like the gram
+    # cache itself.
+    deduped = _persist_tracked(deduped)
     dup_ids = (
         ngram_jaccard_pairs(
             deduped, n=ngram_n, threshold=jaccard_threshold, unit="word"

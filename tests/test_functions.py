@@ -515,6 +515,46 @@ def test_training_prep_funnel_stages(spark):
     assert 2 not in got and 3 not in got and 4 not in got
 
 
+def test_training_prep_persists_survivor_funnel(spark):
+    """r17: the funnel's survivor set is a tracked persist boundary — the
+    quality/lang/exact-dedup(/decontam) funnel must run once per corpus,
+    not once per downstream consumer (gram build + anti-join).  Pin the
+    InMemoryRelation in the final plan and that release_caches() frees it
+    (i.e. it is tracked like the gram cache, never leaked)."""
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        release_caches,
+    )
+    from airflow_etl_minio_to_postgres_spark.plans.training_prep import (
+        prepare_training_corpus,
+    )
+
+    release_caches()  # isolate the count below from other tests' caches
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the bird "
+        "sees the river bank where the sun is warm for a while"
+    )
+    rows = [(i, "s1", "en", good + f" tail{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+
+    out = prepare_training_corpus(df, jaccard_threshold=0.99)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    out.collect()
+    # survivor persist + gram-cache persist are both tracked: plain funnel
+    # releases exactly 2; nothing stays pinned after release.
+    assert release_caches() == 2
+
+    bench = spark.createDataFrame(
+        [(100, "s1", "en", "completely unrelated benchmark words here")],
+        ["doc_id", "source", "lang", "text"],
+    )
+    out2 = prepare_training_corpus(df, benchmark=bench, jaccard_threshold=0.99)
+    out2.collect()
+    # decontaminated funnel adds the pre-screen persist: 3 tracked handles
+    # (pre-decontam survivors, post-decontam survivors, gram cache).
+    assert release_caches() == 3
+
+
 def test_cross_doc_spans_catch_what_jaccard_and_containment_miss(spark):
     """Two LONG documents share one 12-token boilerplate paragraph and
     nothing else: their gram-set Jaccard AND both containment directions

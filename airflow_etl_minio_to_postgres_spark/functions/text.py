@@ -97,6 +97,94 @@ def lang_id_expr(text: Column) -> Column:
     )
 
 
+def _stop_ratio_of(ws: Column, lang: str) -> Column:
+    """:func:`stopword_ratio_expr` over an ALREADY-BOUND words array —
+    identical operands and operations, so identical doubles."""
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(stoplist, w)))
+    return hits.cast("double") / F.size(ws).cast("double")
+
+
+def _punct_ratio_of(low: Column) -> Column:
+    """:func:`punct_ratio_expr` over an ALREADY-BOUND lowered text."""
+    stripped = F.regexp_replace(low, "[^a-z0-9 ]", "")
+    return (F.length(low) - F.length(stripped)).cast("double") / F.length(
+        low
+    ).cast("double")
+
+
+def quality_lang_pred_expr(
+    text: Column, quality_min: float, lang: str = "en"
+) -> Column:
+    """The training-funnel admission predicate —
+    ``quality_score_expr(text) >= quality_min AND lang_id_expr(text) ==
+    lang`` — with every shared subexpression computed ONCE per row.
+
+    Why not just AND the two reference expressions: FilterExec's codegen
+    does no common-subexpression elimination, so the combined predicate
+    evaluates ``split(lower(trim(text)))`` up to ~15x per row (two per
+    stopword ratio x three languages x two references in the lang-id
+    when-chain, plus the quality branches) — measured as the largest
+    attributable per-row cost left in the docs funnel (r17 "not yet
+    optimized"; guide §1.2 step 2, per-task work).  SQL has no let
+    binding, but a single-element-array higher-order function is one:
+    ``exists(array(struct(words, low)), m -> ...)`` evaluates the struct
+    exactly once and binds it to the lambda variable, so every reference
+    inside is a variable read.  Two nesting levels: the outer binds the
+    split words array and the lowered text, the inner binds the three
+    per-language stopword ratios, the word count and the punctuation
+    ratio; the final predicate is pure scalar arithmetic over bound
+    values.
+
+    Equivalence is by construction — the bound plan computes the SAME
+    operand expressions with the SAME operations (same doubles bit for
+    bit, same NULL/three-valued-logic behavior: a NULL text yields a
+    NULL predicate in both forms, which WHERE treats as false), pinned
+    by the adversarial parity test.  The predicate stays a narrow,
+    deterministic, single-column filter — it pushes into the scan stage
+    exactly like the reference form."""
+    bound = F.array(
+        F.struct(
+            words_expr(text).alias("ws"),
+            F.lower(text).alias("low"),
+        )
+    )
+
+    def _pred(m: Column) -> Column:
+        ws, low = m["ws"], m["low"]
+        scores = F.array(
+            F.struct(
+                _stop_ratio_of(ws, "en").alias("en"),
+                _stop_ratio_of(ws, "de").alias("de"),
+                _stop_ratio_of(ws, "fr").alias("fr"),
+                F.size(ws).cast("double").alias("wc"),
+                _punct_ratio_of(low).alias("punct"),
+            )
+        )
+
+        def _final(s: Column) -> Column:
+            raw = (
+                F.lit(0.5) * s["en"]
+                + F.lit(0.5) * F.least(F.lit(1.0), s["wc"] / F.lit(50.0))
+                - F.lit(0.25) * s["punct"]
+            )
+            q = F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw))
+            lang_pred = (
+                F.when(
+                    (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en")
+                )
+                .when(s["de"] >= s["fr"], F.lit("de"))
+                .otherwise(F.lit("fr"))
+            )
+            return (q >= F.lit(float(quality_min))) & (
+                lang_pred == F.lit(lang)
+            )
+
+        return F.exists(scores, _final)
+
+    return F.exists(bound, _pred)
+
+
 def fingerprint_expr(text: Column, hash_len: int = 16) -> Column:
     """Whitespace-canonical sha256 fingerprint: two documents differing only
     in whitespace/case share a fingerprint."""
@@ -536,19 +624,34 @@ def bm25_topk_indexed(
     stats = spark.read.parquet(_os.path.join(path, "_stats"))
     srow = stats.collect()[0]
     n_buckets = int(srow["n_buckets"])
-    buckets = sorted(
-        r[0]
-        for r in spark.createDataFrame(
-            [(t,) for t in terms], "term string"
-        )
-        .select(
-            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        .distinct()
-        .collect()
+    # Probe buckets via ONE driver-local SQL over a VALUES relation —
+    # still the engine's own xxhash64 (bit-agreement with the writer's
+    # bucketing by construction), but ConvertToLocalRelation folds the
+    # projection so the collect schedules no job (r18, the
+    # _bloom_kept_files pattern: the retired createDataFrame probe paid
+    # a Python->JVM conversion job of ~0.3-2 s per serve).  Terms a SQL
+    # literal cannot render exactly fall back to the frame form.
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        sql_cast_literals,
     )
+
+    lits = sql_cast_literals(terms, "string")
+    if lits is not None:
+        probe = spark.sql(
+            f"SELECT DISTINCT pmod(xxhash64(v), {int(n_buckets)}L) AS b "
+            f"FROM VALUES {lits} AS t(v)"
+        )
+    else:
+        probe = (
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias(
+                    "b"
+                )
+            )
+            .distinct()
+        )
+    buckets = sorted(int(r[0]) for r in probe.collect())
     postings = (
         spark.read.parquet(path)
         .where(F.col("term_bucket").isin(buckets))
@@ -664,17 +767,28 @@ def bm25_topk_batch(
     terms = sorted(r[0] for r in pairs.select("term").distinct().collect())
     if not terms:
         raise ValueError("bm25_topk_batch: queries contain no terms")
-    buckets = sorted(
-        r[0]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(
-            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        .distinct()
-        .collect()
+    # driver-local VALUES probe — see bm25_topk_indexed (r18)
+    from airflow_etl_minio_to_postgres_spark.sources.manifest import (
+        sql_cast_literals,
     )
+
+    lits = sql_cast_literals([t for t in terms if t is not None], "string")
+    if lits is not None:
+        bprobe = spark.sql(
+            f"SELECT DISTINCT pmod(xxhash64(v), {int(n_buckets)}L) AS b "
+            f"FROM VALUES {lits} AS t(v)"
+        )
+    else:
+        bprobe = (
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias(
+                    "b"
+                )
+            )
+            .distinct()
+        )
+    buckets = sorted(int(r[0]) for r in bprobe.collect())
     postings = (
         spark.read.parquet(path)
         .where(F.col("term_bucket").isin(buckets))

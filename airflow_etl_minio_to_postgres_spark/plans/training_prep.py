@@ -35,8 +35,7 @@ from airflow_etl_minio_to_postgres_spark.functions.dedup import (
     ngram_jaccard_pairs,
 )
 from airflow_etl_minio_to_postgres_spark.functions.text import (
-    lang_id_expr,
-    quality_score_expr,
+    quality_lang_pred_expr,
     stratified_cap,
 )
 
@@ -68,10 +67,12 @@ def prepare_training_corpus(
     rule: for every qualifying pair the LOWER doc_id survives (anti-join
     on the pair list's ``id_b`` side).
     """
-    text = F.col("text")
+    # One-pass admission predicate: the CSE-bound form of
+    # quality_score_expr >= min AND lang_id_expr == lang (bit-identical
+    # decisions; see quality_lang_pred_expr for why the naive AND
+    # evaluates split(lower(trim(text))) ~15x per row in FilterExec).
     filtered = docs.where(
-        (quality_score_expr(text) >= F.lit(quality_min))
-        & (lang_id_expr(text) == F.lit(lang))
+        quality_lang_pred_expr(F.col("text"), quality_min, lang)
     )
     deduped = drop_exact_dups(filtered)
     if benchmark is not None:

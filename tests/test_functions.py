@@ -555,6 +555,119 @@ def test_training_prep_persists_survivor_funnel(spark):
     assert release_caches() == 3
 
 
+def test_ivf_knn_join_matches_expression_reference(spark):
+    """r18: the cogrouped per-cell top-k kernel must reproduce the
+    retired join+window form EXACTLY — including dirty rows: NULL
+    vectors, ragged/wrong-dimension vectors (NULL cosine, ranked last),
+    zero-norm vectors (NULL-degrade), exclude_self, and ties broken by
+    id.  The reference here is built from the expression primitives the
+    kernel's cosines are contractually bit-identical to (ivf_assign +
+    cosine_expr + the (cosine desc, id) window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        cosine_expr,
+        ivf_assign,
+        ivf_knn_join,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, None),                # NULL vector
+        (5, [0.0, 0.0]),          # wrong dim -> NULL cosine vs 3-dim
+        (6, [0.0, 0.0, 0.0]),     # zero norm -> NULL cosine
+        (7, [1.0, 0.0, 0.0]),     # exact tie with 0 -> id tiebreak
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, cvec array<double>",
+    )
+    qs = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    for nprobe, k, excl in [(1, 3, False), (2, 4, True), (2, 99, False)]:
+        got = ivf_knn_join(
+            qs, emb, cents, k=k, nprobe=nprobe, exclude_self=excl
+        )
+        # reference: the retired assignment-join + pair cosine + window
+        corpus_cells = ivf_assign(emb, cents)
+        probe_cells = ivf_assign(qs, cents, "qid", "qvec", nprobe=nprobe)
+        scored = (
+            emb.join(corpus_cells, "vec_id")
+            .join(probe_cells.join(qs, "qid"), "cid")
+            .select(
+                "qid",
+                "vec_id",
+                cosine_expr(F.col("embedding"), F.col("qvec")).alias(
+                    "cosine"
+                ),
+            )
+        )
+        if excl:
+            scored = scored.where(F.col("vec_id") != F.col("qid"))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        ref = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        assert got.exceptAll(ref).count() == 0, (nprobe, k, excl)
+        assert ref.exceptAll(got).count() == 0, (nprobe, k, excl)
+
+
+def test_quality_lang_pred_cse_parity_and_plan(spark):
+    """r18: the funnel admission predicate's CSE-bound form
+    (quality_lang_pred_expr) must decide EXACTLY like the reference
+    ``quality_score_expr >= min AND lang_id_expr == lang`` on adversarial
+    rows (NULL text, empty, whitespace-only, punct-only, language-score
+    ties, short/long), and its filter plan must carry exactly ONE
+    split(lower(trim())) chain instead of the reference's ~15."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.text import (
+        lang_id_expr,
+        quality_lang_pred_expr,
+        quality_score_expr,
+    )
+
+    # No empty-string row: punct_ratio's length(lower(text)) denominator
+    # is 0 there, so BOTH forms raise DIVIDE_BY_ZERO under ANSI — equal
+    # behavior, but not collectable.  (Oracle corpora carry no empty
+    # texts; the degrade policy for them predates this round.)
+    rows = [
+        (1, None),
+        (2, "."),
+        (3, "   \t  "),
+        (4, "!!! ??? !!!"),
+        (5, "the der le"),          # three-way stop-ratio tie
+        (6, "der die das und ist ein zu den mit von"),
+        (7, "le la et les des un une est que pour"),
+        (8, "the " * 60 + "fox"),
+        (9, "the quick brown fox is in the den of a le"),
+        (10, "zzz qqq vvv"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for qmin, lang in [(0.35, "en"), (0.0, "de"), (0.5, "fr")]:
+        ref = df.where(
+            (quality_score_expr(F.col("text")) >= F.lit(qmin))
+            & (lang_id_expr(F.col("text")) == F.lit(lang))
+        )
+        got = df.where(quality_lang_pred_expr(F.col("text"), qmin, lang))
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in ref.collect()
+        ), (qmin, lang)
+    bound = df.where(quality_lang_pred_expr(F.col("text"), 0.35, "en"))
+    plan = bound._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
 def test_cross_doc_spans_catch_what_jaccard_and_containment_miss(spark):
     """Two LONG documents share one 12-token boilerplate paragraph and
     nothing else: their gram-set Jaccard AND both containment directions

@@ -393,6 +393,118 @@ def probe_cids_arrow(
     return _probe(vec)
 
 
+def _qc_sims_block(qm, cm):
+    """(nq, d) query block x (m, d) corpus block -> (nq, m) cosine matrix
+    with the EXACT doubles of cosine_expr on every (q, c) pair: num and
+    na accumulate sequentially over dimensions (see
+    :func:`_pairwise_cosine`), norms multiply as sqrt(na_q) * sqrt(nb_c)
+    (:func:`_cell_norms` is the same fold).  Zero-norm / non-finite
+    pairs come out non-finite (the NULL-degrade posture)."""
+    import numpy as np
+
+    d = qm.shape[1]
+    num = qm[:, 0:1] * cm[None, :, 0]
+    na = qm[:, 0] * qm[:, 0]
+    for i in range(1, d):
+        num = num + qm[:, i : i + 1] * cm[None, :, i]
+        na = na + qm[:, i] * qm[:, i]
+    den = np.sqrt(na)[:, None] * _cell_norms(cm)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return num / den
+
+
+def _cell_topk_kernel(
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    exclude_self: bool,
+):
+    """Factory for the per-cell top-k cogroup kernel of
+    :func:`ivf_knn_join` (module-level so the pickled closure carries
+    only scalars).  For one cell it receives the queries probing the
+    cell and the corpus rows living in it, computes the q x m cosine
+    block (bit-identical to cosine_arrow — one matching-dimension block
+    at a time; cross-dim / NULL / ragged pairs stay NULL, exactly
+    zip_with's null-pad degrade), and emits each query's local top-k by
+    the serving order (cosine desc NULLS LAST, id asc).  NULL-cosine
+    candidates are kept and rank last — the window form's behavior when
+    a query has fewer than k finite candidates."""
+    import numpy as np
+
+    kk = int(k)
+
+    def _topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                query_id_col: pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="object"),
+            }
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        c_ids = cpdf[id_col].to_numpy()
+        q_ids = qpdf[query_id_col].to_numpy()
+        c_arrs = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in cpdf[vec_col]
+        ]
+        q_arrs = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in qpdf[query_vec_col]
+        ]
+        nq, m = len(q_ids), len(c_ids)
+        sims = np.full((nq, m), np.nan)
+        c_bydim: dict[int, list[int]] = {}
+        q_bydim: dict[int, list[int]] = {}
+        for j, a in enumerate(c_arrs):
+            if a is not None and a.ndim == 1 and a.shape[0] > 0:
+                c_bydim.setdefault(a.shape[0], []).append(j)
+        for i, a in enumerate(q_arrs):
+            if a is not None and a.ndim == 1 and a.shape[0] > 0:
+                q_bydim.setdefault(a.shape[0], []).append(i)
+        for d, qidx in q_bydim.items():
+            cidx = c_bydim.get(d)
+            if not cidx:
+                continue
+            qm = np.stack([q_arrs[i] for i in qidx])
+            cm = np.stack([c_arrs[j] for j in cidx])
+            sims[np.ix_(qidx, cidx)] = _qc_sims_block(qm, cm)
+        sel_q, sel_i, sel_v = [], [], []
+        for r in range(nq):
+            row = sims[r]
+            with np.errstate(invalid="ignore"):
+                neg = np.where(np.isfinite(row), -row, np.inf)
+            if exclude_self:
+                keep = c_ids != q_ids[r]
+                ids_r, neg_r, val_r = c_ids[keep], neg[keep], row[keep]
+            else:
+                ids_r, neg_r, val_r = c_ids, neg, row
+            if len(ids_r) == 0:
+                continue
+            order = np.lexsort((ids_r, neg_r))[:kk]
+            sel_q.append(np.full(len(order), q_ids[r], dtype=q_ids.dtype))
+            sel_i.append(ids_r[order])
+            sel_v.append(val_r[order])
+        if not sel_q:
+            return empty
+        vals = np.concatenate(sel_v)
+        out_c = vals.astype(object)
+        with np.errstate(invalid="ignore"):
+            out_c[~np.isfinite(vals)] = None
+        return pd.DataFrame(
+            {
+                query_id_col: pd.Series(np.concatenate(sel_q)),
+                id_col: pd.Series(np.concatenate(sel_i)),
+                "cosine": pd.Series(out_c, dtype="object"),
+            }
+        )
+
+    return _topk
+
+
 def _pair_sims_block(m):
     """(m, d) block -> (m, m) cosine matrix with the EXACT doubles of
     cosine_expr on every (i, j) pair: num and na accumulate
@@ -1053,42 +1165,100 @@ def ivf_knn_join(
     per-query brute force.  Returns (query_id_col, id_col, cosine),
     up to k rows per query, ordered within each query.
     """
-    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    probe_cells = ivf_assign(
-        queries, centroids, query_id_col, query_vec_col, nprobe=nprobe
-    )
-    # Scoring is ONE cosine_arrow numpy op per Arrow batch of candidate
-    # pairs (guide §4.2) — it replaces the r15 norm-precompute pattern
-    # (hoisting each side's O(dim) HOF fold out of the quadratic term,
-    # measured 3.6x back when the fold was interpreted per row); the
-    # Arrow batch form is faster still and keeps every serving operator
-    # on the SAME reduction, preserving the batch/indexed/knn_join
-    # bit-identity contract.
-    qside = probe_cells.join(
-        queries.select(query_id_col, F.col(query_vec_col)),
-        query_id_col,
-    )
-    scored = (
-        corpus.select(id_col, F.col(vec_col))
-        .join(corpus_cells, id_col)
-        .join(qside, "cid")
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            cosine_arrow(F.col(vec_col), F.col(query_vec_col)).alias(
-                "cosine"
+    # r18 restructure (guide §4.2 + §8's move-bytes-once rule, VERDICT
+    # item #4): the retired shape joined both sides' (id, cid)
+    # assignments back to their vectors (two id-keyed self-join
+    # Exchanges) and shipped BOTH vectors of every candidate pair
+    # through one ArrowEvalPython cosine — at nprobe = n_cells (the
+    # recall evals' provably-brute-force ground truth) that is
+    # |queries| x |corpus| pair rows x 2d doubles across the Python
+    # boundary.  Now: cell ids are computed INLINE on each side's scan
+    # (one narrow Arrow map per side, no self-join — ids are key-unique
+    # by the operators' contract), the sides meet in ONE cogroup keyed
+    # on cid (each side's vectors cross the boundary once per cell),
+    # and the q x m cosine block runs as d vectorized numpy steps with
+    # each query's LOCAL top-k emitted (<= k rows per query per probed
+    # cell).  The global window then ranks <= nprobe * k rows per
+    # query — exact by selection: every global top-k row is in its
+    # cell's local top-k, and ordering (cosine desc NULLS LAST, id) is
+    # reproduced inside the kernel (bit-identical cosines — sequential
+    # dimension fold, see _qc_sims_block — so the batch/indexed/
+    # knn_join bit-identity contract holds unchanged).  Memory
+    # contract: one cell's q x m double block must fit in task memory —
+    # the IVF cell-sizing policy (n_cells grows with the corpus), same
+    # as semantic_pair_drops_grouped.
+    from pyspark.sql import Window, types as T
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select("cid", "cvec").collect()
+    ]
+    spark = corpus.sparkSession
+    if not cents:
+        # no cells -> no candidates; same empty (qid, id, cosine) frame
+        # the retired join form produced through ivf_assign's empty path
+        return (
+            queries.select(F.col(query_id_col))
+            .crossJoin(corpus.select(F.col(id_col)))
+            .withColumn("cosine", F.lit(None).cast("double"))
+            .where(F.lit(False))
+        )
+    cside = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            probe_cids_arrow(
+                F.col(vec_col),
+                cents,
+                1,
+                spark=spark,
+                via_broadcast=len(cents) > 256,
             ),
+            1,
+        ).alias("cid"),
+    )
+    qside = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            probe_cids_arrow(
+                F.col(query_vec_col),
+                cents,
+                int(nprobe),
+                spark=spark,
+                via_broadcast=len(cents) > 256,
+            )
+        ).alias("cid"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType
+            ),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    percell = (
+        qside.groupBy("cid")
+        .cogroup(cside.groupBy("cid"))
+        .applyInPandas(
+            _cell_topk_kernel(
+                int(k),
+                id_col,
+                vec_col,
+                query_id_col,
+                query_vec_col,
+                bool(exclude_self),
+            ),
+            schema=out_schema,
         )
     )
-    if exclude_self:
-        scored = scored.where(F.col(id_col) != F.col(query_id_col))
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        percell.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= F.lit(int(k)))
         .drop("_rn")
         .orderBy(query_id_col, F.col("cosine").desc(), id_col)
@@ -1712,6 +1882,18 @@ def kmeans_centroids(
         (cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(seeds)
     ]
     counts = {cid: 0 for cid, _ in centroids}
+    # The update aggregate's dim+1 Column objects are identical every
+    # iteration — build them ONCE (r18): each F.sum(...) chain is ~6
+    # py4j round-trips, so rebuilding 64 of them per iteration was
+    # ~0.5 s of pure driver time per pass at dim=64 (guide §1.2 step 2).
+    agg_cols = [
+        F.sum(
+            F.round(
+                F.element_at(F.col(vec_col), i + 1).cast("double") * 1e6
+            ).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iters):
         # Assignment runs the Arrow kernel (nearest_cid_arrow) in BOTH
         # regimes — optimization r17, guide §4.2: one numpy (n x k)
@@ -1737,20 +1919,7 @@ def kmeans_centroids(
         stats = (
             assigned
             .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(
-                        F.round(
-                            F.element_at(F.col(vec_col), i + 1).cast(
-                                "double"
-                            )
-                            * 1e6
-                        ).cast("long")
-                    ).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
-            )
+            .agg(F.count(F.lit(1)).alias("_n"), *agg_cols)
             .collect()  # n_cells rows — metadata-sized, like MLlib
         )
         new = {

@@ -406,6 +406,39 @@ def test_ivf_assign_is_arrow_narrow_map_no_window(spark):
     assert "Generate" in plan  # the posexplode of ranked probes
 
 
+def test_ivf_knn_join_is_cogrouped_cell_kernel(spark):
+    """The r18 ivf_knn_join shape (guide §4.2/§8): sides meet in ONE
+    cogroup keyed on cid (FlatMapCoGroupsInPandas) — cell assignment is
+    inline on each side's scan (no id-keyed self-join back to the
+    vectors), and no per-candidate-pair ArrowEvalPython cosine remains
+    (each side's vectors cross the Python boundary once per cell).  The
+    one Window left ranks the kernel's <= nprobe*k rows per query.
+    Value parity (bit-identical, incl. dirty vectors) is pinned in
+    test_ivf_knn_join_matches_expression_reference."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        ivf_knn_join,
+    )
+
+    emb = registry.load_table(spark, "embeddings", SF_SMOKE)
+    cents = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [-0.1] * 64)], "cid long, cvec array<double>"
+    )
+    qs = emb.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = _physical_plan(ivf_knn_join(qs, emb, cents, k=3, nprobe=2))
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the two inline assignment maps are the ONLY ArrowEvalPython nodes;
+    # the retired pair-join shipped both vectors through a third
+    assert plan.count("ArrowEvalPython") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the surviving Window ranks the kernel's output (<= nprobe*k rows
+    # per query), sitting directly above the cogroup node
+    assert "Window" in plan
+
+
 def test_per_group_counts_bucketed_null_semantics(spark):
     """The r17 coarse-bucket rewrite of per_group_counts_pandas must
     keep the old per-group null policy: NULL group keys are KEPT (Spark

@@ -8469,16 +8469,32 @@ def events_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi = lookup_join(spark, root, probes, "event_id", how="semi")
     full = read_resolved(spark, root)
     plain = full.where(F.col("event_id").isin([7, 77, 777]))
-    semi_rows = semi.count()
-    # multiset equality via |semi| == |plain| plus ONE exceptAll —
-    # equivalent to exceptAll both ways (equal sizes and an empty
-    # semi-minus-plain force plain-minus-semi empty too), at one full
-    # anti-join pass instead of two; the receipt's truth value is
-    # unchanged for every input.
-    semi_matches = (
-        plain.count() == semi_rows
-        and semi.exceptAll(plain).count() == 0
+    # Multiset equality + semi row count in ONE job (r18, guide §6 /
+    # VERDICT #6 — the r17 form still ran three: semi.count,
+    # plain.count, exceptAll.count, evaluating each scan twice): tag
+    # semi rows +1 and plain rows -1, group by ALL columns, and the
+    # multisets are equal iff every group's tag-sum is 0 — exactly the
+    # property exceptAll-both-ways checks (same null-safe, binary-exact
+    # grouping semantics), while sum-of-(+1)s is |semi|.  The receipt's
+    # truth value is unchanged for every input.
+    cols = plain.columns
+    tagged = semi.select(*cols, F.lit(1).alias("_t")).unionByName(
+        plain.select(*cols, F.lit(-1).alias("_t"))
     )
+    rec = (
+        tagged.groupBy(*cols)
+        .agg(
+            F.sum("_t").alias("_d"),
+            F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("_ns"),
+        )
+        .agg(
+            F.coalesce(F.sum("_ns"), F.lit(0)).alias("_semi_rows"),
+            F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0)).alias("_mm"),
+        )
+        .first()
+    )
+    semi_rows = rec["_semi_rows"]
+    semi_matches = rec["_mm"] == 0
     pruned_lt_full = len(set(semi.inputFiles())) < len(set(full.inputFiles()))
     inner = lookup_join(spark, root, probes, "event_id", how="inner")
     got = inner.agg(

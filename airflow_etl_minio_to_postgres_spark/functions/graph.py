@@ -58,7 +58,13 @@ def _loop_shuffle_partitions(spark, n_rows: int):
     tasks of pure per-task setup EVERY round (measured: the iterative
     entries' propagate stages ran 64 tasks at ~0.1 CPU-s of fixed cost
     per task for label tables of a few thousand rows).  Partition count
-    never affects results — only task-grain scheduling."""
+    never affects results — only task-grain scheduling.
+
+    CONCURRENCY CONTRACT (shared with streaming.scaled_state_partitions,
+    where it is spelled out): session-global conf, safe serially and
+    nested on one thread (restores on exit/exception, pytest-pinned);
+    concurrent same-session queries would observe the scaled value —
+    use ``spark.newSession()`` clones for concurrent callers."""
     n_parts = max(1, math.ceil(n_rows / _LOOP_ROWS_PER_TASK))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     n_parts = min(n_parts, int(prev))
@@ -94,36 +100,49 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    def _checkpoint_with_sig(df: DataFrame):
+        """Eager-checkpoint ``df`` and return (checkpointed, (n, sum)).
+
+        The convergence signature rides the checkpoint's own
+        materialization job via ``observe`` (r18, guide §1/§2: the
+        per-round ``agg().collect()`` was a SECOND full job over the
+        just-checkpointed labels — one job per round saved, verified in
+        the entries' event logs).  CollectMetrics is exact (not
+        sampled), and localCheckpoint truncates the returned plan, so
+        the observation node never leaks into downstream lineage."""
+        obs = Observation()
+        out = df.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
+        ).localCheckpoint(eager=True)
+        got = obs.get  # blocks on the checkpoint action just issued
+        return out, (got["n"], got["s"])
+
     with _loop_shuffle_partitions(edges.sparkSession, sym.count()):
         # round 0: label(u) = min(u, min neighbor) — one groupBy seeds the
         # same state a separate init + first propagation round would.
-        labels = (
+        labels, prev_sig = _checkpoint_with_sig(
             sym.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("label"))
             .withColumnRenamed("u", "node")
-            .localCheckpoint(eager=True)
         )
-        prev_sig = None
         for _ in range(max_iter):
-            sig = labels.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("label").alias("s")
-            ).collect()[0]
-            if prev_sig == (sig["n"], sig["s"]):
-                return labels.select(
-                    "node", F.col("label").alias("component")
-                )
-            prev_sig = (sig["n"], sig["s"])
             # propagate: each node offers its label to every neighbor;
             # keep min
             offers = sym.join(
                 labels.withColumnRenamed("node", "u"), on="u"
             ).select(F.col("v").alias("node"), "label")
-            labels = (
+            labels, sig = _checkpoint_with_sig(
                 labels.unionByName(offers)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
             )
+            if sig == prev_sig:
+                return labels.select(
+                    "node", F.col("label").alias("component")
+                )
+            prev_sig = sig
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds the near-dup contract — use a "

@@ -63,7 +63,18 @@ class scaled_state_partitions:
     join results are partitioning-independent — it only changes task
     grain.  Only meaningful around the FIRST run of a checkpoint
     (Structured Streaming re-reads the count from the checkpoint on
-    restart, as always)."""
+    restart, as always).
+
+    CONCURRENCY CONTRACT (shared with graph._loop_shuffle_partitions):
+    ``spark.sql.shuffle.partitions`` is SESSION-GLOBAL state — this
+    scope is safe for the serial caller (the bench/driver shape), and
+    for NESTED scopes on one thread (each inner scope caps at and
+    restores the enclosing scope's value; exceptions restore too —
+    both pytest-pinned).  Concurrent queries on the SAME SparkSession
+    from other driver threads would observe the scaled value while the
+    scope is open; run concurrent work from ``spark.newSession()``
+    clones (separate per-session conf over one SparkContext) if that
+    matters."""
 
     def __init__(self, spark: SparkSession, *source_paths: str):
         self._spark = spark

@@ -137,3 +137,55 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
         }
     for v in (1, 2, 3):
         assert abs(got[v] - r[v]) < 1e-12
+
+
+def test_scaled_conf_scopes_restore_nested_and_on_error(spark):
+    """r18 (VERDICT #7): the two conf-scoping context managers —
+    graph._loop_shuffle_partitions and streaming's
+    scaled_state_partitions — mutate the session-global
+    spark.sql.shuffle.partitions; their contract is restore-on-exit
+    for the serial caller, INCLUDING nested scopes on one thread and
+    exceptional exits.  Pin both so a refactor can't silently leak a
+    scaled value into the rest of the session."""
+    from airflow_etl_minio_to_postgres_spark.functions.graph import (
+        _loop_shuffle_partitions,
+    )
+    from airflow_etl_minio_to_postgres_spark.streaming.pipeline import (
+        scaled_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    # nested scopes: inner caps at the outer scope's value and restores
+    # to it, outer restores the session value
+    with _loop_shuffle_partitions(spark, 1):
+        outer = spark.conf.get(key)
+        assert outer == "1"
+        with _loop_shuffle_partitions(spark, 10**9):
+            # capped at the ENCLOSING scope's value, never above it
+            assert spark.conf.get(key) == outer
+        assert spark.conf.get(key) == outer
+    assert spark.conf.get(key) == before
+
+    # exceptional exit restores too
+    try:
+        with _loop_shuffle_partitions(spark, 1):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+    # streaming twin: empty backlog path (no sources) is a no-op scope;
+    # a real path scales and restores, also on error
+    with scaled_state_partitions(spark):
+        assert spark.conf.get(key) == before
+    with scaled_state_partitions(spark, "/root/testdata/sf0.001"):
+        assert int(spark.conf.get(key)) <= int(before)
+    assert spark.conf.get(key) == before
+    try:
+        with scaled_state_partitions(spark, "/root/testdata/sf0.001"):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before

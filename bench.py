@@ -62,8 +62,13 @@ def main() -> None:
     # code).  Running the superset entry warms both families.  The
     # warmup's persisted signature tables are released so only JIT
     # warmth carries over, never cached data.
+    warmup_breakdown: dict[str, float] = {}
+    t_w = time.perf_counter()
     materialize(all_queries["q1_pricing_summary"](spark, SF_DIR))
+    warmup_breakdown["session+q1"] = round(time.perf_counter() - t_w, 4)
+    t_w = time.perf_counter()
     materialize(all_queries["docs_canonical_per_cluster"](spark, SF_DIR))
+    warmup_breakdown["lsh_graph_jit"] = round(time.perf_counter() - t_w, 4)
     release_caches()
     spark.catalog.clearCache()
     # The seven medallion_* entries are projections of ONE memoized
@@ -75,7 +80,16 @@ def main() -> None:
     # memo's silver persist survives — and every medallion entry then
     # times only its own projection, the number a user of the memoized
     # pipeline actually experiences.
+    t_w = time.perf_counter()
     materialize(all_queries["medallion_silver"](spark, SF_DIR))
+    # r18 (VERDICT #9): the shared memoized medallion build's cost is
+    # now an explicit artifact number (below, additive key
+    # "warmup_breakdown") instead of an invisible slice of warmup_sec —
+    # the seven medallion_* entries keep timing only their projections,
+    # and round-over-round per-query comparability is untouched.
+    warmup_breakdown["shared_medallion_build"] = round(
+        time.perf_counter() - t_w, 4
+    )
     warmup_sec = time.perf_counter() - t_start
 
     timings: dict[str, float] = {}
@@ -86,6 +100,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # Short summary line FIRST (r18, VERDICT item #2b): the driver
+    # captures stdout with a bounded tail that has truncated the full
+    # per-query line mid-JSON in past rounds (r16's prev_bench_ok=false),
+    # killing the round-over-round comparison.  This line is additive —
+    # the LAST line printed remains the full contract line with the
+    # per-query dict, unchanged — and carries the totals a truncated
+    # tail still needs.  No timing methodology changed.
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_from_dir(SF_DIR),
+                "warmup_sec": round(warmup_sec, 4),
+                "n_queries": len(timings),
+                "summary_of": "full per-query line follows",
+            }
+        )
+    )
     line = json.dumps(
         {
             "metric": "engine_query_suite_wall_sec",
@@ -94,6 +128,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf_from_dir(SF_DIR),
             "warmup_sec": round(warmup_sec, 4),
+            "warmup_breakdown": warmup_breakdown,
             "warmup_includes": [
                 "session+parquet footers (q1)",
                 "LSH/graph codegen JIT (docs_canonical_per_cluster)",

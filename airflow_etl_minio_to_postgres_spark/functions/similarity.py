@@ -505,6 +505,223 @@ def _cell_topk_kernel(
     return _topk
 
 
+def hyperplane_band_keys_arrow(
+    vec: Column, planes: list[list[float]], n_bands: int
+) -> Column:
+    """Arrow twin of :func:`hyperplane_band_keys_expr` (r18, guide
+    §4.2): the expression form evaluates one interpreted
+    ``aggregate(zip_with(...))`` HOF fold PER PLANE per row (32 folds
+    at 4 bands x 8 bits) and its ~2k-node literal tree is a py4j /
+    plan-size tax on every consumer; this kernel computes all
+    projections as d sequential numpy steps per Arrow batch and builds
+    the same ``'<band>|<bits>'`` strings.
+
+    Bit-identity argument: only the SIGN of each projection reaches the
+    key, and the kernel accumulates products in the identical index
+    order as the SQL fold (initial ``0.0 +`` changes no double except
+    -0.0 -> 0.0, which compares equal), so every ``>= 0`` decision
+    matches exactly — including the edges, reproduced explicitly:
+    a NaN projection is '1' (Spark compares NaN greater than any
+    double), while a NULL vector, a wrong-length vector (zip_with
+    null-pads) or a NULL ELEMENT (null product poisons the fold)
+    yields NULL -> '0'.  Null elements arrive in Arrow as NaN,
+    indistinguishable from data NaN, so the null-element case is
+    detected JVM-side (one ``exists`` over the array) and shipped as a
+    boolean alongside the vector.  Parity is pytest-pinned against the
+    expression form on adversarial rows."""
+    import numpy as np
+
+    W = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
+    n_planes, dim = W.shape
+    per_band = n_planes // n_bands
+    zero_keys = ["%d|%s" % (b, "0" * per_band) for b in range(n_bands)]
+
+    def _proj_bits(m):
+        # sequential fold over dimensions — the SQL aggregate's order
+        num = m[:, 0:1] * W[None, :, 0]
+        for i in range(1, dim):
+            num = num + m[:, i : i + 1] * W[None, :, i]
+        with np.errstate(invalid="ignore"):
+            return np.isnan(num) | (num >= 0.0)
+
+    def _keys_of(bits_row):
+        return [
+            "%d|%s" % (
+                b,
+                "".join(
+                    "1" if bits_row[b * per_band + j] else "0"
+                    for j in range(per_band)
+                ),
+            )
+            for b in range(n_bands)
+        ]
+
+    @F.pandas_udf("array<string>")
+    def _keys(va: pd.Series, has_null: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(va) == 0:
+            return pd.Series([], dtype="object")
+        hn = has_null.fillna(False).to_numpy(dtype=bool)
+        m = _series_to_matrix(va)
+        out: list = [None] * len(va)
+        if m is not None and m.shape[1] == dim:
+            bits = _proj_bits(m)
+            for r in range(len(va)):
+                out[r] = zero_keys if hn[r] else _keys_of(bits[r])
+            return pd.Series(out, dtype="object")
+        for r, v in enumerate(va):
+            if v is None or hn[r]:
+                out[r] = zero_keys
+                continue
+            vv = np.asarray(v, dtype=np.float64)
+            if vv.ndim != 1 or vv.shape[0] != dim:
+                out[r] = zero_keys
+                continue
+            out[r] = _keys_of(_proj_bits(vv[None, :])[0])
+        return pd.Series(out, dtype="object")
+
+    return _keys(vec, F.exists(vec, lambda x: x.isNull()))
+
+
+def _band_group_sims(pdf, id_col: str, vec_col: str):
+    """Shared per-band-bucket pair machinery for the banded-LSH grouped
+    kernels (r18): given one band bucket's rows (same ``band_key`` —
+    keys embed the band index, so one bucket = one band), return
+    ``(ids, sims, valid)`` where ``sims`` is the m x m cosine matrix
+    with the EXACT doubles of cosine_expr (per-dimension blocks through
+    :func:`_pair_sims_block`; NULL / ragged / cross-dimension pairs
+    stay NaN — the zip_with null-pad degrade) and ``valid`` is the
+    first-matching-band mask (True where NO band before this one also
+    matched — the :func:`_first_match_cond` predicate, evaluated
+    vectorized over the bucket's ``_bks`` arrays).  Diagonal pairs are
+    marked invalid."""
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy()
+    m = len(ids)
+    arrs = [
+        None if v is None else np.asarray(v, dtype=np.float64)
+        for v in pdf[vec_col]
+    ]
+    sims = np.full((m, m), np.nan)
+    by_dim: dict[int, list[int]] = {}
+    for i, a in enumerate(arrs):
+        if a is not None and a.ndim == 1 and a.shape[0] > 0:
+            by_dim.setdefault(a.shape[0], []).append(i)
+    for _, idx in by_dim.items():
+        if len(idx) < 2:
+            continue
+        block = _pair_sims_block(np.stack([arrs[i] for i in idx]))
+        sims[np.ix_(idx, idx)] = block
+    # first-match validity: every band BEFORE this bucket's band must
+    # differ between the two sides (band keys are concat-built strings,
+    # never NULL, so != is exact — same as _first_match_cond)
+    band = int(pdf["_band"].iloc[0])
+    valid = ~np.eye(m, dtype=bool)
+    bks = list(pdf["_bks"])
+    for q in range(band):
+        kq = np.array([b[q] for b in bks], dtype=object)
+        valid &= kq[:, None] != kq[None, :]
+    return ids, sims, valid
+
+
+def _band_pair_drops_kernel(threshold: float, id_col: str, vec_col: str):
+    """Factory for the near-dup grouped kernel: one band bucket in,
+    thresholded (id_a < id_b, cosine) pairs out — cosines bit-identical
+    to cosine_arrow, NULL-degrade pairs never emitted (NULL is never
+    >= threshold), first-match uniqueness preserved (a pair is emitted
+    only from the lowest band whose keys agree, so it appears in
+    exactly one bucket's output)."""
+    import numpy as np
+
+    thr = float(threshold)
+
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids, sims, valid = _band_group_sims(pdf, id_col, vec_col)
+        with np.errstate(invalid="ignore"):
+            hit = (
+                valid
+                & (ids[:, None] < ids[None, :])
+                & np.isfinite(sims)
+                & (sims >= thr)
+            )
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ids[ii]),
+                "id_b": pd.Series(ids[jj]),
+                "cosine": pd.Series(sims[ii, jj]),
+            }
+        )
+
+    return _drops
+
+
+def _band_knn_kernel(k: int, id_col: str, vec_col: str):
+    """Factory for the k-NN grouped kernel: one band bucket in, each
+    member's LOCAL top-k among its first-match candidates in the bucket
+    out (both directions — k-NN is asymmetric).  Ordering reproduces
+    the serving window exactly (cosine desc NULLS LAST, neighbor id
+    asc; NULL-cosine candidates kept and ranked last), so the global
+    top-k window over the union of local top-ks is exact by
+    selection."""
+    import numpy as np
+
+    kk = int(k)
+
+    def _knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "_qid": pd.Series([], dtype="int64"),
+                "_nid": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="object"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids, sims, valid = _band_group_sims(pdf, id_col, vec_col)
+        sel_q, sel_n, sel_v = [], [], []
+        for r in range(len(ids)):
+            cand = np.nonzero(valid[r])[0]
+            if len(cand) == 0:
+                continue
+            row = sims[r, cand]
+            with np.errstate(invalid="ignore"):
+                neg = np.where(np.isfinite(row), -row, np.inf)
+            order = np.lexsort((ids[cand], neg))[:kk]
+            take = cand[order]
+            sel_q.append(np.full(len(take), ids[r], dtype=ids.dtype))
+            sel_n.append(ids[take])
+            sel_v.append(sims[r, take])
+        if not sel_q:
+            return empty
+        vals = np.concatenate(sel_v)
+        out_c = vals.astype(object)
+        with np.errstate(invalid="ignore"):
+            out_c[~np.isfinite(vals)] = None
+        return pd.DataFrame(
+            {
+                "_qid": pd.Series(np.concatenate(sel_q)),
+                "_nid": pd.Series(np.concatenate(sel_n)),
+                "cosine": pd.Series(out_c, dtype="object"),
+            }
+        )
+
+    return _knn
+
+
 def _pair_sims_block(m):
     """(m, d) block -> (m, m) cosine matrix with the EXACT doubles of
     cosine_expr on every (i, j) pair: num and na accumulate
@@ -1547,61 +1764,52 @@ def embedding_near_dup_pairs(
     Only candidates pay the exact cosine.  Returns (id_a, id_b, cosine)
     with ``id_a < id_b`` and ``cosine >= threshold``.
     """
-    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
-        _persist_tracked,
-    )
+    from pyspark.sql import types as T
 
     planes = hyperplanes(dim, n_bands * bits_per_band, seed)
-    # Cache barrier, twice over: the corpus feeds three plan branches (band
-    # keys + both sides of the verification join), and any interpreted HOF
-    # upstream (e.g. a float->double transform) would otherwise be inlined
-    # by projection collapse into every band-key evaluation.
-    df = _persist_tracked(df.select(id_col, vec_col))
-    b = df.select(
+    # r18 restructure (guide §4.2 + §8, the semantic_pair_drops_grouped
+    # shape): the r17 form still built the per-bucket-quadratic
+    # candidate-pair set (band self-join + first-match filter) and then
+    # shipped BOTH vectors of every candidate through two id-keyed
+    # verification joins and an ArrowEvalPython cosine.  Now each band
+    # bucket's rows — (id, band-key array, vector), one row per
+    # (id, band) — shuffle ONCE into a grouped kernel that computes the
+    # bucket's m x m cosines as d vectorized numpy steps (bit-identical
+    # sequential fold) and applies the SAME first-matching-band rule
+    # vectorized, emitting only thresholded (id_a < id_b, cosine) rows.
+    # Candidate uniqueness, tie/NULL semantics and the produced doubles
+    # are unchanged (pinned by the old-shape equivalence test).  Memory
+    # contract: one band bucket's m x m double block per task — random
+    # hyperplanes keep buckets near corpus/2^bits, the same sizing
+    # policy the join form relied on to bound its quadratic.
+    # Band keys are the Arrow kernel (hyperplane_band_keys_arrow) —
+    # projection-sign-identical to the expression form; the corpus now
+    # has ONE consumer chain referencing the vector column once, so
+    # r17's persist barrier (element-wise band-key SQL x projection
+    # collapse) has nothing left to guard and is dropped.
+    df = df.select(id_col, vec_col)
+    bv = df.select(
         F.col(id_col),
-        hyperplane_band_keys_expr(vec_col, planes, n_bands).alias("_bks"),
+        F.col(vec_col),
+        hyperplane_band_keys_arrow(F.col(vec_col), planes, n_bands).alias(
+            "_bks"
+        ),
     ).select(
         F.col(id_col),
+        F.col(vec_col),
         "_bks",
         F.posexplode("_bks").alias("_band", "band_key"),
     )
-    # First-matching-band candidates (the dedup-family shape): emit a
-    # pair only from the lowest band whose keys agree, so candidates
-    # are unique by construction and the dropDuplicates exchange over
-    # the per-bucket-quadratic candidate set disappears; later-band
-    # copies are exactly the rows the distinct used to discard.
-    pairs = (
-        b.select(
-            F.col(id_col).alias("id_a"),
-            F.col("_bks").alias("_bks_a"),
-            "_band",
-            "band_key",
-        )
-        .join(
-            b.select(
-                F.col(id_col).alias("id_b"),
-                F.col("_bks").alias("_bks_b"),
-                "band_key",
-            ),
-            on="band_key",
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_first_match_cond(n_bands))
-        .select("id_a", "id_b")
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    vecs = df
-    return (
-        pairs.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
-            "id_a",
-        )
-        .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
-            "id_b",
-        )
-        .withColumn("cosine", cosine_arrow(F.col("v_a"), F.col("v_b")))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
+    return bv.groupBy("band_key").applyInPandas(
+        _band_pair_drops_kernel(threshold, id_col, vec_col),
+        schema=out_schema,
     )
 
 
@@ -1636,53 +1844,41 @@ def knn_join(
     neighbor id as the deterministic tie-break.
     """
     from pyspark.sql import Window
-
-    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
-        _persist_tracked,
-    )
+    from pyspark.sql import types as T
 
     planes = hyperplanes(dim, n_bands * bits_per_band, seed)
-    base = _persist_tracked(df.select(id_col, vec_col))
-    b = base.select(
+    # r18: same grouped-kernel restructure as embedding_near_dup_pairs
+    # (one band-bucket shuffle of (id, _bks, vector) rows replaces the
+    # per-bucket-quadratic candidate join + two vector joins + per-pair
+    # Arrow cosine), directional: the kernel emits each bucket member's
+    # LOCAL top-k among its first-match candidates (both directions,
+    # NULL cosines ranked last exactly like the serving window), and the
+    # global window then ranks <= n_bands * k rows per query — exact by
+    # selection.  Band keys are the Arrow kernel; the single consumer
+    # chain references the vector once, so the r17 persist barrier is
+    # dropped (see embedding_near_dup_pairs).
+    base = df.select(id_col, vec_col)
+    bv = base.select(
         F.col(id_col),
-        hyperplane_band_keys_expr(vec_col, planes, n_bands).alias("_bks"),
+        F.col(vec_col),
+        hyperplane_band_keys_arrow(F.col(vec_col), planes, n_bands).alias(
+            "_bks"
+        ),
     ).select(
         F.col(id_col),
+        F.col(vec_col),
         "_bks",
         F.posexplode("_bks").alias("_band", "band_key"),
     )
-    # first-matching-band candidates — see embedding_near_dup_pairs
-    cand = (
-        b.select(
-            F.col(id_col).alias("_qid"),
-            F.col("_bks").alias("_bks_a"),
-            "_band",
-            "band_key",
-        )
-        .join(
-            b.select(
-                F.col(id_col).alias("_nid"),
-                F.col("_bks").alias("_bks_b"),
-                "band_key",
-            ),
-            on="band_key",
-        )
-        .where(F.col("_qid") != F.col("_nid"))
-        .where(_first_match_cond(n_bands))
-        .select("_qid", "_nid")
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", base.schema[id_col].dataType),
+            T.StructField("_nid", base.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    scored = (
-        cand.join(
-            base.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
-            "_qid",
-        )
-        .join(
-            base.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")),
-            "_nid",
-        )
-        .select(
-            "_qid", "_nid", cosine_arrow(F.col("_qv"), F.col("_nv")).alias("cosine")
-        )
+    scored = bv.groupBy("band_key").applyInPandas(
+        _band_knn_kernel(k, id_col, vec_col), schema=out_schema
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("_nid"))
     return (

@@ -622,6 +622,160 @@ def test_ivf_knn_join_matches_expression_reference(spark):
         assert ref.exceptAll(got).count() == 0, (nprobe, k, excl)
 
 
+def test_hyperplane_band_keys_arrow_matches_expr(spark):
+    """r18: the Arrow band-key kernel must produce EXACTLY the
+    expression form's keys on adversarial rows — NULL vector, wrong
+    dimension, NULL element inside the array (null poisons the SQL fold
+    -> '0' bits), NaN element (Spark compares NaN >= 0 as true -> '1'
+    bits), +/-Inf, zero vector, and boundary-sign projections."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        hyperplane_band_keys_arrow,
+        hyperplane_band_keys_expr,
+        hyperplanes,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, None),
+        (2, [1.0, 2.0]),                          # wrong dim
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, None, 2.0, 3.0]),               # NULL element
+        (5, [float("nan"), 1.0, 1.0, 1.0]),       # NaN element
+        (6, [float("inf"), 1.0, 1.0, 1.0]),
+        (7, [float("-inf"), 1.0, 1.0, 1.0]),
+        (8, [-1.0, -2.0, 3.0, -0.5]),
+        (9, [1.0, 2.0, -3.0, 0.5, 9.0]),          # too long
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = hyperplanes(4, 12, seed=7)
+    got = df.select(
+        "vec_id",
+        hyperplane_band_keys_arrow(F.col("embedding"), planes, 3).alias(
+            "k"
+        ),
+    ).collect()
+    ref = df.select(
+        "vec_id",
+        hyperplane_band_keys_expr("embedding", planes, 3).alias("k"),
+    ).collect()
+    got_m = {r["vec_id"]: list(r["k"]) for r in got}
+    ref_m = {r["vec_id"]: list(r["k"]) for r in ref}
+    assert got_m == ref_m
+
+
+def test_banded_pair_kernel_matches_join_reference(spark):
+    """r18: the grouped band-bucket kernels (embedding_near_dup_pairs /
+    knn_join) must reproduce the retired band-join + first-match +
+    verification-join shape EXACTLY, including dirty rows (NULL vector,
+    wrong dimension, zero norm) and cosine doubles.  Reference built
+    from the same public pieces the old shape used."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airflow_etl_minio_to_postgres_spark.functions.dedup import (
+        release_caches,
+    )
+    from airflow_etl_minio_to_postgres_spark.functions.similarity import (
+        _first_match_cond,
+        cosine_expr,
+        embedding_near_dup_pairs,
+        hyperplane_band_keys_expr,
+        hyperplanes,
+        knn_join,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 2
+        (4, None),                        # NULL vector
+        (5, [0.0, 0.0]),                  # wrong dim
+        (6, [0.0, 0.0, 0.0, 0.0]),        # zero norm
+        (7, [1.0, 0.0, 0.0, 0.0]),        # exact dup of 0
+        (8, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dim, n_bands, bits = 4, 3, 4
+    got_pairs = embedding_near_dup_pairs(
+        df, dim=dim, threshold=0.9, n_bands=n_bands, bits_per_band=bits
+    )
+    got_knn = knn_join(df, dim=dim, k=2, n_bands=n_bands, bits_per_band=bits)
+
+    # reference: retired shape from public pieces
+    planes = hyperplanes(dim, n_bands * bits, 42)
+    b = df.select(
+        "vec_id",
+        hyperplane_band_keys_expr("embedding", planes, n_bands).alias(
+            "_bks"
+        ),
+    ).select("vec_id", "_bks", F.posexplode("_bks").alias("_band", "band_key"))
+    cand = (
+        b.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("_bks").alias("_bks_a"),
+            "_band",
+            "band_key",
+        )
+        .join(
+            b.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("_bks").alias("_bks_b"),
+                "band_key",
+            ),
+            on="band_key",
+        )
+        .where(_first_match_cond(n_bands))
+    )
+    vecs_a = df.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    vecs_b = df.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    ref_pairs = (
+        cand.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .join(vecs_a, "id_a")
+        .join(vecs_b, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= 0.9)
+        .select("id_a", "id_b", "cosine")
+    )
+    assert got_pairs.exceptAll(ref_pairs).count() == 0
+    assert ref_pairs.exceptAll(got_pairs).count() == 0
+
+    ref_scored = (
+        cand.where(F.col("id_a") != F.col("id_b"))
+        .select(F.col("id_a").alias("_qid"), F.col("id_b").alias("_nid"))
+        .join(vecs_a.withColumnRenamed("id_a", "_qid").withColumnRenamed("v_a", "_qv"), "_qid")
+        .join(vecs_b.withColumnRenamed("id_b", "_nid").withColumnRenamed("v_b", "_nv"), "_nid")
+        .select(
+            "_qid",
+            "_nid",
+            cosine_expr(F.col("_qv"), F.col("_nv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("cosine").desc(), F.col("_nid")
+    )
+    ref_knn = (
+        ref_scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 2)
+        .select(
+            F.col("_qid").alias("vec_id"),
+            F.col("_nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+    assert got_knn.exceptAll(ref_knn).count() == 0
+    assert ref_knn.exceptAll(got_knn).count() == 0
+    release_caches()
+
+
 def test_quality_lang_pred_cse_parity_and_plan(spark):
     """r18: the funnel admission predicate's CSE-bound form
     (quality_lang_pred_expr) must decide EXACTLY like the reference

@@ -689,24 +689,23 @@ def test_ivf_knn_join_matches_batch_serving_and_brute_force(spark, tmp_path):
         brute = topk_cosine(e, query_id=qid, k=5)
         assert got[qid] == [(r.vec_id, r.cosine) for r in brute.collect()]
 
-    # the scale contract: both data sides meet in a SHUFFLE join on
-    # cid; the only broadcasts are the explicitly-hinted centroid
-    # crossJoins inside ivf_assign.  Disable the auto-broadcast
-    # threshold so toy-scale AQE can't mask the shape the operator
-    # plans for.
+    # the scale contract (r18 form): both data sides meet in a SHUFFLE
+    # keyed on cid — now the cogroup's two hash exchanges feeding
+    # FlatMapCoGroupsInPandas — and NOTHING data-sized broadcasts
+    # (centroids ride the assignment UDF closures).  Disable the
+    # auto-broadcast threshold so toy-scale AQE can't mask the shape
+    # the operator plans for.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         pinned = ivf_knn_join(
             qs, e, cents, k=5, nprobe=2, exclude_self=True
         )
         plan = _physical_plan(pinned)
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-        # every BroadcastExchange in the plan is a centroid crossJoin
-        # (the explicit hint inside ivf_assign — rendered as a
-        # BroadcastNestedLoopJoin); the data sides never broadcast
-        assert plan.count("BroadcastExchange") == plan.count(
-            "BroadcastNestedLoopJoin"
-        ), plan
+        assert "FlatMapCoGroupsInPandas" in plan, plan
+        # no join of the data sides at all — and in particular no
+        # broadcast of either (the retired contract's real point)
+        assert "BroadcastExchange" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
